@@ -1,0 +1,210 @@
+"""Weighted multi-source mixing + recipe ordering + corpus metrics
+(SURVEY §2.6 weighted_recipe_order, §2.7, §2.10).
+
+- ``weighted_recipe_order`` mirrors src/sampler/mod.rs:2761-2784: tickets
+  per recipe = ``clamp(round(w / w_min), 1, 16)``, expanded into slots,
+  deterministically shuffled; weight <= 0 excluded.
+- ``weighted_interleave`` replaces the reference's smooth weighted
+  round-robin drain (src/ingestion.rs:607-675) with *stride scheduling*:
+  record r of source i (per-source rank ``rn``, weight ``w_i``) gets virtual
+  time ``(rn + 1) / w_i``; the global order sorts by (vtime, source). Over
+  any prefix of length n, source i receives ≈ ``n * w_i / W`` slots — the
+  same exact-ratio guarantee smooth-WRR provides, but stateless, shardable,
+  and SQL-expressible.
+- ``source_skew`` / ``capacity_estimate`` mirror src/metrics.rs:42-90 and
+  src/heuristics.rs:21-61.
+
+Scale: per-source ``row_number`` is the only shuffle; stats aggregate to a
+tiny frame that broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    hash31_col,
+    hash31_sql,
+    mix31_col,
+    mix31_sql,
+    strfold_col,
+    strfold_sql,
+)
+
+RECIPE_ORDER_MAX_WEIGHT_MULTIPLIER = 16  # src/constants.rs:118
+
+# Capacity-estimation constants (src/constants.rs:62-65)
+EFFECTIVE_POSITIVES_PER_ANCHOR = 1
+EFFECTIVE_NEGATIVES_PER_ANCHOR = 4
+
+
+def weighted_recipe_order(spark, recipes: list[tuple[str, float]], seed: int = 42) -> DataFrame:
+    """Expand (recipe, weight) into a deterministically shuffled slot list.
+
+    Returns (slot BIGINT, recipe STRING). Driver-side config expansion —
+    recipes are config, not data (SURVEY §7.0)."""
+    kept = [(r, w) for r, w in recipes if w > 0]
+    if not kept:
+        return spark.createDataFrame([], "slot long, recipe string")
+    w_min = min(w for _, w in kept)
+    df = spark.createDataFrame(
+        [(r, float(w)) for r, w in kept], "recipe string, weight double"
+    )
+    tickets = F.least(
+        F.greatest(F.round(F.col("weight") / F.lit(w_min)).cast("long"), F.lit(1)),
+        F.lit(RECIPE_ORDER_MAX_WEIGHT_MULTIPLIER),
+    )
+    expanded = df.select(
+        "recipe", F.explode(F.sequence(F.lit(1), tickets)).alias("ticket")
+    )
+    key = mix31_col([strfold_col("recipe"), F.col("ticket")], seed)
+    w = Window.orderBy(key.asc(), F.col("recipe").asc(), F.col("ticket").asc())
+    return expanded.select(
+        (F.row_number().over(w) - 1).cast("long").alias("slot"), "recipe"
+    )
+
+
+def weighted_recipe_order_sql(recipes: list[tuple[str, float]], seed: int = 42) -> str:
+    kept = [(r, w) for r, w in recipes if w > 0]
+    w_min = min(w for _, w in kept)
+    values = ", ".join(f"('{r}', {float(w)!r})" for r, w in kept)
+    key = mix31_sql([strfold_sql("recipe"), "ticket"], seed)
+    return f"""
+WITH recipes(recipe, weight) AS (VALUES {values}),
+expanded AS (
+  SELECT recipe, t.ticket
+  FROM recipes, UNNEST(range(1, least(greatest(CAST(round(weight / {float(w_min)!r}) AS BIGINT), 1), {RECIPE_ORDER_MAX_WEIGHT_MULTIPLIER}) + 1)) AS t(ticket)
+)
+SELECT CAST(row_number() OVER (ORDER BY {key}, recipe, ticket) - 1 AS BIGINT) AS slot, recipe
+FROM expanded
+"""
+
+
+def weighted_interleave(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: int = 42,
+    id_is_string: bool = True,
+) -> DataFrame:
+    """Stride-scheduled exact-ratio interleave. Unknown sources default to
+    weight 1.0; negative weights are invalid; all-zero falls back to uniform
+    (src/sampler/mod.rs:139-156, src/ingestion.rs:407-425)."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("negative source weight")
+    if weights and all(w == 0 for w in weights.values()):
+        weights = {k: 1.0 for k in weights}
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()], "__wsrc string, __weight double"
+    )
+    idf = strfold_col(id_col) if id_is_string else F.col(id_col).cast("long")
+    order_h = hash31_col(idf, seed)
+    w_src = Window.partitionBy(source_col).orderBy(order_h.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w_src) - 1)
+    joined = ranked.join(
+        F.broadcast(wdf), ranked[source_col] == wdf["__wsrc"], "left"
+    ).withColumn("__w", F.coalesce(F.col("__weight"), F.lit(1.0)))
+    vtime = (F.col("__rn").cast("double") + F.lit(1.0)) / F.col("__w")
+    w_all = Window.orderBy(vtime.asc(), F.col(source_col).asc(), F.col(id_col).asc())
+    return (
+        joined.where(F.col("__w") > 0)
+        .withColumn("position", (F.row_number().over(w_all) - 1).cast("long"))
+        .drop("__rn", "__w", "__wsrc", "__weight")
+    )
+
+
+def weighted_interleave_sql(
+    table_sql: str,
+    id_sql: str,
+    source_sql: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    id_is_string: bool = True,
+) -> str:
+    values = ", ".join(f"('{s}', {float(w)!r})" for s, w in weights.items())
+    idf = strfold_sql(id_sql) if id_is_string else f"CAST({id_sql} AS BIGINT)"
+    order_h = hash31_sql(idf, seed)
+    return f"""
+WITH w(source, weight) AS (VALUES {values}),
+ranked AS (
+  SELECT t.*, {id_sql} AS __id, {source_sql} AS __src,
+         row_number() OVER (PARTITION BY {source_sql} ORDER BY {order_h}, {id_sql}) - 1 AS __rn
+  FROM {table_sql} t
+),
+joined AS (
+  SELECT r.*, coalesce(w.weight, 1.0) AS __w
+  FROM ranked r LEFT JOIN w ON r.__src = w.source
+)
+SELECT *, CAST(row_number() OVER (
+  ORDER BY (CAST(__rn AS DOUBLE) + 1.0) / __w, __src, __id) - 1 AS BIGINT) AS position
+FROM joined WHERE __w > 0
+"""
+
+
+def source_skew(df: DataFrame, source_col: str) -> DataFrame:
+    """Per-source counts + global share/imbalance stats
+    (src/metrics.rs:42-90). Returns one row per source."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        F.col(source_col).alias("source"),
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w).cast("long").alias("total"),
+        F.min("n").over(w).cast("long").alias("min_n"),
+        F.max("n").over(w).cast("long").alias("max_n"),
+        (F.sum("n").over(w).cast("double") / F.count("*").over(w).cast("double")).alias("mean_n"),
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("share"),
+        (F.max("n").over(w).cast("double") / F.min("n").over(w).cast("double")).alias("imbalance"),
+    )
+
+
+def source_skew_sql(table_sql: str, source_sql: str) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {source_sql} AS source, count(*) AS n FROM {table_sql} GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER () AS BIGINT) AS total,
+       CAST(min(n) OVER () AS BIGINT) AS min_n,
+       CAST(max(n) OVER () AS BIGINT) AS max_n,
+       CAST(sum(n) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) AS mean_n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+       CAST(max(n) OVER () AS DOUBLE) / CAST(min(n) OVER () AS DOUBLE) AS imbalance
+FROM counts
+"""
+
+
+def capacity_estimate(df: DataFrame, source_col: str, split_col: str) -> DataFrame:
+    """Triplet/pair/text capacity per (source, split)
+    (src/heuristics.rs:21-61): raw = n*(n-1), effective = n*1*4,
+    pairs = n*(1+(n-1)) = n*n, text = n."""
+    eff = EFFECTIVE_POSITIVES_PER_ANCHOR * EFFECTIVE_NEGATIVES_PER_ANCHOR
+    return (
+        df.groupBy(source_col, split_col)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(split_col).alias("split"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") * (F.col("n") - 1)).cast("long").alias("raw_triplets"),
+            (F.col("n") * eff).cast("long").alias("effective_triplets"),
+            (F.col("n") * F.col("n")).cast("long").alias("pairs"),
+            F.col("n").cast("long").alias("text_samples"),
+        )
+    )
+
+
+def capacity_estimate_sql(table_sql: str, source_sql: str, split_sql: str) -> str:
+    eff = EFFECTIVE_POSITIVES_PER_ANCHOR * EFFECTIVE_NEGATIVES_PER_ANCHOR
+    return f"""
+SELECT {source_sql} AS source, {split_sql} AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * (count(*) - 1) AS BIGINT) AS raw_triplets,
+       CAST(count(*) * {eff} AS BIGINT) AS effective_triplets,
+       CAST(count(*) * count(*) AS BIGINT) AS pairs,
+       CAST(count(*) AS BIGINT) AS text_samples
+FROM {table_sql} GROUP BY 1, 2
+"""

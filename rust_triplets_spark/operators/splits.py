@@ -1,0 +1,96 @@
+"""Deterministic train/validation/test split assignment (SURVEY §2.5).
+
+Mirrors ``derive_label_for_id`` (reference ``src/splits.rs:623-637``): the
+label is a PURE function of ``(id, seed, ratios)`` — ``u = hash(id, seed)``
+normalized to [0,1), compared against cumulative ratio cuts. This is the
+reference's single most load-bearing invariant (stable ids ⇒ stable splits
+as the corpus grows), and is why Spark's ``randomSplit`` is NOT used here
+(it is partition-dependent, not id-stable).
+
+Explicit overrides (``DeterministicSplitStore`` in-memory overrides,
+``src/splits.rs:168-220``) become a broadcast left-join against a small
+assignments DataFrame.
+
+Scale: pure column arithmetic — no shuffle, no state, embarrassingly
+parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    M31,
+    hash31_col,
+    hash31_str_col,
+    hash31_str_sql,
+    hash31_sql,
+)
+
+DEFAULT_RATIOS = (0.8, 0.1, 0.1)  # src/splits.rs:46-76
+LABELS = ("train", "validation", "test")  # src/splits.rs:35-42
+
+
+def validate_ratios(ratios: tuple[float, float, float]) -> None:
+    if abs(sum(ratios) - 1.0) > 1e-6 or any(r < 0 for r in ratios):
+        raise ValueError(f"split ratios must be >= 0 and sum to 1.0, got {ratios}")
+
+
+def split_label_col(
+    id_col,
+    seed: int = 42,
+    ratios: tuple[float, float, float] = DEFAULT_RATIOS,
+    id_is_string: bool = False,
+) -> Column:
+    """Split label column: pure function of (id, seed, ratios)."""
+    validate_ratios(ratios)
+    h = hash31_str_col(id_col, seed) if id_is_string else hash31_col(id_col, seed)
+    u = h.cast("double") / F.lit(float(M31))
+    train_cut, val_cut = ratios[0], ratios[0] + ratios[1]
+    return (
+        F.when(u < F.lit(float(train_cut)), F.lit("train"))
+        .when(u < F.lit(float(val_cut)), F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_label_sql(
+    id_sql: str,
+    seed: int = 42,
+    ratios: tuple[float, float, float] = DEFAULT_RATIOS,
+    id_is_string: bool = False,
+) -> str:
+    """DuckDB twin of :func:`split_label_col`."""
+    validate_ratios(ratios)
+    h = hash31_str_sql(id_sql, seed) if id_is_string else hash31_sql(id_sql, seed)
+    u = f"(CAST({h} AS DOUBLE) / {float(M31)!r})"
+    train_cut, val_cut = ratios[0], ratios[0] + ratios[1]
+    return (
+        f"CASE WHEN {u} < {float(train_cut)!r} THEN 'train' "
+        f"WHEN {u} < {float(val_cut)!r} THEN 'validation' ELSE 'test' END"
+    )
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    ratios: tuple[float, float, float] = DEFAULT_RATIOS,
+    id_is_string: bool = False,
+    overrides: DataFrame | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach the derived split column; optional explicit overrides
+    (``upsert`` semantics, src/splits.rs:122-131) win over the derivation."""
+    derived = split_label_col(id_col, seed, ratios, id_is_string)
+    if overrides is None:
+        return df.withColumn(out_col, derived)
+    ov = overrides.select(
+        F.col("id").alias("__ov_id"), F.col("split").alias("__ov_split")
+    )
+    return (
+        df.join(F.broadcast(ov), F.col(id_col) == F.col("__ov_id"), "left")
+        .withColumn(out_col, F.coalesce(F.col("__ov_split"), derived))
+        .drop("__ov_id", "__ov_split")
+    )

@@ -1,0 +1,363 @@
+"""Triplet / pair / text-sample assembly (SURVEY §2.6, §3.1-3.3) — the
+reference's primary query path (``next_triplet_batch``,
+src/sampler/mod.rs:2444-2626) re-expressed as one Catalyst-planned job:
+
+records → windows (chunker) → split column → distinct anchor/positive chunk
+pair per record → strategy negative (indexed-pool pick) → 50% deterministic
+anchor/positive swap → weight model → degenerate rejection → dedup.
+
+Key mappings:
+
+- anchor/positive distinct-chunk selection (src/sampler/mod.rs:1162-1211,
+  retry loop + SAME_SELECTOR_PAIR_RETRY_LIMIT): two *distinct* window chunks
+  per record via ``row_number`` over a seeded hash order — rn 1 / rn 2, no
+  retries needed. Records need >= 2 window chunks (the auto long-section
+  recipe gate, src/sampler/mod.rs:1217-1256; both must be Window views).
+- 50% swap (src/sampler/mod.rs:1329-1370): ``mix(anchor, variant) % 2 == 0``
+  swaps anchor↔positive; negative unaffected.
+- weights (src/sampler/mod.rs:106-122, :1442-1468; src/metrics.rs:97-133):
+  ``chunk_w = max(floor, (1/(win_index+1)) * clamp(trust,0,1))`` for
+  windows; anchor & positive additionally ``max(floor, chunk_w * prox)``
+  with ``prox = 1 - d/(d+1)`` over window-index distance; negative is
+  trust-only ``max(floor, clamp(trust,0,1))``;
+  ``weight = recipe_w * (aw + pw + nw) / 3``.
+- degenerate rejection (src/sampler/mod.rs:1382-1387) and (a,p,n) record-id
+  dedup (src/sampler/mod.rs:2604-2611).
+- pair derivation (src/sampler/mod.rs:2062-2100): each triplet explodes to a
+  Positive pair + a Negative pair with a strategy reason.
+
+Scale: the chunker is a narrow fan-out, the pair pick is one window
+function, the negative is an O(n) indexed-pool pick — no operation grows
+super-linearly with corpus size, and everything partitions by (source,
+split).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    M31,
+    hash31_sql,
+    mix31_col,
+    mix31_sql,
+    strfold_col,
+)
+from rust_triplets_spark.operators.chunking import ChunkingStrategy, chunk_sections, chunk_sql
+from rust_triplets_spark.operators.negatives import negative_pick, negative_pick_sql
+from rust_triplets_spark.operators.splits import split_label_col, split_label_sql
+
+CHUNK_SEED_OFF = 404  # chunk-order rotation
+SWAP_SEED_OFF = 505  # anchor/positive swap coin
+TRUST_SEED = 7  # synthetic per-record trust for the driver tables
+
+STRATEGY_REASON = {  # src/constants.rs:98-103
+    "wrong_article": "wrong_article",
+    "wrong_publication_date": "wrong_publication_date",
+    "qa_mismatch": "wrong_qa_pairing",
+}
+
+
+@dataclass(frozen=True)
+class TripletRecipe:
+    """Mirrors src/config.rs:146-198 (selector semantics reduced to the
+    window-chunk pair used by the auto long-section recipe)."""
+
+    name: str
+    negative_strategy: str = "wrong_article"
+    weight: float = 1.0
+    instruction: str | None = None
+    allow_same_anchor_positive: bool = False
+
+
+def _trust_col(idf) -> "F.Column":
+    from rust_triplets_spark.functions.hashing import hash31_col
+
+    return F.lit(0.5) + (hash31_col(idf, TRUST_SEED).cast("double") / F.lit(float(M31))) * F.lit(0.5)
+
+
+def _trust_sql(idf_sql: str) -> str:
+    return f"(0.5 + (CAST({hash31_sql(idf_sql, TRUST_SEED)} AS DOUBLE) / {float(M31)!r}) * 0.5)"
+
+
+def assemble_triplets(
+    records: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    recipe: TripletRecipe,
+    chunking: ChunkingStrategy,
+    seed: int = 42,
+    variant: int = 0,
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    date_col: str | None = None,
+    id_is_string: bool = False,
+    trust_col: str | None = None,
+) -> DataFrame:
+    """Full triplet assembly over a one-section-per-record corpus."""
+    idf = (
+        strfold_col(F.col(id_col)) if id_is_string else F.col(id_col).cast("long")
+    )
+    recs = records.select(
+        F.col(id_col).alias("record_id"),
+        F.lit(0).alias("section_idx"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
+        (F.col(trust_col) if trust_col else _trust_col(idf)).cast("double").alias("trust"),
+        split_label_col(id_col, seed, ratios, id_is_string).alias("split"),
+        idf.alias("__idf"),
+        *( [F.col(date_col).alias("__date")] if date_col else [] ),
+    )
+
+    chunks = chunk_sections(
+        recs,
+        chunking,
+        text_col="text",
+        carry_cols=("record_id", "section_idx", "source", "split", "trust", "__idf"),
+    ).where(F.col("view_kind") == "window")
+
+    order_key = mix31_col(
+        [F.col("__idf"), F.col("win_index"), F.col("overlap"), F.lit(variant)],
+        seed + CHUNK_SEED_OFF,
+    )
+    w_rec = Window.partitionBy("record_id").orderBy(order_key.asc(), F.col("chunk_key").asc())
+    ranked = chunks.withColumn("__crn", F.row_number().over(w_rec)).withColumn(
+        "__ccnt", F.count("*").over(Window.partitionBy("record_id"))
+    )
+
+    pick = ranked.where(F.col("__ccnt") >= 2)
+    anchors = pick.where(F.col("__crn") == 1).select(
+        F.col("record_id"), F.col("source"), F.col("split"), F.col("trust"), F.col("__idf"),
+        F.col("chunk_key").alias("anchor_key"),
+        F.col("chunk_text").alias("anchor_text"),
+        F.col("win_index").alias("__a_idx"),
+    )
+    positives = pick.where(F.col("__crn") == 2).select(
+        F.col("record_id"),
+        F.col("chunk_key").alias("positive_key"),
+        F.col("chunk_text").alias("positive_text"),
+        F.col("win_index").alias("__p_idx"),
+    )
+    pair = anchors.join(positives, "record_id", "inner")
+
+    # negative at record level over records that produced an anchor
+    rec_pool = pair.select(
+        F.col("record_id").alias("id"), "source", "split",
+        *( [] ),
+    )
+    neg = negative_pick(
+        rec_pool, "id", "source", "split", recipe.negative_strategy,
+        date_col=None, seed=seed, variant=variant, id_is_string=id_is_string,
+    )
+    neg_chunk = ranked.where(F.col("__crn") == 1).select(
+        F.col("record_id").alias("negative_id"),
+        F.col("chunk_key").alias("negative_key"),
+        F.col("chunk_text").alias("negative_text"),
+        F.col("trust").alias("__n_trust"),
+    )
+    trip = (
+        pair.join(neg.withColumnRenamed("id", "record_id"), "record_id", "inner")
+        .join(neg_chunk, "negative_id", "inner")
+    )
+
+    # 50% deterministic swap (src/sampler/mod.rs:1329-1370)
+    swap_coin = F.pmod(
+        mix31_col([F.col("__idf"), F.lit(variant)], seed + SWAP_SEED_OFF), F.lit(2)
+    )
+    trip = trip.withColumn("swapped", (swap_coin == 0).cast("long"))
+
+    floor = float(chunking.chunk_weight_floor)
+    trust_c = F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0)))
+    n_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__n_trust"), F.lit(1.0)))
+    base_a = F.lit(1.0) / (F.col("__a_idx").cast("double") + F.lit(1.0))
+    base_p = F.lit(1.0) / (F.col("__p_idx").cast("double") + F.lit(1.0))
+    d = F.abs(F.col("__a_idx") - F.col("__p_idx")).cast("double")
+    prox = F.lit(1.0) - d / (d + F.lit(1.0))
+    chunk_w_a = F.greatest(F.lit(floor), base_a * trust_c)
+    chunk_w_p = F.greatest(F.lit(floor), base_p * trust_c)
+    aw = F.greatest(F.lit(floor), chunk_w_a * prox)
+    pw = F.greatest(F.lit(floor), chunk_w_p * prox)
+    nw = F.greatest(F.lit(floor), n_trust_c)
+    weight = F.lit(float(recipe.weight)) * ((aw + pw + nw) / F.lit(3.0))
+
+    out = trip.select(
+        F.lit(recipe.name).alias("recipe"),
+        F.col("record_id").alias("anchor_id"),
+        F.when(F.col("swapped") == 1, F.col("positive_key")).otherwise(F.col("anchor_key")).alias("anchor_key"),
+        F.when(F.col("swapped") == 1, F.col("positive_text")).otherwise(F.col("anchor_text")).alias("anchor_text"),
+        F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(F.col("positive_key")).alias("positive_key"),
+        F.when(F.col("swapped") == 1, F.col("anchor_text")).otherwise(F.col("positive_text")).alias("positive_text"),
+        F.col("negative_id"),
+        F.col("negative_key"),
+        F.col("negative_text"),
+        weight.alias("weight"),
+        F.col("swapped"),
+        F.col("tier"),
+        F.lit(recipe.instruction).cast("string").alias("instruction"),
+        F.col("split"),
+    )
+    if not recipe.allow_same_anchor_positive:
+        out = out.where(F.col("anchor_text") != F.col("positive_text"))
+    out = out.where(
+        (F.col("negative_text") != F.col("anchor_text"))
+        & (F.col("negative_text") != F.col("positive_text"))
+    )
+    return out.dropDuplicates(["anchor_id", "negative_id"])
+
+
+def assemble_triplets_sql(
+    table: str,
+    id_sql: str,
+    source_sql: str,
+    text_sql: str,
+    recipe: TripletRecipe,
+    chunking: ChunkingStrategy,
+    seed: int = 42,
+    variant: int = 0,
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_is_string: bool = False,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`assemble_triplets` (synthetic trust variant)."""
+    idf = f"CAST({id_sql} AS BIGINT)" if not id_is_string else None
+    if idf is None:
+        raise NotImplementedError("oracle twin currently supports numeric ids")
+    split_expr = split_label_sql(id_sql, seed, ratios, id_is_string)
+    trust_expr = _trust_sql(idf)
+    chunks_query = chunk_sql(
+        table,
+        id_sql,
+        text_sql,
+        chunking,
+        extra_cols={
+            "source": source_sql,
+            "split": split_expr,
+            "trust": trust_expr,
+            "idf": idf,
+        },
+        where=where,
+    )
+    order_key = mix31_sql(["idf", "win_index", "overlap", str(variant)], seed + CHUNK_SEED_OFF)
+    neg_sql = negative_pick_sql(
+        "(SELECT record_id AS id, source, split FROM pair)",
+        "id", "source", "split", recipe.negative_strategy,
+        seed=seed, variant=variant, id_is_string=id_is_string,
+    )
+    swap_coin = f"({mix31_sql(['a.idf', str(variant)], seed + SWAP_SEED_OFF)} % 2)"
+    floor = float(chunking.chunk_weight_floor)
+    fl = f"{floor!r}"
+    trust_c = "greatest(0.0, least(a.trust, 1.0))"
+    n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
+    base_a = "(1.0 / (CAST(a.a_idx AS DOUBLE) + 1.0))"
+    base_p = "(1.0 / (CAST(a.p_idx AS DOUBLE) + 1.0))"
+    d = "CAST(abs(a.a_idx - a.p_idx) AS DOUBLE)"
+    prox = f"(1.0 - {d} / ({d} + 1.0))"
+    chunk_w_a = f"greatest({fl}, {base_a} * {trust_c})"
+    chunk_w_p = f"greatest({fl}, {base_p} * {trust_c})"
+    aw = f"greatest({fl}, {chunk_w_a} * {prox})"
+    pw = f"greatest({fl}, {chunk_w_p} * {prox})"
+    nw = f"greatest({fl}, {n_trust_c})"
+    weight = f"({float(recipe.weight)!r} * ((({aw}) + ({pw}) + ({nw})) / 3.0))"
+    degenerate = (
+        "" if recipe.allow_same_anchor_positive
+        else "AND a.anchor_text <> a.positive_text "
+    )
+    instruction = f"'{recipe.instruction}'" if recipe.instruction else "CAST(NULL AS VARCHAR)"
+    return f"""
+WITH all_chunks AS MATERIALIZED ({chunks_query}),
+wchunks AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY {order_key}, chunk_key) AS crn,
+         count(*) OVER (PARTITION BY record_id) AS ccnt
+  FROM all_chunks WHERE view_kind = 'window'
+),
+anchors AS MATERIALIZED (
+  SELECT record_id, source, split, trust, idf, chunk_key AS anchor_key,
+         chunk_text AS anchor_text, win_index AS a_idx
+  FROM wchunks WHERE crn = 1 AND ccnt >= 2
+),
+positives AS MATERIALIZED (
+  SELECT record_id, chunk_key AS positive_key, chunk_text AS positive_text,
+         win_index AS p_idx
+  FROM wchunks WHERE crn = 2
+),
+pair AS MATERIALIZED (
+  SELECT a.*, p.positive_key, p.positive_text, p.p_idx
+  FROM anchors a JOIN positives p USING (record_id)
+),
+neg AS MATERIALIZED ({neg_sql}),
+neg_chunk AS MATERIALIZED (
+  SELECT record_id AS negative_id, chunk_key AS negative_key,
+         chunk_text AS negative_text, trust
+  FROM wchunks WHERE crn = 1
+)
+SELECT '{recipe.name}' AS recipe,
+       a.record_id AS anchor_id,
+       CASE WHEN {swap_coin} = 0 THEN a.positive_key ELSE a.anchor_key END AS anchor_key,
+       CASE WHEN {swap_coin} = 0 THEN a.positive_text ELSE a.anchor_text END AS anchor_text,
+       CASE WHEN {swap_coin} = 0 THEN a.anchor_key ELSE a.positive_key END AS positive_key,
+       CASE WHEN {swap_coin} = 0 THEN a.anchor_text ELSE a.positive_text END AS positive_text,
+       n.negative_id,
+       nc.negative_key,
+       nc.negative_text,
+       {weight} AS weight,
+       CAST(CASE WHEN {swap_coin} = 0 THEN 1 ELSE 0 END AS BIGINT) AS swapped,
+       n.tier,
+       {instruction} AS instruction,
+       a.split
+FROM pair a
+JOIN neg n ON n.id = a.record_id
+JOIN neg_chunk nc ON nc.negative_id = n.negative_id
+WHERE nc.negative_text <> a.anchor_text AND nc.negative_text <> a.positive_text
+{degenerate}
+"""
+
+
+def pairs_from_triplets(triplets: DataFrame, negative_strategy: str) -> DataFrame:
+    """Explode each triplet into Positive + Negative SamplePairs
+    (src/sampler/mod.rs:2062-2100, :3072-3078). Single-pass ``explode`` —
+    a union of two selects would recompute the whole triplet lineage twice."""
+    reason = STRATEGY_REASON[negative_strategy]
+    sides = F.array(
+        F.struct(
+            F.col("positive_key").alias("other_key"),
+            F.col("positive_text").alias("other_text"),
+            F.lit("positive").alias("label"),
+            F.lit(None).cast("string").alias("reason"),
+        ),
+        F.struct(
+            F.col("negative_key").alias("other_key"),
+            F.col("negative_text").alias("other_text"),
+            F.lit("negative").alias("label"),
+            F.lit(reason).cast("string").alias("reason"),
+        ),
+    )
+    return triplets.select(
+        "recipe", "anchor_id", "anchor_key", "anchor_text",
+        F.explode(sides).alias("__side"), "weight", "split",
+    ).select(
+        "recipe", "anchor_id", "anchor_key", "anchor_text",
+        F.col("__side.other_key").alias("other_key"),
+        F.col("__side.other_text").alias("other_text"),
+        F.col("__side.label").alias("label"),
+        F.col("__side.reason").alias("reason"),
+        "weight", "split",
+    )
+
+
+def pairs_from_triplets_sql(triplets_sql: str, negative_strategy: str) -> str:
+    reason = STRATEGY_REASON[negative_strategy]
+    return f"""
+WITH trip AS MATERIALIZED ({triplets_sql})
+SELECT recipe, anchor_id, anchor_key, anchor_text,
+       positive_key AS other_key, positive_text AS other_text,
+       'positive' AS label, CAST(NULL AS VARCHAR) AS reason, weight, split
+FROM trip
+UNION ALL
+SELECT recipe, anchor_id, anchor_key, anchor_text,
+       negative_key AS other_key, negative_text AS other_text,
+       'negative' AS label, '{reason}' AS reason, weight, split
+FROM trip
+"""

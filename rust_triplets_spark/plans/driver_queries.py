@@ -1,0 +1,473 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 declared as a (Spark callable, DuckDB oracle SQL) twin over the
+driver's synthetic tables (TESTDATA.md). The driver runs both at sf0.01 and
+compares row count + schema + order-insensitive value hash.
+
+Conventions for hash-exact parity:
+
+- output columns are STRING, BIGINT, or DOUBLE only; every computed column
+  is explicitly aliased identically on both sides;
+- BIGINT: all counts/indexes cast explicitly (DuckDB ``count``/``sum`` can
+  return HUGEINT, Spark ``size`` returns INT);
+- DOUBLE: derived only from deterministic integer inputs through identical
+  IEEE expression trees (÷, ×, sqrt are correctly rounded — identical bits
+  on both engines); money sums go through DECIMAL(18,2) (exact, order-free)
+  then cast to DOUBLE;
+- timestamps are cast to epoch seconds or formatted strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import M31, hash31_col, hash31_sql, mix31_col, mix31_sql
+from rust_triplets_spark.functions import text as TX
+from rust_triplets_spark.operators.asof import asof_nearest, asof_nearest_sql
+from rust_triplets_spark.operators.chunking import ChunkingStrategy, chunk_sections, chunk_sql, chunk_weight_col
+from rust_triplets_spark.operators.epoch import epoch_order, epoch_order_sql
+from rust_triplets_spark.operators.mixing import (
+    capacity_estimate,
+    capacity_estimate_sql,
+    source_skew,
+    source_skew_sql,
+    weighted_interleave,
+    weighted_interleave_sql,
+    weighted_recipe_order,
+    weighted_recipe_order_sql,
+)
+from rust_triplets_spark.operators.negatives import negative_pick, negative_pick_sql
+from rust_triplets_spark.operators.splits import split_label_col, split_label_sql
+from rust_triplets_spark.operators.triplets import (
+    TripletRecipe,
+    _trust_col,
+    _trust_sql,
+    assemble_triplets,
+    assemble_triplets_sql,
+    pairs_from_triplets,
+    pairs_from_triplets_sql,
+)
+
+SEED = 42
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q1: TPC-H-style pricing summary (scan + filter + groupBy agg; the classic
+# partial-aggregation benchmark shape). DECIMAL sums for exactness.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalize_inline_whitespace (src/utils.rs:18-33) + tokenizer stats
+# ---------------------------------------------------------------------------
+
+@_register(
+    "normalize_whitespace",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {TX.normalize_inline_whitespace_sql('text')} AS text_norm
+FROM documents
+""",
+)
+def normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.normalize_inline_whitespace_col("text").alias("text_norm"),
+    )
+
+
+@_register(
+    "token_stats",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {TX.token_count_sql('text')} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.token_count_col("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long").alias("n_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment (src/splits.rs:623-637)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "split_assignment",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {split_label_sql('doc_id', SEED)} AS split
+FROM documents
+""",
+)
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        split_label_col("doc_id", SEED).alias("split"),
+    )
+
+
+@_register(
+    "split_ratio_counts",
+    f"""
+SELECT {split_label_sql('o_orderkey', SEED)} AS split,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""",
+)
+def split_ratio_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(split_label_col("o_orderkey", SEED).alias("split"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunker (src/chunking/sliding_window.rs:10-117) + weights
+# ---------------------------------------------------------------------------
+
+_CHUNK_STRAT = ChunkingStrategy(
+    max_window_tokens=32, overlap_tokens=(4,), summary_fallback_tokens=8,
+    summary_fallback_weight=0.35, chunk_weight_floor=0.1,
+)
+
+
+@_register(
+    "sliding_window_chunks",
+    f"""
+WITH chunks AS ({chunk_sql('documents', 'doc_id', 'text', _CHUNK_STRAT,
+                           extra_cols={'trust': _trust_sql('doc_id')})})
+SELECT CAST(record_id AS BIGINT) AS record_id, view_kind,
+       CAST(win_index AS BIGINT) AS win_index, CAST(overlap AS BIGINT) AS overlap,
+       CAST(span AS BIGINT) AS span, chunk_text,
+       CAST(tokens_estimate AS BIGINT) AS tokens_estimate, chunk_key,
+       greatest(0.1, CASE WHEN view_kind = 'window'
+                          THEN (1.0 / (CAST(win_index AS DOUBLE) + 1.0))
+                          ELSE 0.35 END
+                     * greatest(0.0, least(trust, 1.0))) AS chunk_weight
+FROM chunks
+""",
+)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.lit(0).alias("section_idx"),
+        F.col("text"),
+        _trust_col(F.col("doc_id").cast("long")).alias("trust"),
+    )
+    chunks = chunk_sections(docs, _CHUNK_STRAT, "text", ("record_id", "section_idx", "trust"))
+    return chunks.select(
+        F.col("record_id").cast("long").alias("record_id"),
+        "view_kind",
+        F.col("win_index").cast("long").alias("win_index"),
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("span").cast("long").alias("span"),
+        "chunk_text",
+        F.col("tokens_estimate").cast("long").alias("tokens_estimate"),
+        "chunk_key",
+        chunk_weight_col("view_kind", "win_index", "trust", 0.35, 0.1).alias("chunk_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch order + interleave with oversampling (src/epoch.rs:34-83)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "epoch_shuffle",
+    epoch_order_sql("documents", "doc_id", "source", epoch=1, seed=SEED, id_is_string=False)
+    .replace("SELECT CAST(sl.i", "SELECT CAST(sl.i", 1),
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = epoch_order(docs, "doc_id", "source", epoch=1, seed=SEED, id_is_string=False)
+    return out.select(
+        F.col("position").cast("long").alias("position"),
+        F.col("id").cast("long").alias("id"),
+        "source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted recipe order (src/sampler/mod.rs:2761-2784) + source mixing
+# ---------------------------------------------------------------------------
+
+_RECIPES = [("qa_wrong_article", 1.0), ("qa_wrong_date", 0.5), ("simcse", 0.25), ("drop_me", 0.0)]
+
+
+@_register("weighted_recipe_order", weighted_recipe_order_sql(_RECIPES, SEED))
+def recipe_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_recipe_order(spark, _RECIPES, SEED)
+
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 0.5, "src3": 2.0}
+
+
+@_register(
+    "weighted_source_interleave",
+    f"""
+SELECT CAST(position AS BIGINT) AS position, CAST(__id AS BIGINT) AS doc_id, __src AS source
+FROM ({weighted_interleave_sql('(SELECT doc_id, source FROM documents)', 'doc_id', 'source',
+                               _MIX_WEIGHTS, SEED, id_is_string=False)})
+""",
+)
+def source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = weighted_interleave(docs, "source", _MIX_WEIGHTS, "doc_id", SEED, id_is_string=False)
+    return out.select(
+        F.col("position").cast("long").alias("position"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("source"),
+    )
+
+
+@_register("source_skew", source_skew_sql("documents", "source"))
+def skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_skew(_t(spark, sf_dir, "documents"), "source")
+
+
+@_register(
+    "capacity_estimation",
+    capacity_estimate_sql(
+        f"(SELECT source, {split_label_sql('doc_id', SEED)} AS split FROM documents)",
+        "source", "split",
+    ),
+)
+def capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", split_label_col("doc_id", SEED)
+    )
+    return capacity_estimate(docs, "source", "split")
+
+
+# ---------------------------------------------------------------------------
+# negative strategies (src/sampler/mod.rs:995-1151)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "qa_mismatch_negatives",
+    f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(negative_id AS BIGINT) AS negative_id, tier
+FROM ({negative_pick_sql(
+        f"(SELECT doc_id AS id, source, {split_label_sql('doc_id', SEED)} AS split FROM documents)",
+        "id", "source", "split", "qa_mismatch", seed=SEED, id_is_string=False)})
+""",
+)
+def qa_mismatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source", split_label_col("doc_id", SEED).alias("split")
+    )
+    out = negative_pick(docs, "id", "source", "split", "qa_mismatch", seed=SEED, id_is_string=False)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "tier",
+    )
+
+
+_EV_BASE_SQL = (
+    f"(SELECT event_id AS id, event_type AS source, "
+    f"{split_label_sql('event_id', SEED)} AS split, CAST(ts AS DATE) AS d FROM events)"
+)
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) — Spark rejects it unless nanos
+    are surfaced as raw INT64 (DuckDB reads them natively as TIMESTAMP_NS)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    # integer day arithmetic (ts is int64 nanos ≈ 1.7e18 — double math would
+    # lose precision, so use `div`, not `/`)
+    day = F.expr("ts div 86400000000000").cast("int")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("source"),
+        split_label_col("event_id", SEED).alias("split"),
+        F.date_add(F.lit("1970-01-01").cast("date"), day).cast("string").alias("d"),
+    )
+
+
+@_register(
+    "wrong_article_negatives",
+    f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(negative_id AS BIGINT) AS negative_id, tier
+FROM ({negative_pick_sql(_EV_BASE_SQL, "id", "source", "split", "wrong_article",
+                         date_sql="d", seed=SEED, id_is_string=False)})
+""",
+)
+def wrong_article_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = negative_pick(
+        _events_base(spark, sf_dir), "id", "source", "split", "wrong_article",
+        date_col="d", seed=SEED, id_is_string=False,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "tier",
+    )
+
+
+@_register(
+    "wrong_date_negatives",
+    f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(negative_id AS BIGINT) AS negative_id, tier
+FROM ({negative_pick_sql(_EV_BASE_SQL, "id", "source", "split", "wrong_publication_date",
+                         date_sql="d", seed=SEED, id_is_string=False)})
+""",
+)
+def wrong_date_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = negative_pick(
+        _events_base(spark, sf_dir), "id", "source", "split", "wrong_publication_date",
+        date_col="d", seed=SEED, id_is_string=False,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "tier",
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal as-of join (src/sampler/mod.rs:950-976)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "temporal_asof_join",
+    f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(distance_seconds AS BIGINT) AS distance_seconds
+FROM ({asof_nearest_sql('orders', 'o_orderkey', 'o_orderdate', 'o_orderpriority',
+                        split_sql=split_label_sql('o_orderkey', SEED), offset_days=30)})
+""",
+)
+def temporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "split", split_label_col("o_orderkey", SEED)
+    )
+    out = asof_nearest(orders, "o_orderkey", "o_orderdate", "o_orderpriority",
+                       split_col="split", offset_days=30)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("distance_seconds").cast("long").alias("distance_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: full triplet assembly + derived pairs
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_RECIPE = TripletRecipe(
+    name="auto_injected_long_section_chunk_pair_wrong_article",  # src/constants.rs:104-109
+    negative_strategy="wrong_article",
+    weight=1.0,
+    instruction="Match the anchor passage to text from the same document.",
+)
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return assemble_triplets(
+        docs, "doc_id", "source", "text", _FLAGSHIP_RECIPE, _CHUNK_STRAT,
+        seed=SEED, variant=0, id_is_string=False,
+    )
+
+
+_FLAGSHIP_SQL = assemble_triplets_sql(
+    "documents", "doc_id", "source", "text", _FLAGSHIP_RECIPE, _CHUNK_STRAT,
+    seed=SEED, variant=0, id_is_string=False,
+)
+
+
+@_register(
+    "triplet_assembly",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
+       negative_key, negative_text, weight, swapped, tier, instruction, split
+FROM ({_FLAGSHIP_SQL})
+""",
+)
+def triplet_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _flagship(spark, sf_dir)
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "negative_key", "negative_text", "weight", "swapped", "tier",
+        "instruction", "split",
+    )
+
+
+@_register(
+    "pairs_from_triplets",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       other_key, other_text, label, reason, weight, split
+FROM ({pairs_from_triplets_sql(_FLAGSHIP_SQL, "wrong_article")})
+""",
+)
+def pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = pairs_from_triplets(_flagship(spark, sf_dir), "wrong_article")
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text", "other_key", "other_text",
+        "label", "reason", "weight", "split",
+    )

@@ -1,0 +1,146 @@
+"""Sampling invariants ported from the reference's integration tests
+(tests/invariants.rs, tests/anchor_positive_swap.rs — SURVEY §5):
+split isolation, negative ≠ anchor, ~50% swap rate, epoch-order change,
+interleave oversampling ratios."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.operators.chunking import ChunkingStrategy
+from rust_triplets_spark.operators.epoch import epoch_order
+from rust_triplets_spark.operators.mixing import weighted_interleave, weighted_recipe_order
+from rust_triplets_spark.operators.negatives import negative_pick
+from rust_triplets_spark.operators.splits import split_label_col
+from rust_triplets_spark.operators.triplets import TripletRecipe, assemble_triplets
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """120 records over 4 uneven sources with dates (FIXTURES F3/F8)."""
+    rows = [
+        (
+            i,
+            f"src{i % 7 if i % 3 == 0 else i % 2}",
+            f"2024-01-{(i % 9) + 1:02d}" if i % 5 else None,
+            " ".join(f"w{i}t{j}" for j in range(9)),
+        )
+        for i in range(120)
+    ]
+    return spark.createDataFrame(rows, "id long, source string, d string, text string")
+
+
+def _with_split(df):
+    return df.withColumn("split", split_label_col("id", 42))
+
+
+def test_negative_never_self_and_split_isolated(spark, corpus):
+    base = _with_split(corpus)
+    for strategy in ("qa_mismatch", "wrong_article", "wrong_publication_date"):
+        out = negative_pick(
+            base, "id", "source", "split", strategy,
+            date_col="d", seed=42, id_is_string=False,
+        )
+        joined = (
+            out.join(base.select("id", F.col("split").alias("a_split")), "id")
+            .join(
+                base.select(
+                    F.col("id").alias("negative_id"), F.col("split").alias("n_split")
+                ),
+                "negative_id",
+            )
+        )
+        rows = joined.collect()
+        assert rows, strategy
+        assert all(r["id"] != r["negative_id"] for r in rows), strategy
+        assert all(r["a_split"] == r["n_split"] for r in rows), strategy
+
+
+def test_wrong_date_negative_has_different_date(spark, corpus):
+    base = _with_split(corpus)
+    out = negative_pick(
+        base, "id", "source", "split", "wrong_publication_date",
+        date_col="d", seed=42, id_is_string=False,
+    )
+    dates = base.select("id", "d")
+    joined = (
+        out.where(F.col("tier") == "wrong_date")
+        .join(dates, "id")
+        .join(dates.select(F.col("id").alias("negative_id"), F.col("d").alias("nd")), "negative_id")
+    )
+    for r in joined.collect():
+        assert (r["d"] or "§") != (r["nd"] or "§")
+
+
+def test_negative_pick_variant_rotates(spark, corpus):
+    base = _with_split(corpus)
+    a = negative_pick(base, "id", "source", "split", "qa_mismatch", seed=42, variant=0, id_is_string=False)
+    b = negative_pick(base, "id", "source", "split", "qa_mismatch", seed=42, variant=1, id_is_string=False)
+    diff = a.alias("a").join(b.alias("b"), "id").where(
+        F.col("a.negative_id") != F.col("b.negative_id")
+    )
+    assert diff.count() > 20  # most picks rotate with the variant
+
+
+_STRAT = ChunkingStrategy(max_window_tokens=4, overlap_tokens=(1,), summary_fallback_tokens=2)
+_RECIPE = TripletRecipe(name="t", negative_strategy="wrong_article")
+
+
+def test_triplet_swap_rate_and_validity(spark, corpus):
+    out = assemble_triplets(
+        corpus, "id", "source", "text", _RECIPE, _STRAT, seed=42, id_is_string=False
+    ).collect()
+    assert len(out) > 60
+    swap_rate = sum(r["swapped"] for r in out) / len(out)
+    assert 0.35 < swap_rate < 0.65  # ~50% (anchor_positive_swap.rs:412-445)
+    for r in out:
+        assert r["anchor_id"] != r["negative_id"]
+        assert r["anchor_text"] != r["positive_text"]
+        assert r["negative_text"] != r["anchor_text"]
+        assert r["anchor_key"] != r["positive_key"]
+        assert 0.0 < r["weight"] <= 1.0
+
+
+def test_triplet_determinism(spark, corpus):
+    a = assemble_triplets(corpus, "id", "source", "text", _RECIPE, _STRAT, seed=42, id_is_string=False)
+    b = assemble_triplets(corpus, "id", "source", "text", _RECIPE, _STRAT, seed=42, id_is_string=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = assemble_triplets(corpus, "id", "source", "text", _RECIPE, _STRAT, seed=43, id_is_string=False)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_epoch_order_changes_per_epoch_and_oversamples(spark, corpus):
+    e1 = epoch_order(corpus, "id", "source", epoch=1, seed=42, id_is_string=False)
+    e2 = epoch_order(corpus, "id", "source", epoch=2, seed=42, id_is_string=False)
+    o1 = [r["id"] for r in e1.orderBy("position").collect()]
+    o2 = [r["id"] for r in e2.orderBy("position").collect()]
+    assert o1 != o2  # per-epoch permutation change (invariants.rs:811-865)
+    assert sorted(set(o1)) == sorted(set(o2))
+    # every source appears exactly max_len times (epoch.rs:61-77)
+    per_src = dict(e1.groupBy("source").count().collect())
+    assert len(set(per_src.values())) == 1
+    # within one cycle (n_src consecutive positions) all sources appear once
+    n_src = len(per_src)
+    first_cycle = e1.where(F.col("position") < n_src).select("source").collect()
+    assert len({r["source"] for r in first_cycle}) == n_src
+
+
+def test_weighted_interleave_ratios(spark):
+    rows = [(i, "a" if i < 300 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    out = weighted_interleave(df, "source", {"a": 2.0, "b": 1.0}, "id", id_is_string=False)
+    head = out.where(F.col("position") < 90).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in head}
+    # stride scheduling: a gets ~2/3 of any prefix
+    assert 55 <= counts["a"] <= 65 and 25 <= counts["b"] <= 35
+
+
+def test_weighted_recipe_order_ticket_counts(spark):
+    out = weighted_recipe_order(
+        spark, [("a", 1.0), ("b", 0.5), ("c", 0.25), ("z", 0.0)], seed=42
+    ).collect()
+    by_recipe = {}
+    for r in out:
+        by_recipe.setdefault(r["recipe"], []).append(r["slot"])
+    # tickets = round(w / 0.25) clamped [1,16] → a=4, b=2, c=1; z excluded
+    assert {k: len(v) for k, v in by_recipe.items()} == {"a": 4, "b": 2, "c": 1}
+    assert sorted(r["slot"] for r in out) == list(range(7))

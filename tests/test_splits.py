@@ -1,0 +1,73 @@
+"""Split-assignment invariants, ported from the reference's test strategy
+(tests/invariants.rs:568-809, tests/split_persistence_file_stream.rs:97,
+src/splits.rs:827-850 — see SURVEY §5 / FIXTURES F8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import hash31_py, M31
+from rust_triplets_spark.operators.splits import split_label_col, with_split
+
+
+def _labels_py(n, seed, ratios):
+    out = []
+    for i in range(n):
+        u = hash31_py(i, seed) / M31
+        if u < ratios[0]:
+            out.append("train")
+        elif u < ratios[0] + ratios[1]:
+            out.append("validation")
+        else:
+            out.append("test")
+    return out
+
+
+def test_ratio_convergence(spark):
+    df = spark.range(20_000)
+    counts = dict(
+        df.groupBy(split_label_col("id", 42).alias("s")).count().collect()
+    )
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.8) < 0.02
+    assert abs(counts["validation"] / total - 0.1) < 0.01
+    assert abs(counts["test"] / total - 0.1) < 0.01
+
+
+def test_zero_test_ratio_never_assigns_test(spark):
+    df = spark.range(20_000)
+    counts = dict(
+        df.groupBy(split_label_col("id", 42, (0.5, 0.5, 0.0)).alias("s")).count().collect()
+    )
+    assert "test" not in counts
+
+
+def test_id_stability_under_growth(spark):
+    """Labels must not change when the corpus grows (the reference's single
+    most load-bearing invariant, src/config.rs:138-145)."""
+    small = spark.range(1_000).withColumn("s", split_label_col("id", 42))
+    big = spark.range(5_000).withColumn("s", split_label_col("id", 42))
+    joined = small.alias("a").join(big.alias("b"), "id").where(F.col("a.s") != F.col("b.s"))
+    assert joined.count() == 0
+
+
+def test_matches_python_reference(spark):
+    labels = [
+        r[0]
+        for r in spark.range(500)
+        .select(split_label_col("id", 7))
+        .collect()
+    ]
+    assert labels == _labels_py(500, 7, (0.8, 0.1, 0.1))
+
+
+def test_overrides_win(spark):
+    df = spark.range(100).select(F.col("id").cast("long").alias("id"))
+    ov = spark.createDataFrame([(5, "test"), (6, "train")], "id long, split string")
+    out = with_split(df, "id", overrides=ov)
+    got = {r["id"]: r["split"] for r in out.collect()}
+    assert got[5] == "test" and got[6] == "train"
+
+
+def test_invalid_ratios_rejected(spark):
+    with pytest.raises(ValueError):
+        split_label_col("id", 42, (0.5, 0.2, 0.1))

@@ -26,6 +26,16 @@ BENCH_QUERIES = [
     "temporal_asof_join",
     "triplet_assembly",
     "pairs_from_triplets",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lang_id",
+    "doc_fingerprint",
+    "denoise_gates",
+    "tumbling_window_counts",
+    "sessionization",
 ]
 
 

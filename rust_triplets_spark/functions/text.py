@@ -15,8 +15,11 @@ normalized at ingest.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 from rust_triplets_spark.functions.hashing import M31, hash31_str_col, hash31_str_sql, mix31_col
 
@@ -104,11 +107,8 @@ def split_sentences_py(text: str) -> list[str]:
 
 
 def split_sentences_udf():
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, StringType
-
     @F.pandas_udf(ArrayType(StringType()))
-    def _split(s: "pd.Series") -> "pd.Series":
+    def _split(s: pd.Series) -> pd.Series:
         return s.map(lambda t: split_sentences_py(t) if t is not None else None)
 
     return _split
@@ -216,11 +216,13 @@ def fingerprint_sql(col: str, seed: int = 42) -> str:
     from rust_triplets_spark.functions.hashing import mix31_sql
 
     toks = tokens_sql(col)
-    th = hash31_str_sql(f"({toks})[i]", seed)
+    # NB: outer lambda var must NOT be `i` — strfold_sql's inner
+    # char-iteration lambda uses `i` and would capture it
+    th = hash31_str_sql(f"({toks})[j]", seed)
     weighted = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(range(1, len({toks}) + 1), "
-        f"i -> ({th} * (CAST(i AS BIGINT) % {M31})) % {M31})), (acc, x) -> (acc + x) % {M31})"
+        f"j -> ({th} * (CAST(j AS BIGINT) % {M31})) % {M31})), (acc, x) -> (acc + x) % {M31})"
     )
     mixed = mix31_sql([weighted, f"len({toks})"], seed)
     return f"CAST(CASE WHEN len({toks}) > 0 THEN {mixed} ELSE 0 END AS BIGINT)"

@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale training-data pipelines (driver
+north star; beyond the reference's own surface — the reference has no dedup
+beyond per-batch triplet-id dedup, src/sampler/mod.rs:2604-2611).
+
+All four flavors are built on the portable hash so every pipeline is
+oracle-checkable:
+
+- **exact**: hash-groupBy on normalized text — one shuffle, the canonical
+  first pass at any scale;
+- **MinHash + LSH**: shingle → k minhashes → band signatures → bucket join.
+  Candidate generation never compares all pairs: cost is
+  O(docs × shingles) + per-bucket joins;
+- **SimHash**: 32-bit signature via per-bit weighted majority — one
+  groupBy with 32 partial-aggregable sums;
+- **n-gram Jaccard**: exact pair similarity over a shared-shingle join —
+  quadratic per shingle bucket, so gated by ``max_df`` (drop
+  stop-shingles), the standard skew guard at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    M31,
+    hash31_str_col,
+    hash31_str_sql,
+    mix31_col,
+    mix31_sql,
+)
+from rust_triplets_spark.functions.text import (
+    normalize_inline_whitespace_col,
+    normalize_inline_whitespace_sql,
+    tokens_col,
+    tokens_sql,
+)
+
+MINHASH_SEED = 1000
+BAND_SEED = 2000
+SIMHASH_SEED = 3000
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by normalized text; keep the minimum id as representative.
+    Returns (rep_id, n_dups) per distinct text (n_dups = group size)."""
+    norm = normalize_inline_whitespace_col(text_col)
+    return (
+        df.groupBy(norm.alias("__norm"))
+        .agg(
+            F.min(F.col(id_col)).cast("long").alias("rep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .select("rep_id", "n_dups")
+    )
+
+
+def exact_dedup_sql(table: str, id_sql: str, text_sql: str) -> str:
+    return f"""
+SELECT CAST(min({id_sql}) AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM {table}
+GROUP BY {normalize_inline_whitespace_sql(text_sql)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def _shingles_col(text_col, n: int):
+    """Distinct n-token shingles as strings."""
+    toks = tokens_col(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _shingles_sql(text_sql: str, n: int) -> str:
+    toks = tokens_sql(text_sql)
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({toks}) - {n - 1} > 0 THEN "
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {parts}) "
+        f"ELSE [] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """(id, mh_0 … mh_{k-1}): per-doc minimum of the i-th shingle hash.
+    One explode + one groupBy with k partial-aggregable mins."""
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(_shingles_col(text_col, shingle_n)).alias("shingle"),
+    ).withColumn("__sf", hash31_str_col("shingle", seed))
+    aggs = [
+        F.min(mix31_col([F.col("__sf"), F.lit(i)], seed)).cast("long").alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_sql(
+    table: str, id_sql: str, text_sql: str,
+    num_hashes: int = 16, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> str:
+    aggs = ", ".join(
+        f"CAST(min({mix31_sql(['sf', str(i)], seed)}) AS BIGINT) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle,
+         {hash31_str_sql('s.shingle', seed)} AS sf
+  FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n)}) AS s(shingle)
+)
+SELECT id, {aggs} FROM sh GROUP BY id
+"""
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing ≥ 1 LSH band bucket."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            sigs.select(
+                "id",
+                F.lit(b).alias("band"),
+                mix31_col(cols, BAND_SEED + b).alias("sig"),
+            )
+        )
+    banded = band_rows[0]
+    for p in band_rows[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select("band", "sig", F.col("id").alias("a"))
+    right = banded.select("band", "sig", F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "sig"], "inner")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str, id_sql: str, text_sql: str,
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> str:
+    r = num_hashes // bands
+    sig_sql = minhash_signatures_sql(table, id_sql, text_sql, num_hashes, shingle_n, seed)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"{mix31_sql([f'mh_{b * r + j}' for j in range(r)], BAND_SEED + b)} AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS MATERIALIZED ({sig_sql}),
+banded AS MATERIALIZED ({band_selects})
+SELECT DISTINCT l.id AS a, r.id AS b
+FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, seed: int = SIMHASH_SEED
+) -> DataFrame:
+    """(id, simhash): per-bit weighted majority over token hashes (token
+    multiplicity counts, classic Charikar simhash)."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).withColumn("__h", hash31_str_col("tok", seed))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_sql(
+    table: str, id_sql: str, text_sql: str, bits: int = 32, seed: int = SIMHASH_SEED
+) -> str:
+    h = hash31_str_sql("t.tok", seed)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {h} AS hh
+  FROM {table}, UNNEST({tokens_sql(text_sql)}) AS t(tok)
+), agg AS (SELECT id, {bit_sums} FROM toks GROUP BY id)
+SELECT id, {sig} AS simhash FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3, threshold: float = 0.05, max_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles for pairs sharing ≥ 1
+    shingle. ``max_df`` drops shingles present in more than that many docs
+    (stop-shingle skew guard — without it one common phrase creates a
+    quadratic bucket)."""
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(_shingles_col(text_col, shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("__sz"))
+    w = Window.partitionBy("shingle")
+    sh_f = sh.withColumn("__df", F.count("*").over(w)).where(F.col("__df") <= max_df)
+    inter = (
+        sh_f.alias("l")
+        .join(sh_f.alias("r"), "shingle")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("__sz").alias("__sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("__sz").alias("__sb")), "b")
+        .withColumn("uni", (F.col("__sa") + F.col("__sb") - F.col("inter")).cast("long"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni").cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "uni", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, id_sql: str, text_sql: str,
+    shingle_n: int = 3, threshold: float = 0.05, max_df: int = 1000,
+) -> str:
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
+  FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n)}) AS s(shingle)
+), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+sh_f AS MATERIALIZED (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+  WHERE df <= {max_df}
+), inter AS (
+  SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh_f l JOIN sh_f r ON l.shingle = r.shingle AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT i.a, i.b, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold!r}
+"""

@@ -1,0 +1,191 @@
+"""Three-gate OCR/markdown denoiser (SURVEY §2.3, reference
+``src/preprocessor/backends/denoiser_preprocessor.rs``).
+
+Gate semantics (denoiser_preprocessor.rs:221-268):
+
+1. **markdown pipe-tables**: a trimmed line starting with ``|`` containing
+   ≥ 2 ``|`` total is a table row; *separator* rows (only ``| - : space
+   tab``) are dropped, header/data rows have pipes stripped and the cell
+   text re-evaluated by gates 2-3;
+2. **no-alpha**: lines with zero alphabetic characters are dropped;
+3. **digit-ratio**: lines with ``digits/(digits+alpha) > max_digit_ratio``
+   go through *iterative wave expansion* (seed keep-set with alpha tokens,
+   rescue ±1 neighbors while the cumulative ratio stays within budget,
+   denoiser_preprocessor.rs:70-140); if nothing survives the line drops.
+   A section whose every line drops produces NO chunks (returns NULL).
+
+Spark split: gates 1-2 and the gate-3 *predicate* are native array
+expressions (JVM, codegen); the wave expansion is genuinely iterative and
+runs as an Arrow-batched Pandas UDF — the one place in this engine where
+Python touches row data, deliberately off the hot sampling path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+@dataclass(frozen=True)
+class DenoiserConfig:
+    """Mirrors src/config.rs:12-42."""
+
+    enabled: bool = True
+    max_digit_ratio: float = 0.35
+    strip_markdown: bool = True
+
+
+# Regexes shared by both engines (RE2-safe, ASCII classes).
+SEPARATOR_RE = "^[ \\t]*\\|[-|: \\t]*$"
+TABLE_LINE_RE = "^[ \\t]*\\|.*\\|"  # trimmed starts with | and has >= 2 pipes
+HAS_ALPHA_RE = "[A-Za-z]"
+
+
+LINE_SPLIT_RE = "\\r\\n|\\r|\\n"  # regex split avoids engine-specific
+# escape handling in string literals (DuckDB plain strings don't process \n)
+
+
+def _lines(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, LINE_SPLIT_RE)
+
+
+def _strip_pipes(line: Column) -> Column:
+    """'| a | b |' -> 'a b' (strip_table_pipes, denoiser.rs:177-183)."""
+    cells = F.filter(
+        F.transform(F.split(line, "\\|"), lambda cell: F.trim(cell)),
+        lambda cell: cell != F.lit(""),
+    )
+    return F.array_join(cells, " ")
+
+
+def denoise_gates12_col(col, cfg: DenoiserConfig = DenoiserConfig()) -> Column:
+    """Gates 1-2 plus the gate-3 *line-drop predicate* (ratio > budget ⇒
+    drop the whole line — the conservative native approximation; the UDF
+    path rescues tokens instead). NULL when every line is removed."""
+    lines = _lines(col)
+
+    def effective(line: Column) -> Column:
+        is_table = line.rlike(TABLE_LINE_RE) if cfg.strip_markdown else F.lit(False)
+        return F.when(is_table, _strip_pipes(line)).otherwise(line)
+
+    def keep(line: Column) -> Column:
+        is_sep = line.rlike(SEPARATOR_RE) if cfg.strip_markdown else F.lit(False)
+        eff = effective(line)
+        digits = F.length(F.regexp_replace(eff, "[^0-9]", "")).cast("double")
+        alpha = F.length(F.regexp_replace(eff, "[^A-Za-z]", "")).cast("double")
+        ratio_ok = digits / (digits + alpha) <= F.lit(cfg.max_digit_ratio)
+        return (~is_sep) & eff.rlike(HAS_ALPHA_RE) & ratio_ok
+
+    cleaned = F.transform(F.filter(lines, keep), effective)
+    out = F.array_join(cleaned, "\n")
+    return F.when(F.size(cleaned) > 0, out).otherwise(F.lit(None).cast("string"))
+
+
+def denoise_gates12_sql(col: str, cfg: DenoiserConfig = DenoiserConfig()) -> str:
+    """DuckDB twin of :func:`denoise_gates12_col`."""
+    lines = f"regexp_split_to_array({col}, '{LINE_SPLIT_RE}')"
+    strip = (
+        "array_to_string(list_filter(list_transform(string_split(l, '|'), "
+        "c -> trim(c)), c -> c <> ''), ' ')"
+    )
+    eff = (
+        f"CASE WHEN regexp_matches(l, '{TABLE_LINE_RE}') THEN {strip} ELSE l END"
+        if cfg.strip_markdown
+        else "l"
+    )
+    digits = f"CAST(length(regexp_replace(({eff}), '[^0-9]', '', 'g')) AS DOUBLE)"
+    alpha = f"CAST(length(regexp_replace(({eff}), '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    sep = (
+        f"NOT regexp_matches(l, '{SEPARATOR_RE}') AND "
+        if cfg.strip_markdown
+        else ""
+    )
+    keep = (
+        f"{sep}regexp_matches(({eff}), '{HAS_ALPHA_RE}') "
+        f"AND {digits} / ({digits} + {alpha}) <= {cfg.max_digit_ratio!r}"
+    )
+    cleaned = f"list_transform(list_filter({lines}, l -> {keep}), l -> {eff})"
+    return (
+        f"CASE WHEN len({cleaned}) > 0 THEN array_to_string({cleaned}, chr(10)) "
+        f"ELSE NULL END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# full reference semantics (wave expansion) — Python + Pandas UDF
+# ---------------------------------------------------------------------------
+
+def _count_digit_alpha(text: str) -> tuple[int, int]:
+    d = sum(ch.isdigit() and ch.isascii() for ch in text)
+    a = sum(ch.isalpha() for ch in text)
+    return d, a
+
+
+def _strip_digit_tokens(line: str, max_digit_ratio: float) -> str:
+    """Iterative wave expansion (denoiser_preprocessor.rs:70-140)."""
+    tokens = line.split()
+    if not tokens:
+        return ""
+    n = len(tokens)
+    counts = [_count_digit_alpha(t) for t in tokens]
+    keep = [any(c.isalpha() for c in t) for t in tokens]
+    d = sum(counts[i][0] for i in range(n) if keep[i])
+    a = sum(counts[i][1] for i in range(n) if keep[i])
+    while True:
+        wave = [
+            i for i in range(n)
+            if not keep[i] and ((i > 0 and keep[i - 1]) or (i + 1 < n and keep[i + 1]))
+        ]
+        if not wave:
+            break
+        wd = sum(counts[i][0] for i in wave)
+        wa = sum(counts[i][1] for i in wave)
+        total = d + wd + a + wa
+        ratio = 0.0 if total == 0 else (d + wd) / total
+        if ratio > max_digit_ratio:
+            break
+        for i in wave:
+            keep[i] = True
+        d += wd
+        a += wa
+    return " ".join(t for i, t in enumerate(tokens) if keep[i])
+
+
+def denoise_text_py(text: str, cfg: DenoiserConfig = DenoiserConfig()) -> str | None:
+    """Full reference pipeline (denoise_text, denoiser.rs:221-268)."""
+    if not cfg.enabled:
+        return text
+    out: list[str] = []
+    for line in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        trimmed = line.strip()
+        effective = line
+        if cfg.strip_markdown and trimmed.startswith("|") and trimmed.count("|") >= 2:
+            if all(c in "|-: \t" for c in trimmed):
+                continue  # separator row
+            effective = " ".join(c.strip() for c in line.split("|") if c.strip())
+        d, a = _count_digit_alpha(effective)
+        if a == 0:
+            continue
+        ratio = 0.0 if d + a == 0 else d / (d + a)
+        if ratio > cfg.max_digit_ratio:
+            retained = _strip_digit_tokens(effective, cfg.max_digit_ratio)
+            if retained:
+                out.append(retained)
+        else:
+            out.append(effective)
+    return "\n".join(out) if out else None
+
+
+def denoise_udf(cfg: DenoiserConfig = DenoiserConfig()):
+    """Arrow-batched Pandas UDF wrapping :func:`denoise_text_py`."""
+    @F.pandas_udf(StringType())
+    def _denoise(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: denoise_text_py(t, cfg) if t is not None else None)
+
+    return _denoise

@@ -1,0 +1,143 @@
+"""Embedding similarity search (driver north star).
+
+Brute-force cosine top-k as the exact baseline, with the scale path being
+the same kernel over LSH/IVF buckets (the bucket assignment below doubles
+as a random-hyperplane LSH).
+
+Cross-engine exactness trick: float32 embeddings are quantized to integers
+(``round(x * 2^20)``) so dot products and norms are EXACT int64 sums —
+order-free, shuffle-safe, identical in DuckDB. The final cosine is then one
+correctly-rounded IEEE expression over those integers, so even the DOUBLE
+column is bit-identical across engines. (A float sum would differ in final
+ulps between engines/summation orders and break hash comparison — and at
+cluster scale it wouldn't even be deterministic run-to-run.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1 << 20  # ~6 decimal digits of the unit-normalized embedding
+
+
+def _quantize(col) -> F.Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` defaults to ``df`` itself (all-pairs); self-matches are
+    excluded. Scale shape: the query side is broadcast (queries ≪ corpus),
+    the corpus side streams — one pass, partial top-k per partition via the
+    row_number window on (query, cos)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("nid"), _quantize(F.col(vec_col)).alias("__nv")
+    ).withColumn("__nn", _dot(F.col("__nv"), F.col("__nv")))
+    qs = queries if queries is not None else df
+    qdf = qs.select(
+        F.col(id_col).cast("long").alias("qid"), _quantize(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _dot(F.col("__qv"), F.col("__qv")))
+
+    joined = F.broadcast(qdf).crossJoin(base).where(F.col("qid") != F.col("nid"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__nn").cast("double"))
+    )
+    scored = joined.withColumn("__dot", _dot(F.col("__qv"), F.col("__nv"))).withColumn(
+        "cos_sim", cos
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "nid", "cos_sim")
+    )
+
+
+def cosine_topk_sql(
+    table: str,
+    id_sql: str,
+    vec_sql: str,
+    query_where: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin: same quantized-integer kernel."""
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS nid, {q} AS nv
+  FROM {table}
+), base2 AS MATERIALIZED (
+  SELECT nid, nv,
+         CAST(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])) AS BIGINT) AS nn
+  FROM base
+), qs AS MATERIALIZED (
+  SELECT nid AS qid, nv AS qv, nn AS qn FROM base2
+  WHERE qid IN (SELECT CAST({id_sql} AS BIGINT) FROM {table} WHERE {query_where})
+), scored AS (
+  SELECT q.qid, b.nid,
+         CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * b.nv[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS cos_sim
+  FROM qs q, base2 b WHERE q.qid <> b.nid
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 7000
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit i = sign of the dot
+    product with a deterministic pseudo-random ±1 hyperplane (derived from
+    the portable hash, so the bucketing itself is oracle-checkable). The
+    scale path for similarity search: join queries to their bucket (and
+    neighbors by Hamming distance ≤ 1) instead of the full corpus."""
+    from rust_triplets_spark.functions.hashing import hash31_py
+
+    qv = _quantize(F.col(vec_col))
+    base = df.select(F.col(id_col).cast("long").alias("id"), qv.alias("__v"))
+    sig = None
+    for p in range(n_planes):
+        # deterministic ±1 plane: sign from hash31(dim_index, seed+p)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("__v")) - 1),
+                    lambda i: F.when(
+                        F.pmod(
+                            # inline hash31 of the dimension index
+                            _hash31_dim(i, seed + p), F.lit(2)
+                        ) == 0,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda x, s: x * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return base.select("id", sig.alias("bucket"))
+
+
+def _hash31_dim(i, seed: int) -> F.Column:
+    from rust_triplets_spark.functions.hashing import hash31_col
+
+    return hash31_col(i.cast("long"), seed)

@@ -471,3 +471,255 @@ def pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_key", "anchor_text", "other_key", "other_text",
         "label", "reason", "weight", "split",
     )
+
+
+# ===========================================================================
+# Wave 2 — dedup, similarity, text analysis, denoiser, streaming, pager
+# ===========================================================================
+
+from rust_triplets_spark.operators.dedup import (  # noqa: E402
+    exact_dedup, exact_dedup_sql,
+    minhash_lsh_pairs, minhash_lsh_pairs_sql,
+    ngram_jaccard_pairs, ngram_jaccard_pairs_sql,
+    simhash, simhash_sql,
+)
+from rust_triplets_spark.operators.denoiser import (  # noqa: E402
+    DenoiserConfig, denoise_gates12_col, denoise_gates12_sql,
+)
+from rust_triplets_spark.operators.similarity import cosine_topk, cosine_topk_sql  # noqa: E402
+from rust_triplets_spark.streaming.windows import (  # noqa: E402
+    sessionize, sessionize_sql, tumbling_agg, tumbling_agg_sql,
+)
+
+
+@_register("exact_dedup", exact_dedup_sql("documents", "doc_id", "text"))
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register("minhash_lsh_pairs", minhash_lsh_pairs_sql("documents", "doc_id", "text"))
+def minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register("simhash_signatures", simhash_sql("documents", "doc_id", "text"))
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    ngram_jaccard_pairs_sql("documents", "doc_id", "text", threshold=0.2),
+)
+def jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.2)
+
+
+@_register(
+    "cosine_topk",
+    cosine_topk_sql("embeddings", "vec_id", "embedding", query_where="vec_id % 25 = 0"),
+)
+def cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    return cosine_topk(emb, "vec_id", "embedding", queries=qs, k=5)
+
+
+@_register(
+    "lang_id",
+    f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {TX.lang_id_sql('text')} AS pred_lang FROM documents",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.lang_id_col("text").alias("pred_lang"),
+    )
+
+
+@_register(
+    "quality_score",
+    f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {TX.quality_score_sql('text')} AS quality FROM documents",
+)
+def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.quality_score_col("text").alias("quality"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {TX.fingerprint_sql('text')} AS fingerprint FROM documents",
+)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.fingerprint_col("text").alias("fingerprint"),
+    )
+
+
+# denoiser gates over synthesized OCR-ish text (pipe tables + numeric rows)
+_OCR_TEXT_SPARK = (
+    "concat('report for ', o_orderpriority, '\n",
+    # assembled below — see _ocr_text helpers
+)
+
+
+def _ocr_text_col() -> F.Column:
+    nl = F.lit("\n")
+    price = F.round(F.col("o_totalprice")).cast("long").cast("string")
+    return F.concat(
+        F.lit("report for "), F.col("o_orderpriority"), nl,
+        F.lit("| priority | total |"), nl,
+        F.lit("|---|---|"), nl,
+        F.lit("| "), F.col("o_orderpriority"), F.lit(" | "), price, F.lit(" |"), nl,
+        F.col("o_orderkey").cast("string"), nl,
+        F.lit("totals "), price, F.lit(" "), F.col("o_orderkey").cast("string"),
+        F.lit(" "), price,
+    )
+
+
+_OCR_TEXT_SQL = (
+    "'report for ' || o_orderpriority || chr(10) || "
+    "'| priority | total |' || chr(10) || "
+    "'|---|---|' || chr(10) || "
+    "'| ' || o_orderpriority || ' | ' || CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR) || ' |' || chr(10) || "
+    "CAST(o_orderkey AS VARCHAR) || chr(10) || "
+    "'totals ' || CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR) || ' ' || "
+    "CAST(o_orderkey AS VARCHAR) || ' ' || CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR)"
+)
+
+
+@_register(
+    "denoise_gates",
+    f"""
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       {denoise_gates12_sql(f"({_OCR_TEXT_SQL})")} AS text_clean
+FROM orders
+""",
+)
+def denoise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        denoise_gates12_col(_ocr_text_col()).alias("text_clean"),
+    )
+
+
+@_register("tumbling_window_counts", tumbling_agg_sql("events"))
+def tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_read_events(spark, sf_dir))
+
+
+@_register("sessionization", sessionize_sql("events"))
+def session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_read_events(spark, sf_dir))
+
+
+@_register(
+    "json_props_extract",
+    """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
+FROM events
+""",
+)
+def json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side uses the real JSON path function; the oracle twin reads the
+    # same field with a regex (no JSON extension dependency in DuckDB).
+    return _read_events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# deterministic pseudo-random paging over a stable index
+# (IndexableSource/IndexablePager, src/source/mod.rs:102-313)
+_PAGE_SIZE = 64
+
+
+@_register(
+    "indexable_pager",
+    f"""
+WITH ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (ORDER BY {hash31_sql('doc_id', SEED)}, doc_id) - 1 AS perm
+  FROM documents
+)
+SELECT CAST(perm // {_PAGE_SIZE} AS BIGINT) AS page,
+       CAST(perm % {_PAGE_SIZE} AS BIGINT) AS slot, doc_id
+FROM ranked
+""",
+)
+def pager_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(hash31_col("doc_id", SEED).asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.row_number().over(w) - 1).alias("perm"),
+    )
+    return ranked.select(
+        F.floor(F.col("perm") / _PAGE_SIZE).cast("long").alias("page"),
+        F.pmod(F.col("perm"), F.lit(_PAGE_SIZE)).cast("long").alias("slot"),
+        "doc_id",
+    )
+
+
+# multi-format date parsing (date_helpers.rs:6-95) + date meta rendering
+# (src/metadata.rs:38-50)
+@_register(
+    "parse_pub_dates",
+    """
+WITH rendered AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS s
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CAST(coalesce(try_strptime(s, '%Y-%m-%d'), try_strptime(s, '%m-%d-%Y')) AS DATE)::VARCHAR AS parsed
+FROM rendered
+""",
+)
+def parse_dates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rendered = orders.select(
+        F.col("o_orderkey"), F.date_format("o_orderdate", "MM-dd-yyyy").alias("s")
+    )
+    parsed = F.coalesce(
+        F.try_to_date(F.col("s"), "yyyy-MM-dd"), F.try_to_date(F.col("s"), "MM-dd-yyyy")
+    )
+    return rendered.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        parsed.cast("string").alias("parsed"),
+    )
+
+
+@_register(
+    "date_meta_values",
+    """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       array_to_string(list_sort(list_distinct([
+         strftime(o_orderdate, '%Y-%m-%d'),
+         strftime(o_orderdate, '%m/%d/%Y'),
+         strftime(o_orderdate, '%B %-d, %Y'),
+         strftime(o_orderdate, '%-d %B %Y')
+       ])), '|') AS meta_dates
+FROM orders
+""",
+)
+def date_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate")
+    arr = F.array_sort(
+        F.array_distinct(
+            F.array(
+                F.date_format(d, "yyyy-MM-dd"),
+                F.date_format(d, "MM/dd/yyyy"),
+                F.date_format(d, "MMMM d, yyyy"),
+                F.date_format(d, "d MMMM yyyy"),
+            )
+        )
+    )
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.array_join(arr, "|").alias("meta_dates"),
+    )

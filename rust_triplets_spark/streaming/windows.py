@@ -1,0 +1,158 @@
+"""Event-time windowing + sessionization over the ``events`` table
+(Spark extension scope — the reference has no event-time operators, only
+cursored incremental ingestion; SURVEY §2.9).
+
+Batch and streaming share the same logic: ``tumbling_agg`` /
+``sessionize`` are pure column transforms, and ``stream_tumbling_agg``
+applies the same aggregation to a ``readStream`` source with a watermark
+(late-data bound) — the batch version doubles as the DuckDB oracle twin.
+
+The events timestamps are int64 nanoseconds (see driver_queries._read_events);
+all window math is integer division on nanos — timezone-free and exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS_PER_SEC = 1_000_000_000
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_ns_col: str = "ts",
+    key_col: str = "event_type",
+    window_seconds: int = 3600,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts + exact sums per (window, key).
+
+    Returns (window_id, window_start_s, key, n, sum_value) — sum through
+    DECIMAL(18,2) so it is order-free exact (see driver_queries notes)."""
+    win_ns = window_seconds * NS_PER_SEC
+    wid = F.expr(f"{ts_ns_col} div {win_ns}").cast("long")
+    return (
+        events.groupBy(wid.alias("window_id"), F.col(key_col).alias("key"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").alias("sum_value"),
+        )
+        .withColumn("window_start_s", (F.col("window_id") * window_seconds).cast("long"))
+        .select("window_id", "window_start_s", "key", "n", "sum_value")
+    )
+
+
+def tumbling_agg_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_seconds: int = 3600,
+    value_col: str = "value",
+) -> str:
+    win_ns = window_seconds * NS_PER_SEC
+    return f"""
+SELECT CAST(epoch_ns({ts_col}) // {win_ns} AS BIGINT) AS window_id,
+       CAST((epoch_ns({ts_col}) // {win_ns}) * {window_seconds} AS BIGINT) AS window_start_s,
+       {key_col} AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST({value_col} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+FROM {table}
+GROUP BY 1, 2, 3
+"""
+
+
+def sessionize(
+    events: DataFrame,
+    ts_ns_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event of the same user exceeds ``gap_seconds``.
+
+    Returns one row per session: (user_id, session_idx, n_events,
+    start_ns, end_ns). The batch twin of ``session_window`` streaming —
+    and the DuckDB-checkable definition of its semantics."""
+    from pyspark.sql import Window
+
+    gap_ns = gap_seconds * NS_PER_SEC
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_ns_col).asc())
+    with_prev = events.withColumn("__prev", F.lag(ts_ns_col).over(w))
+    is_new = (
+        F.col("__prev").isNull() | ((F.col(ts_ns_col) - F.col("__prev")) > gap_ns)
+    ).cast("long")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = with_prev.withColumn("session_idx", F.sum(is_new).over(w_run))
+    return (
+        sessions.groupBy(F.col(user_col).alias("user_id"), "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.expr(f"{ts_ns_col} div 1000")).cast("long").alias("start_us"),
+            F.max(F.expr(f"{ts_ns_col} div 1000")).cast("long").alias("end_us"),
+        )
+        .select(
+            "user_id", F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events", "start_us", "end_us",
+        )
+    )
+
+
+def sessionize_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> str:
+    gap_ns = gap_seconds * NS_PER_SEC
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS user_id, epoch_ns({ts_col}) AS tns,
+         lag(epoch_ns({ts_col})) OVER (PARTITION BY {user_col} ORDER BY epoch_ns({ts_col})) AS prev
+  FROM {table}
+), marked AS (
+  SELECT user_id, tns,
+         sum(CASE WHEN prev IS NULL OR tns - prev > {gap_ns} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tns) // 1000 AS BIGINT) AS start_us, CAST(max(tns) // 1000 AS BIGINT) AS end_us
+FROM marked GROUP BY user_id, session_idx
+"""
+
+
+def stream_tumbling_agg(
+    spark,
+    source_dir: str,
+    schema,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+    ts_ns_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Structured Streaming variant: file source → event-time tumbling
+    window with watermark (late-data bound) → streaming aggregation.
+    Returns the streaming DataFrame; attach ``writeStream`` + checkpoint
+    downstream. Nanos are converted to a real timestamp for the
+    watermark/window machinery."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    with_ts = raw.withColumn(
+        "__event_time", F.timestamp_seconds(F.expr(f"{ts_ns_col} div {NS_PER_SEC}"))
+    )
+    return (
+        with_ts.withWatermark("__event_time", watermark)
+        .groupBy(
+            F.window("__event_time", f"{window_seconds} seconds").alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Dedup + similarity operator semantics (driver north-star scope)."""
+
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from rust_triplets_spark.operators.similarity import cosine_topk
+
+
+def test_exact_dedup_groups_whitespace_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, " hello world "), (4, "other text")],
+        "id long, text string",
+    )
+    out = {r["rep_id"]: r["n_dups"] for r in exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark engines and distributed joins"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string"
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(df, "id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "x y z entirely other words here")],
+        "id long, text string",
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "id long, text string"
+    )
+    out = ngram_jaccard_pairs(df, "id", "text", threshold=0.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shingles(1) = {abc, bcd, cde}; shingles(2) = {abc, bcd, cdx}; inter=2 uni=4
+    assert (r["a"], r["b"], r["inter"], r["uni"]) == (1, 2, 2, 4)
+    assert abs(r["jaccard"] - 0.5) < 1e-12
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") == 1)
+    out = cosine_topk(df, "vec_id", "embedding", queries=qs, k=3).orderBy("rank").collect()
+    assert [r["nid"] for r in out] == [2, 3, 4]
+    assert out[0]["cos_sim"] > 0.99
+    assert out[2]["cos_sim"] < -0.99

@@ -1,0 +1,82 @@
+"""Denoiser semantics vs the reference's own tests and README examples
+(denoiser_preprocessor.rs tests, README.md:1075-1193, FIXTURES F5)."""
+
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.operators.denoiser import (
+    DenoiserConfig,
+    denoise_gates12_col,
+    denoise_text_py,
+    denoise_udf,
+)
+
+CFG = DenoiserConfig(enabled=True, max_digit_ratio=0.35, strip_markdown=True)
+
+
+def test_pure_numeric_section_dropped():
+    assert denoise_text_py("42 524 10788 143 1995 190 394 13611 358 6444 266", CFG) is None
+
+
+def test_clean_line_survives_next_to_noise():
+    out = denoise_text_py(
+        "NOVEX INDUSTRIES Springfield\n42 524 10788 143 1995 190 394 13611 358", CFG
+    )
+    assert out is not None and "NOVEX" in out
+
+
+def test_wave_expansion_rescues_neighbors():
+    """Digit-heavy line keeps the alpha tokens plus the ±1 numeric
+    neighbors that fit the 0.35 cumulative budget
+    (denoiser_preprocessor.rs:70-140; README.md:1185-1193)."""
+    line = "42 524 NOVEX INDUSTRIES Springfield 10788 143 1995 190 394 13611 358"
+    out = denoise_text_py(line, CFG)
+    assert out is not None
+    assert "NOVEX" in out and "INDUSTRIES" in out and "Springfield" in out
+    # rescued neighbors exist but the far-away numerics are stripped
+    assert "13611" not in out
+    kept = out.split()
+    assert len(kept) < len(line.split())
+
+
+def test_markdown_table_handling():
+    text = "| Name | Age |\n|------|-----|\n| Alice | 30 |\nprose line"
+    out = denoise_text_py(text, CFG)
+    assert out == "Name Age\nAlice 30\nprose line"
+
+
+def test_disabled_passthrough():
+    cfg = DenoiserConfig(enabled=False)
+    assert denoise_text_py("123 456", cfg) == "123 456"
+
+
+def test_symbol_only_lines_dropped():
+    assert denoise_text_py("-----\n*****\nreal text here", CFG) == "real text here"
+
+
+def test_udf_matches_python(spark):
+    texts = [
+        "plain prose line",
+        "| a | b |\n|---|---|\n| x | 1 |",
+        "42 524 NOVEX INDUSTRIES Springfield 10788 143 1995 190 394",
+        "999 888 777",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(denoise_udf(CFG)(F.col("text"))).collect()]
+    assert got == [denoise_text_py(t, CFG) for t in texts]
+
+
+def test_gates12_col_agrees_on_non_wave_inputs(spark):
+    """Where gate 3's wave expansion isn't triggered, the native column and
+    the full Python pipeline agree; digit-heavy lines are dropped outright
+    by the native predicate (documented conservative approximation)."""
+    texts = [
+        "plain prose line",
+        "| name | age |\n|---|---|\n| alpha | beta |",
+        "symbols ---\n123 456",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(denoise_gates12_col("text", CFG)).collect()]
+    assert got[0] == "plain prose line"
+    assert got[1] == "name age\nalpha beta"
+    assert got[2] == "symbols ---"

@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "denoise_gates",
     "tumbling_window_counts",
     "sessionization",
+    "bm25_topk",
+    "kvp_decoration",
+    "text_samples",
+    "rollup_revenue",
+    "window_topn_orders",
 ]
 
 

@@ -1,0 +1,268 @@
+"""BM25 hard-negative mining (SURVEY §2.6 ``Bm25Backend``, reference
+``src/sampler/backends/bm25_backend.rs:56-313``).
+
+The reference keeps a per-source in-memory BM25 index (bm25 crate),
+truncates the anchor query to 64 tokens (~170 ms → ~10 ms per search,
+bm25_backend.rs:213-219), searches top-32, and rotates the top-3 per anchor
+(constants.rs:134-154). Here the same semantics are DataFrame math:
+
+- **index** = an inverted ``(source, term, doc_id, tf)`` postings frame +
+  per-doc lengths + per-source stats (N, avgdl) + per-term df/idf — all
+  partial-aggregable, partitioned by ``source``, incrementally maintainable
+  by recomputing only refreshed sources (bm25_backend.rs:343-390);
+- **scoring** = explode query terms → equi-join postings on (source, term)
+  → groupBy (anchor, doc) sum — the classic DAAT-by-join plan;
+- **rotation** = ``variant % min(TOP_ROTATE, hits)`` arithmetic instead of
+  the reference's per-(anchor, split) cursor state.
+
+Analyzer note: the reference uses the bm25 crate's English analyzer
+(stemming + stopwords). This engine defines its own deterministic analyzer
+(lowercase, strip non-alphanumerics, whitespace split) — semantic parity,
+not bit parity, per the determinism contract.
+
+Scale guards (both engines, part of the spec):
+- query truncated to ``BM25_QUERY_TOKEN_LIMIT`` DISTINCT terms;
+- stop-terms pruned: df > ``STOP_TERM_DF_RATIO`` × N carries ~zero idf but
+  quadratic join cost, so they are dropped from the postings join;
+- scores ranked on ``round(score, 9)`` — ln() differs by ≤ 1 ulp between
+  libms, and the quantization makes cross-engine ordering stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+BM25_QUERY_TOKEN_LIMIT = 64  # src/constants.rs:154
+BM25_SEARCH_TOP_K = 32  # src/constants.rs:143
+BM25_ROTATE_TOP_K = 3  # src/constants.rs:135
+STOP_TERM_DF_RATIO = 0.85
+
+
+def analyze_col(text_col) -> F.Column:
+    """Deterministic analyzer: lowercase, strip non-alnum, drop empties."""
+    from rust_triplets_spark.functions.text import tokens_col
+
+    return F.filter(
+        F.transform(
+            tokens_col(text_col),
+            lambda t: F.regexp_replace(F.lower(t), "[^a-z0-9]", ""),
+        ),
+        lambda t: t != F.lit(""),
+    )
+
+
+def analyze_sql(text_sql: str) -> str:
+    from rust_triplets_spark.functions.text import tokens_sql
+
+    return (
+        f"list_filter(list_transform({tokens_sql(text_sql)}, "
+        f"t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')), t -> t <> '')"
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    split_col: str | None = None,
+) -> DataFrame:
+    """Score every (query-doc, candidate-doc) pair within a source via
+    BM25, query truncated to the first ``BM25_QUERY_TOKEN_LIMIT`` distinct
+    analyzed terms. Returns (qid, did, score) for hits only."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("did"),
+        F.col(source_col).alias("source"),
+        *( [F.col(split_col).alias("split")] if split_col else [] ),
+        analyze_col(text_col).alias("__terms"),
+    )
+    postings = (
+        base.select("did", "source", F.explode("__terms").alias("term"))
+        .groupBy("source", "term", "did")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doclen = base.select("did", "source", F.size("__terms").cast("long").alias("dl"))
+    src_stats = doclen.groupBy("source").agg(
+        F.count("*").cast("long").alias("N"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    df_stats = postings.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    queries = base.select(
+        F.col("did").alias("qid"),
+        F.col("source"),
+        *( [F.col("split").alias("qsplit")] if split_col else [] ),
+        # slice THEN distinct: the resulting term SET is order-independent
+        # (DuckDB's list_distinct does not preserve order, so distinct-then-
+        # slice would not be cross-engine stable)
+        F.explode(
+            F.array_distinct(F.slice("__terms", 1, BM25_QUERY_TOKEN_LIMIT))
+        ).alias("term"),
+    )
+    joined = (
+        queries.join(postings, ["source", "term"], "inner")
+        .join(F.broadcast(src_stats), "source")
+        .join(df_stats, ["source", "term"])
+        .join(doclen.select(F.col("did"), F.col("dl")), "did")
+        .where(F.col("df").cast("double") <= F.lit(STOP_TERM_DF_RATIO) * F.col("N").cast("double"))
+    )
+    idf = F.log(
+        (F.col("N").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (
+        F.col("tf").cast("double") * F.lit(K1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    group_cols = ["qid", "did"] + (["qsplit"] if split_col else [])
+    return (
+        joined.withColumn("__s", idf * tf_part)
+        .groupBy(*group_cols)
+        .agg(F.sum("__s").alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    split_col: str | None = None,
+    k: int = BM25_SEARCH_TOP_K,
+) -> DataFrame:
+    """Top-k BM25 candidates per query doc (self excluded, split-isolated
+    when ``split_col`` given — the backend's wrong-split drop,
+    bm25_backend.rs:243-249). Returns (qid, rank, did, score_q)."""
+    scores = bm25_scores(docs, id_col, source_col, text_col, split_col)
+    scores = scores.where(F.col("qid") != F.col("did"))
+    if split_col:
+        cand_splits = docs.select(
+            F.col(id_col).cast("long").alias("did"), F.col(split_col).alias("__dsplit")
+        )
+        scores = scores.join(cand_splits, "did").where(
+            F.col("qsplit") == F.col("__dsplit")
+        )
+    score_q = F.round(F.col("score"), 9)
+    w = Window.partitionBy("qid").orderBy(score_q.desc(), F.col("did").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "did",
+                score_q.alias("score_q"))
+    )
+
+
+def bm25_hard_negative(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    split_col: str,
+    variant: int = 0,
+) -> DataFrame:
+    """One hard negative per query doc: rotate the top-3 by ``variant``
+    (bm25_backend.rs:250-270 rotation, stateless). Docs with no BM25 hit
+    fall back to the deterministic uniform pick (DefaultBackend,
+    bm25_backend.rs:279-291) — callers union with ``negative_pick``."""
+    top = bm25_topk(docs, id_col, source_col, text_col, split_col, k=BM25_ROTATE_TOP_K)
+    n_hits = F.count("*").over(Window.partitionBy("qid"))
+    pick = F.pmod(F.lit(variant), F.least(n_hits, F.lit(BM25_ROTATE_TOP_K))) + 1
+    return (
+        top.withColumn("__pick", pick)
+        .where(F.col("rank") == F.col("__pick"))
+        .select(F.col("qid").alias("id"), F.col("did").alias("negative_id"),
+                F.lit("bm25").alias("tier"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def bm25_topk_sql(
+    table: str,
+    id_sql: str,
+    source_sql: str,
+    text_sql: str,
+    split_sql: str | None = None,
+    k: int = BM25_SEARCH_TOP_K,
+) -> str:
+    split_sel = f", {split_sql} AS split" if split_sql else ""
+    split_q = ", split AS qsplit" if split_sql else ""
+    split_grp = ", qsplit" if split_sql else ""
+    split_join = (
+        "JOIN (SELECT did, split AS dsplit FROM base) cs ON cs.did = s.did AND s.qsplit = cs.dsplit"
+        if split_sql
+        else ""
+    )
+    idf = "ln((CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    tf_part = (
+        f"(CAST(tf AS DOUBLE) * {K1 + 1.0!r}) / "
+        f"(CAST(tf AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl AS DOUBLE) / avgdl))"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS did, {source_sql} AS source{split_sel},
+         {analyze_sql(text_sql)} AS terms
+  FROM {table}
+), postings AS MATERIALIZED (
+  SELECT source, t.term, did, CAST(count(*) AS BIGINT) AS tf
+  FROM base, UNNEST(terms) AS t(term) GROUP BY source, t.term, did
+), doclen AS MATERIALIZED (
+  SELECT did, source, CAST(len(terms) AS BIGINT) AS dl FROM base
+), src_stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS N, avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM doclen GROUP BY source
+), df_stats AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY source, term
+), queries AS MATERIALIZED (
+  SELECT did AS qid, source{split_q}, t.term
+  FROM (SELECT did, source{split_sel and ', split' or ''}, list_distinct(list_slice(terms, 1, {BM25_QUERY_TOKEN_LIMIT})) AS qterms FROM base),
+       UNNEST(qterms) AS t(term)
+), scored AS MATERIALIZED (
+  SELECT q.qid{split_grp and ', q.qsplit' or ''}, p.did,
+         sum({idf} * {tf_part}) AS score
+  FROM queries q
+  JOIN postings p ON p.source = q.source AND p.term = q.term
+  JOIN src_stats ss ON ss.source = q.source
+  JOIN df_stats dfs ON dfs.source = q.source AND dfs.term = q.term
+  JOIN doclen dlen ON dlen.did = p.did
+  WHERE CAST(df AS DOUBLE) <= {STOP_TERM_DF_RATIO!r} * CAST(N AS DOUBLE)
+  GROUP BY q.qid{split_grp and ', q.qsplit' or ''}, p.did
+), s AS (
+  SELECT scored.* FROM scored WHERE qid <> did
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_q FROM (
+  SELECT s.qid, s.did, round(s.score, 9) AS score_q,
+         row_number() OVER (PARTITION BY s.qid ORDER BY round(s.score, 9) DESC, s.did) AS rank
+  FROM s {split_join}
+)
+WHERE rank <= {k}
+"""
+
+
+def bm25_hard_negative_sql(
+    table: str,
+    id_sql: str,
+    source_sql: str,
+    text_sql: str,
+    split_sql: str,
+    variant: int = 0,
+) -> str:
+    topk = bm25_topk_sql(table, id_sql, source_sql, text_sql, split_sql, k=BM25_ROTATE_TOP_K)
+    return f"""
+WITH topk AS MATERIALIZED ({topk})
+SELECT qid AS id, did AS negative_id, 'bm25' AS tier
+FROM (
+  SELECT *, ({variant} % least(count(*) OVER (PARTITION BY qid), {BM25_ROTATE_TOP_K})) + 1 AS pick
+  FROM topk
+)
+WHERE rank = pick
+"""

@@ -723,3 +723,213 @@ def date_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("id"),
         F.array_join(arr, "|").alias("meta_dates"),
     )
+
+
+# ===========================================================================
+# Wave 3 — BM25, KVP decoration, text samples, relational breadth
+# ===========================================================================
+
+from rust_triplets_spark.operators.bm25 import (  # noqa: E402
+    bm25_hard_negative, bm25_hard_negative_sql, bm25_topk, bm25_topk_sql,
+)
+from rust_triplets_spark.operators.kvp import (  # noqa: E402
+    KvpField, kvp_decorate, kvp_decorate_sql,
+)
+
+_DOC_SPLIT_SQL = split_label_sql("doc_id", SEED)
+
+
+@_register(
+    "bm25_topk",
+    f"""
+SELECT * FROM ({bm25_topk_sql(
+    f"(SELECT doc_id, source, text, {_DOC_SPLIT_SQL} AS split FROM documents)",
+    "doc_id", "source", "text", split_sql="split", k=5)})
+""",
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", split_label_col("doc_id", SEED)
+    )
+    return bm25_topk(docs, "doc_id", "source", "text", split_col="split", k=5)
+
+
+@_register(
+    "bm25_hard_negatives",
+    bm25_hard_negative_sql(
+        f"(SELECT doc_id, source, text, {_DOC_SPLIT_SQL} AS split FROM documents)",
+        "doc_id", "source", "text", "split", variant=1,
+    ),
+)
+def bm25_neg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", split_label_col("doc_id", SEED)
+    )
+    return bm25_hard_negative(docs, "doc_id", "source", "text", "split", variant=1)
+
+
+_KVP_VARIANTS = [
+    [KvpField("source", ("source",), 1.0), KvpField("lang", ("lang",), 0.7)],
+    [KvpField("source", ("source",), 1.0)],
+]
+
+
+@_register(
+    "kvp_decoration",
+    kvp_decorate_sql(
+        "documents", "doc_id", "text", _KVP_VARIANTS,
+        dropout=0.3, max_window_tokens=48, seed=SEED,
+    ),
+)
+def kvp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = kvp_decorate(docs, "doc_id", "text", _KVP_VARIANTS,
+                       dropout=0.3, max_window_tokens=48, seed=SEED)
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), "kvp_prefix", "decorated_text"
+    )
+
+
+@_register(
+    "text_samples",
+    f"""
+WITH all_chunks AS MATERIALIZED ({chunk_sql('documents', 'doc_id', 'text', _CHUNK_STRAT,
+        extra_cols={'trust': _trust_sql('doc_id'), 'split': _DOC_SPLIT_SQL})}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY {mix31_sql(['record_id', 'coalesce(win_index, -1)', 'coalesce(overlap, -1)', '0'], SEED + 404)}, chunk_key) AS crn
+  FROM all_chunks
+)
+SELECT 'default_text' AS recipe, CAST(record_id AS BIGINT) AS record_id,
+       chunk_key, chunk_text, split,
+       (1.0 * greatest(0.1, CASE WHEN view_kind = 'window'
+                           THEN (1.0 / (CAST(win_index AS DOUBLE) + 1.0)) ELSE 0.35 END
+                      * greatest(0.0, least(trust, 1.0)))) AS weight
+FROM ranked WHERE crn = 1
+""",
+)
+def text_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-batch sampling (src/sampler/mod.rs:1419-1436, §3.3): one
+    selector chunk per record via rotation, recipe weight × chunk weight,
+    dedup by chunk_key."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.lit(0).alias("section_idx"),
+        "text",
+        _trust_col(F.col("doc_id").cast("long")).alias("trust"),
+        split_label_col("doc_id", SEED).alias("split"),
+    )
+    chunks = chunk_sections(docs, _CHUNK_STRAT, "text",
+                            ("record_id", "section_idx", "trust", "split"))
+    order_key = mix31_col(
+        [F.col("record_id").cast("long"), F.coalesce(F.col("win_index"), F.lit(-1)),
+         F.coalesce(F.col("overlap"), F.lit(-1)), F.lit(0)],
+        SEED + 404,
+    )
+    w = Window.partitionBy("record_id").orderBy(order_key.asc(), F.col("chunk_key").asc())
+    ranked = chunks.withColumn("crn", F.row_number().over(w))
+    weight = F.lit(1.0) * F.greatest(
+        F.lit(0.1),
+        F.when(F.col("view_kind") == "window",
+               F.lit(1.0) / (F.col("win_index").cast("double") + F.lit(1.0)))
+        .otherwise(F.lit(0.35))
+        * F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0))),
+    )
+    return ranked.where(F.col("crn") == 1).select(
+        F.lit("default_text").alias("recipe"),
+        F.col("record_id").cast("long").alias("record_id"),
+        "chunk_key", "chunk_text", "split",
+        weight.alias("weight"),
+    )
+
+
+# relational breadth (free in Spark; surfaced per SURVEY §2.11 checklist)
+
+@_register(
+    "rollup_revenue",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "revenue",
+        )
+    )
+
+
+@_register(
+    "set_ops_customers",
+    """
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_totalprice > 100000
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").cast("long").alias("custkey"))
+    b = o.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").cast("long").alias("custkey"))
+    c = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").cast("long").alias("custkey"))
+    return a.intersect(b).exceptAll(c.distinct())
+
+
+@_register(
+    "window_topn_orders",
+    """
+SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey, rnk,
+       CAST(CAST(run_sum AS DECIMAL(38,2)) AS DOUBLE) AS running_total
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+  FROM orders
+)
+WHERE rnk <= 3
+""",
+)
+def window_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "run_sum",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "rnk",
+            F.col("run_sum").cast("decimal(38,2)").cast("double").alias("running_total"),
+        )
+    )

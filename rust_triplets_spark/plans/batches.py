@@ -1,0 +1,113 @@
+"""Resumable epoch/batch iteration + checkpoint state (SURVEY §2.8).
+
+The reference persists ``PersistedSamplerState`` — per-source cursors, RNG
+state, round-robin indices (src/splits.rs:102-117) — because its order is
+produced by stateful iteration. This engine's design goal (SURVEY §7.0)
+makes ALL ordering a pure function of ``(seed, epoch, step)``, so resume
+state collapses to exactly those three integers plus config guards.
+
+``Checkpoint.save/load`` mirror ``FileSplitStore`` semantics
+(src/splits.rs:563-611): a seed or ratio mismatch on open is an error, not
+a silent re-derivation — changing either would silently reshuffle splits.
+
+``batch_iterator`` feeds a training loop: epoch order → contiguous
+position windows of ``batch_size`` → Arrow-batched pandas frames via
+``toLocalIterator`` (prefetching one partition ahead — the Spark analogue
+of the reference's ``BatchPrefetcher`` thread+channel,
+src/sampler/mod.rs:159-248)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.operators.epoch import epoch_order
+
+
+@dataclass
+class Checkpoint:
+    seed: int
+    epoch: int
+    step: int
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1)
+    version: int = 1
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"  # temp-copy publish (src/splits.rs:563-611)
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, expect_seed: int | None = None,
+             expect_ratios: tuple | None = None) -> "Checkpoint":
+        with open(path) as f:
+            raw = json.load(f)
+        ck = cls(seed=raw["seed"], epoch=raw["epoch"], step=raw["step"],
+                 ratios=tuple(raw["ratios"]), version=raw.get("version", 1))
+        if expect_seed is not None and ck.seed != expect_seed:
+            raise ValueError(f"seed mismatch: checkpoint {ck.seed} != config {expect_seed}")
+        if expect_ratios is not None and tuple(ck.ratios) != tuple(expect_ratios):
+            raise ValueError(f"ratio mismatch: {ck.ratios} != {expect_ratios}")
+        return ck
+
+
+def epoch_batches(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    epoch: int,
+    seed: int,
+    batch_size: int,
+    start_step: int = 0,
+    label: str | None = None,
+    id_is_string: bool = True,
+) -> DataFrame:
+    """Batched epoch order: (batch_idx, position, id, source), batches from
+    ``start_step`` on (resume = skip already-consumed positions)."""
+    ordered = epoch_order(df, id_col, source_col, epoch, seed, label, id_is_string)
+    return (
+        ordered.withColumn("batch_idx", F.floor(F.col("position") / batch_size).cast("long"))
+        .where(F.col("batch_idx") >= start_step)
+    )
+
+
+def batch_iterator(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    checkpoint: Checkpoint,
+    batch_size: int = 128,
+    label: str | None = None,
+    id_is_string: bool = True,
+    checkpoint_path: str | None = None,
+):
+    """Yield ``(batch_idx, pandas.DataFrame)`` in deterministic epoch order,
+    resuming from ``checkpoint.step``; persists progress after each yielded
+    batch when ``checkpoint_path`` is set."""
+    batched = epoch_batches(
+        df, id_col, source_col, checkpoint.epoch, checkpoint.seed,
+        batch_size, checkpoint.step, label, id_is_string,
+    ).repartitionByRange(16, "batch_idx").sortWithinPartitions("batch_idx", "position")
+
+    current_idx, rows = None, []
+    import pandas as pd
+
+    for row in batched.toLocalIterator(prefetchPartitions=True):
+        if current_idx is not None and row["batch_idx"] != current_idx:
+            yield current_idx, pd.DataFrame(rows)
+            checkpoint.step = int(current_idx) + 1
+            if checkpoint_path:
+                checkpoint.save(checkpoint_path)
+            rows = []
+        current_idx = row["batch_idx"]
+        rows.append(row.asDict())
+    if rows:
+        yield current_idx, pd.DataFrame(rows)
+        checkpoint.step = int(current_idx) + 1
+        if checkpoint_path:
+            checkpoint.save(checkpoint_path)

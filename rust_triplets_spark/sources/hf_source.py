@@ -1,0 +1,157 @@
+"""HuggingFace-style dataset ingestion (SURVEY §2.1 ``HuggingFaceRowSource``,
+reference ``src/source/backends/huggingface_source.rs``).
+
+The reference streams datasets-server parquet shards with local caching
+(~9k LoC of download machinery). Spark already reads remote/local parquet
+natively, so this module keeps exactly the *semantics* that matter:
+
+- **source-list line parser** (huggingface_source.rs:242-345):
+  ``hf://org/dataset[/config][/split] key=value …`` → config;
+- **column-mapping modes** (huggingface_source.rs:536-637): role mode with
+  *candidate lists* (first non-empty of ``anchor=a|b|c`` wins), strictly
+  required ``context=`` columns (missing/blank ⇒ row dropped), text mode;
+- **ClassLabel resolution** (huggingface_source.rs:616-629): integer
+  columns resolved through a label map before use;
+- slug derivation for the source id (huggingface_source.rs:381-415).
+
+Reading the actual ``hf://`` scheme needs network credentials; point
+``path`` at any parquet snapshot (local mirror or mounted dataset).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.text import normalize_inline_whitespace_col
+from rust_triplets_spark.schema import DEFAULT_TRUST, make_section
+
+
+@dataclass
+class HfSourceConfig:
+    dataset: str  # org/name
+    config: str | None = None
+    split: str | None = None
+    path: str | None = None  # parquet snapshot location
+    id_column: str | None = None
+    anchor_candidates: tuple[str, ...] = ()
+    positive_candidates: tuple[str, ...] = ()
+    context_columns: tuple[str, ...] = ()  # strictly required
+    text_column: str | None = None
+    trust: float = DEFAULT_TRUST
+    label_maps: dict = field(default_factory=dict)  # column -> [labels]
+
+    @property
+    def source_id(self) -> str:
+        """Slug derivation (huggingface_source.rs:381-415)."""
+        parts = [self.dataset.replace("/", "_")]
+        if self.config:
+            parts.append(self.config)
+        if self.split:
+            parts.append(self.split)
+        return "hf_" + "_".join(parts).replace("-", "_").lower()
+
+
+def parse_source_line(line: str) -> HfSourceConfig:
+    """``hf://org/ds[/config][/split] anchor=q|question positive=answer
+    context=ctx id=doc_id text=body`` (huggingface_source.rs:242-345)."""
+    line = line.strip()
+    if not line.startswith("hf://"):
+        raise ValueError(f"not an hf:// source line: {line!r}")
+    head, *kvs = line.split()
+    segs = head[len("hf://"):].split("/")
+    if len(segs) < 2:
+        raise ValueError(f"need org/dataset in {head!r}")
+    dataset = "/".join(segs[:2])
+    config = segs[2] if len(segs) > 2 else None
+    split = segs[3] if len(segs) > 3 else None
+    cfg = HfSourceConfig(dataset=dataset, config=config, split=split)
+    for kv in kvs:
+        if "=" not in kv:
+            raise ValueError(f"malformed key=value: {kv!r}")
+        k, v = kv.split("=", 1)
+        if k == "anchor":
+            cfg.anchor_candidates = tuple(v.split("|"))
+        elif k == "positive":
+            cfg.positive_candidates = tuple(v.split("|"))
+        elif k == "context":
+            cfg.context_columns = tuple(v.split("|"))
+        elif k == "text":
+            cfg.text_column = v
+        elif k == "id":
+            cfg.id_column = v
+        elif k == "trust":
+            cfg.trust = float(v)
+        elif k == "path":
+            cfg.path = v
+        else:
+            raise ValueError(f"unknown source option {k!r}")
+    return cfg
+
+
+def _resolve_label(cfg: HfSourceConfig, col: str) -> F.Column:
+    """ClassLabel int → string through the label map when configured."""
+    if col in cfg.label_maps:
+        labels = cfg.label_maps[col]
+        arr = F.array(*[F.lit(x) for x in labels])
+        return F.element_at(arr, F.col(col).cast("int") + 1).cast("string")
+    return F.col(col).cast("string")
+
+
+def _first_non_empty(cfg: HfSourceConfig, candidates: tuple[str, ...], df: DataFrame) -> F.Column:
+    cols = [
+        normalize_inline_whitespace_col(_resolve_label(cfg, c))
+        for c in candidates
+        if c in df.columns
+    ]
+    if not cols:
+        return F.lit(None).cast("string")
+    out = F.lit(None).cast("string")
+    for c in reversed(cols):
+        out = F.when(c.isNotNull() & (F.length(c) > 0), c).otherwise(out)
+    return out
+
+
+def read_hf_records(spark: SparkSession, cfg: HfSourceConfig) -> DataFrame:
+    if not cfg.path:
+        raise ValueError("set cfg.path to a parquet snapshot of the dataset")
+    raw = spark.read.parquet(cfg.path)
+
+    rid = (
+        F.col(cfg.id_column).cast("string")
+        if cfg.id_column and cfg.id_column in raw.columns
+        else F.monotonically_increasing_id().cast("string")
+    )
+
+    sections = []
+    keep = F.lit(True)
+    if cfg.text_column:
+        text = normalize_inline_whitespace_col(_resolve_label(cfg, cfg.text_column))
+        sections = [make_section("anchor", text), make_section("context", text)]
+        keep = keep & (F.length(text) > 0)
+    else:
+        anchor = _first_non_empty(cfg, cfg.anchor_candidates, raw)
+        sections = [make_section("anchor", anchor)]
+        keep = keep & anchor.isNotNull() & (F.length(anchor) > 0)
+        if cfg.positive_candidates:
+            positive = _first_non_empty(cfg, cfg.positive_candidates, raw)
+            sections.append(make_section("context", positive))
+            keep = keep & positive.isNotNull() & (F.length(positive) > 0)
+        for ctx in cfg.context_columns:  # strictly required
+            if ctx not in raw.columns:
+                raise ValueError(f"required context column {ctx!r} missing")
+            c = normalize_inline_whitespace_col(_resolve_label(cfg, ctx))
+            sections.append(make_section("context", c))
+            keep = keep & c.isNotNull() & (F.length(c) > 0)
+
+    return raw.where(keep).select(
+        F.concat(F.lit(cfg.source_id + "::"), rid).alias("id"),
+        F.lit(cfg.source_id).alias("source"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.lit(float(cfg.trust)).cast("float").alias("trust"),
+        F.array(F.lit(cfg.source_id)).alias("taxonomy"),
+        F.array(*sections).alias("sections"),
+    )

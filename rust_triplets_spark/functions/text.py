@@ -195,11 +195,13 @@ def fingerprint_col(col, seed: int = 42) -> Column:
     hashes mod M31, mixed with the token count. Rolling-hash flavored but
     commutative-sum based so it distributes (partial aggregation works)."""
     toks = tokens_col(col)
+    # index-aware transform binds each token once — element_at(tokens_expr, i)
+    # would re-evaluate the tokenizer split per access (O(n²) blowup)
     weighted = F.aggregate(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks)),
-            lambda i: F.pmod(
-                hash31_str_col(F.element_at(toks, i), seed) * F.pmod(i.cast("long"), F.lit(M31)),
+            toks,
+            lambda t, i: F.pmod(
+                hash31_str_col(t, seed) * F.pmod((i + 1).cast("long"), F.lit(M31)),
                 F.lit(M31),
             ),
         ),

@@ -71,9 +71,12 @@ GROUP BY {normalize_inline_whitespace_sql(text_sql)}
 # shingles
 # ---------------------------------------------------------------------------
 
-def _shingles_col(text_col, n: int):
-    """Distinct n-token shingles as strings."""
-    toks = tokens_col(text_col)
+def _shingles_from_tokens(toks, n: int):
+    """Distinct n-token shingles from a MATERIALIZED token-array column.
+
+    ``toks`` must be a bound column (not an inline tokenizer expression) —
+    ``element_at(tokens_col(text), i)`` would re-run the whole split per
+    element access, an O(n²) re-evaluation blowup."""
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
         F.when(
@@ -85,6 +88,14 @@ def _shingles_col(text_col, n: int):
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t"))
+        .withColumn("__toks", tokens_col("__t"))
+        .select("id", F.explode(_shingles_from_tokens(F.col("__toks"), n)).alias("shingle"))
     )
 
 
@@ -108,10 +119,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0 … mh_{k-1}): per-doc minimum of the i-th shingle hash.
     One explode + one groupBy with k partial-aggregable mins."""
-    sh = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(_shingles_col(text_col, shingle_n)).alias("shingle"),
-    ).withColumn("__sf", hash31_str_col("shingle", seed))
+    sh = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "__sf", hash31_str_col("shingle", seed)
+    )
     aggs = [
         F.min(mix31_col([F.col("__sf"), F.lit(i)], seed)).cast("long").alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -248,10 +258,7 @@ def ngram_jaccard_pairs(
     shingle. ``max_df`` drops shingles present in more than that many docs
     (stop-shingle skew guard — without it one common phrase creates a
     quadratic bucket)."""
-    sh = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(_shingles_col(text_col, shingle_n)).alias("shingle"),
-    )
+    sh = _with_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("__sz"))
     w = Window.partitionBy("shingle")
     sh_f = sh.withColumn("__df", F.count("*").over(w)).where(F.col("__df") <= max_df)

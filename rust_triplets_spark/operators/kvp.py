@@ -110,17 +110,23 @@ def kvp_decorate(
         F.lit(None).cast("string")
     )
 
-    decorated_raw = F.when(
-        kvp_prefix.isNotNull(), F.concat(kvp_prefix, F.lit("\n"), F.col(text_col))
-    ).otherwise(F.col(text_col))
-    # token-budget truncation (src/sampler/mod.rs:1484-1507)
+    # bind intermediates as columns so the (large) prefix/token expressions
+    # evaluate once per row instead of once per reference
     from rust_triplets_spark.functions.text import tokens_col
 
-    toks = tokens_col(decorated_raw)
+    df = df.withColumn("kvp_prefix", kvp_prefix)
+    decorated_raw = F.when(
+        F.col("kvp_prefix").isNotNull(),
+        F.concat(F.col("kvp_prefix"), F.lit("\n"), F.col(text_col)),
+    ).otherwise(F.col(text_col))
+    df = df.withColumn("__deco_raw", decorated_raw).withColumn(
+        "__deco_toks", tokens_col("__deco_raw")
+    )
+    # token-budget truncation (src/sampler/mod.rs:1484-1507)
     decorated = F.when(
-        F.size(toks) > max_window_tokens,
-        F.array_join(F.slice(toks, 1, max_window_tokens), " "),
-    ).otherwise(decorated_raw)
+        F.size("__deco_toks") > max_window_tokens,
+        F.array_join(F.slice("__deco_toks", 1, max_window_tokens), " "),
+    ).otherwise(F.col("__deco_raw"))
 
     meta_entries: dict[str, Column] = {}
     for fields in variants:
@@ -134,9 +140,9 @@ def kvp_decorate(
         F.array(*meta_entries.values()),
     )
     return (
-        df.withColumn("kvp_prefix", kvp_prefix)
-        .withColumn("decorated_text", decorated)
+        df.withColumn("decorated_text", decorated)
         .withColumn("kvp_meta", kvp_meta)
+        .drop("__deco_raw", "__deco_toks")
     )
 
 

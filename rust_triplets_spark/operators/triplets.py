@@ -127,6 +127,12 @@ def assemble_triplets(
     ranked = chunks.withColumn("__crn", F.row_number().over(w_rec)).withColumn(
         "__ccnt", F.count("*").over(Window.partitionBy("record_id"))
     )
+    # the ranked-chunks frame feeds anchors (rn=1), positives (rn=2), and
+    # the negative's chunk lookup — persist so the scan+chunk+rank pipeline
+    # runs once instead of once per consumer (the reference recomputes
+    # chunks on every access, src/sampler/mod.rs:1765-1773; caching is the
+    # Spark-native improvement, SURVEY §4)
+    ranked = ranked.persist()
 
     pick = ranked.where(F.col("__ccnt") >= 2)
     anchors = pick.where(F.col("__crn") == 1).select(

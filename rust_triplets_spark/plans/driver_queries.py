@@ -933,3 +933,24 @@ def window_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_sum").cast("decimal(38,2)").cast("double").alias("running_total"),
         )
     )
+
+
+@_register(
+    "binary_columns",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_size,
+       upper(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex
+FROM documents
+""",
+)
+def binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing (multimodal scope): text → binary payload,
+    byte length + head bytes — the codec-free slice of the media pipeline
+    that IS oracle-checkable."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.octet_length(payload).cast("long").alias("byte_size"),
+        F.upper(F.substring(F.hex(payload), 1, 16)).alias("head_hex"),
+    )

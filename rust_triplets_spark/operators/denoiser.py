@@ -70,19 +70,26 @@ def denoise_gates12_col(col, cfg: DenoiserConfig = DenoiserConfig()) -> Column:
     path rescues tokens instead). NULL when every line is removed."""
     lines = _lines(col)
 
-    def effective(line: Column) -> Column:
-        is_table = line.rlike(TABLE_LINE_RE) if cfg.strip_markdown else F.lit(False)
-        return F.when(is_table, _strip_pipes(line)).otherwise(line)
+    # evaluate gate 1 ONCE per line into an array (separator rows → null),
+    # then gates 2-3 run on the bound element — re-deriving `effective`
+    # inside each gate predicate would re-run the pipe-strip transform and
+    # regexes several times per line
+    def gate1(line: Column) -> Column:
+        if not cfg.strip_markdown:
+            return line
+        is_sep = line.rlike(SEPARATOR_RE)
+        is_table = line.rlike(TABLE_LINE_RE)
+        return F.when(is_sep, F.lit(None).cast("string")).otherwise(
+            F.when(is_table, _strip_pipes(line)).otherwise(line)
+        )
 
-    def keep(line: Column) -> Column:
-        is_sep = line.rlike(SEPARATOR_RE) if cfg.strip_markdown else F.lit(False)
-        eff = effective(line)
+    def keep(eff: Column) -> Column:
         digits = F.length(F.regexp_replace(eff, "[^0-9]", "")).cast("double")
         alpha = F.length(F.regexp_replace(eff, "[^A-Za-z]", "")).cast("double")
         ratio_ok = digits / (digits + alpha) <= F.lit(cfg.max_digit_ratio)
-        return (~is_sep) & eff.rlike(HAS_ALPHA_RE) & ratio_ok
+        return eff.isNotNull() & eff.rlike(HAS_ALPHA_RE) & ratio_ok
 
-    cleaned = F.transform(F.filter(lines, keep), effective)
+    cleaned = F.filter(F.transform(lines, gate1), keep)
     out = F.array_join(cleaned, "\n")
     return F.when(F.size(cleaned) > 0, out).otherwise(F.lit(None).cast("string"))
 

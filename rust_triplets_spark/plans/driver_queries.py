@@ -954,3 +954,172 @@ def binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("byte_size"),
         F.upper(F.substring(F.hex(payload), 1, 16)).alias("head_hex"),
     )
+
+
+# ===========================================================================
+# Wave 4 — lexical similarity, grouped refresh cap, split capacity totals
+# ===========================================================================
+
+@_register(
+    "lexical_similarity",
+    f"""
+WITH pairs AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, text AS ta,
+         lead(CAST(doc_id AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id) AS b,
+         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS tb
+  FROM documents
+), p AS (SELECT * FROM pairs WHERE b IS NOT NULL),
+la AS (
+  SELECT p.a, p.b, unicode(c.ch) AS cp, CAST(count(*) AS BIGINT) AS n
+  FROM p, UNNEST(string_split(p.ta, '')) AS c(ch) GROUP BY p.a, p.b, unicode(c.ch)
+),
+lb AS (
+  SELECT p.a, p.b, unicode(c.ch) AS cp, CAST(count(*) AS BIGINT) AS n
+  FROM p, UNNEST(string_split(p.tb, '')) AS c(ch) GROUP BY p.a, p.b, unicode(c.ch)
+),
+dots AS (
+  SELECT la.a, la.b, CAST(sum(la.n * lb.n) AS BIGINT) AS dot,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM la JOIN lb ON la.a = lb.a AND la.b = lb.b AND la.cp = lb.cp
+  GROUP BY la.a, la.b
+),
+norms AS (
+  SELECT a, b,
+         CAST(sum(CASE WHEN side = 'l' THEN n * n ELSE 0 END) AS BIGINT) AS l2a,
+         CAST(sum(CASE WHEN side = 'r' THEN n * n ELSE 0 END) AS BIGINT) AS l2b,
+         CAST(count(DISTINCT CASE WHEN side = 'l' THEN cp END) AS BIGINT) AS ca,
+         CAST(count(DISTINCT CASE WHEN side = 'r' THEN cp END) AS BIGINT) AS cb
+  FROM (SELECT a, b, cp, n, 'l' AS side FROM la UNION ALL SELECT a, b, cp, n, 'r' FROM lb)
+  GROUP BY a, b
+)
+SELECT n.a, n.b,
+       CAST(coalesce(d.inter, 0) AS DOUBLE) / CAST(n.ca + n.cb - coalesce(d.inter, 0) AS DOUBLE) AS jaccard,
+       CAST(coalesce(d.dot, 0) AS DOUBLE) / (sqrt(CAST(n.l2a AS DOUBLE)) * sqrt(CAST(n.l2b AS DOUBLE))) AS cosine
+FROM norms n LEFT JOIN dots d ON d.a = n.a AND d.b = n.b
+""",
+)
+def lexical_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte/codepoint-frequency Jaccard + cosine between neighboring docs of
+    a source (src/metrics.rs:144+). Exact-integer frequency math; cosine is
+    one IEEE expression over the integer sums (bit-stable cross-engine)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("a"),
+            F.col("text").alias("ta"),
+            F.lead(F.col("doc_id").cast("long")).over(w).alias("b"),
+            F.lead("text").over(w).alias("tb"),
+        )
+        .where(F.col("b").isNotNull())
+    )
+    def freqs(side_text: str, side: str) -> DataFrame:
+        chars = F.filter(F.split(F.col(side_text), ""), lambda c: c != F.lit(""))
+        return (
+            pairs.select("a", "b", F.explode(chars).alias("ch"))
+            .groupBy("a", "b", F.ascii("ch").alias("cp"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("side", F.lit(side))
+        )
+    la, lb = freqs("ta", "l"), freqs("tb", "r")
+    dots = (
+        la.alias("x").join(
+            lb.alias("y"),
+            (F.col("x.a") == F.col("y.a")) & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.cp") == F.col("y.cp")),
+        )
+        .groupBy(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
+        .agg(
+            F.sum(F.col("x.n") * F.col("y.n")).cast("long").alias("dot"),
+            F.count("*").cast("long").alias("inter"),
+        )
+    )
+    norms = (
+        la.unionByName(lb)
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("side") == "l", F.col("n") * F.col("n")).otherwise(0)).cast("long").alias("l2a"),
+            F.sum(F.when(F.col("side") == "r", F.col("n") * F.col("n")).otherwise(0)).cast("long").alias("l2b"),
+            F.countDistinct(F.when(F.col("side") == "l", F.col("cp"))).cast("long").alias("ca"),
+            F.countDistinct(F.when(F.col("side") == "r", F.col("cp"))).cast("long").alias("cb"),
+        )
+    )
+    return (
+        norms.join(dots, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            (F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+             / (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+             ).alias("jaccard"),
+            (F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+             / (F.sqrt(F.col("l2a").cast("double")) * F.sqrt(F.col("l2b").cast("double")))
+             ).alias("cosine"),
+        )
+    )
+
+
+@_register(
+    "grouped_refresh_cap",
+    f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {hash31_sql('doc_id', SEED)}, doc_id) AS rn,
+         count(DISTINCT source) OVER () AS n_groups
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM g WHERE rn <= CAST(ceil(100.0 / n_groups) AS BIGINT)
+""",
+)
+def grouped_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group refresh cap (src/source/indexing/grouping.rs:27-140):
+    one refresh page of ~100 records, capped at ceil(limit/groups) per
+    directory so no dominant group floods the page."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(hash31_col("doc_id", SEED).asc(), F.col("doc_id").asc())
+    g = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.size(F.collect_set("source").over(Window.partitionBy())).alias("n_groups"),
+    )
+    cap = F.ceil(F.lit(100.0) / F.col("n_groups")).cast("long")
+    return g.where(F.col("rn") <= cap).select(
+        "doc_id", "source", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@_register(
+    "split_counts_for_total",
+    """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+SELECT s.split, CAST(CASE s.split
+    WHEN 'train' THEN floor(CAST(total AS DOUBLE) * 0.8)
+    WHEN 'validation' THEN floor(CAST(total AS DOUBLE) * 0.1)
+    ELSE total - CAST(floor(CAST(total AS DOUBLE) * 0.8) AS BIGINT)
+               - CAST(floor(CAST(total AS DOUBLE) * 0.1) AS BIGINT)
+  END AS BIGINT) AS n
+FROM t, (VALUES ('train'), ('validation'), ('test')) AS s(split)
+""",
+)
+def split_counts_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-ratio split capacity (split_counts_for_total,
+    src/heuristics.rs:51-61): train/val floored, test takes the remainder."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.agg(F.count("*").cast("long").alias("total"))
+    labels = docs.sparkSession.createDataFrame(
+        [("train",), ("validation",), ("test",)], "split string"
+    )
+    j = labels.crossJoin(F.broadcast(t))
+    train = F.floor(F.col("total").cast("double") * 0.8).cast("long")
+    val = F.floor(F.col("total").cast("double") * 0.1).cast("long")
+    n = (
+        F.when(F.col("split") == "train", train)
+        .when(F.col("split") == "validation", val)
+        .otherwise(F.col("total") - train - val)
+    )
+    return j.select("split", n.cast("long").alias("n"))

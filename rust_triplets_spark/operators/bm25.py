@@ -78,11 +78,12 @@ def bm25_scores(
         F.col(source_col).alias("source"),
         *( [F.col(split_col).alias("split")] if split_col else [] ),
         analyze_col(text_col).alias("__terms"),
-    )
+    ).persist()  # consumed by postings, doclen, and queries — analyze once
     postings = (
         base.select("did", "source", F.explode("__terms").alias("term"))
         .groupBy("source", "term", "did")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist()  # consumed by the score join and df_stats
     )
     doclen = base.select("did", "source", F.size("__terms").cast("long").alias("dl"))
     src_stats = doclen.groupBy("source").agg(

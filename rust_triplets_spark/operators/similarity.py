@@ -141,3 +141,62 @@ def _hash31_dim(i, seed: int) -> F.Column:
     from rust_triplets_spark.functions.hashing import hash31_col
 
     return hash31_col(i.cast("long"), seed)
+
+
+def hyperplane_lsh_buckets_sql(
+    table: str, id_sql: str, vec_sql: str, n_planes: int = 8, seed: int = 7000
+) -> str:
+    """DuckDB twin of :func:`hyperplane_lsh_buckets` — same quantization,
+    same hash-derived ±1 planes, same sign bits."""
+    from rust_triplets_spark.functions.hashing import hash31_sql
+
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    bits = []
+    for p in range(n_planes):
+        sign = f"CASE WHEN ({hash31_sql('i - 1', seed + p)} % 2) = 0 THEN 1 ELSE -1 END"
+        proj = (
+            f"list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ({sign})))"
+        )
+        bits.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({2**p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    sig = " + ".join(bits)
+    return (
+        f"SELECT id, {sig} AS bucket FROM "
+        f"(SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table})"
+    )
+
+
+def ann_bucketed_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    n_planes: int = 8, seed: int = 7000,
+) -> DataFrame:
+    """Scale-path ANN: cosine top-k WITHIN each vector's LSH bucket — the
+    cross join shrinks from |corpus|² to Σ bucket². Recall is traded for
+    cost; brute-force :func:`cosine_topk` is the exact baseline."""
+    buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v"))).join(buckets, "id")
+    left = base.select(
+        F.col("id").alias("qid"), F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"), "bucket",
+    )
+    right = base.select(
+        F.col("id").alias("nid"), F.col("__v").alias("__nv"),
+        F.col("__n").alias("__nn"), "bucket",
+    )
+    joined = left.join(right, "bucket").where(F.col("qid") != F.col("nid"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__nn").cast("double"))
+    )
+    scored = joined.withColumn("__dot", _dot(F.col("__qv"), F.col("__nv"))).withColumn(
+        "cos_sim", cos
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "nid", "cos_sim")
+    )

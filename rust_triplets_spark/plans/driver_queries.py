@@ -1123,3 +1123,18 @@ def split_counts_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("total") - train - val)
     )
     return j.select("split", n.cast("long").alias("n"))
+
+
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    hyperplane_lsh_buckets, hyperplane_lsh_buckets_sql,
+)
+
+
+@_register(
+    "ann_lsh_buckets",
+    hyperplane_lsh_buckets_sql("embeddings", "vec_id", "embedding"),
+)
+def ann_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment — the similarity-search
+    scale path (bucketed ANN joins instead of corpus² cross joins)."""
+    return hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")

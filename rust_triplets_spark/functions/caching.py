@@ -1,0 +1,50 @@
+"""Scoped, self-evicting caching for operator-internal reuse frames.
+
+Operators like triplet assembly and BM25 scoring build an intermediate
+frame consumed by several downstream branches (anchors/positives/negative
+pool; postings/df-stats/score join) and ``persist`` it so the shared
+pipeline runs once per action instead of once per consumer. A bare
+``persist`` without a matching ``unpersist`` accumulates cached plans in
+the cache manager across repeated calls in a long-lived session (the
+returned DataFrames are lazy, so the builder itself can never know when
+it is safe to release).
+
+``cache_scoped`` bounds that: each operator caches under a named scope,
+and a new call under the same scope first unpersists the previous call's
+frames. A long-lived session therefore holds at most ONE generation of
+cached blocks per operator. Unpersisting a frame an older returned
+DataFrame still references is safe — Spark silently recomputes it.
+
+``localCheckpoint`` was considered and rejected: it wraps the plan in a
+``LogicalRDD``, which hides the file scans from downstream optimization
+and from the plan-quality regression tests (column pruning / pushdown
+visibility is part of this repo's 100 TB contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, list[DataFrame]] = {}
+
+
+def cache_scoped(df: DataFrame, scope: str) -> DataFrame:
+    """Persist ``df`` under ``scope``, releasing the previous generation."""
+    release_scope(scope)
+    out = df.persist()
+    _LIVE.setdefault(scope, []).append(out)
+    return out
+
+
+def release_scope(scope: str) -> None:
+    """Unpersist every frame cached under ``scope`` (idempotent)."""
+    for old in _LIVE.pop(scope, []):
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
+def release_all() -> None:
+    for scope in list(_LIVE):
+        release_scope(scope)

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rust_triplets_spark.functions.caching import cache_scoped
+
 K1 = 1.2
 B = 0.75
 BM25_QUERY_TOKEN_LIMIT = 64  # src/constants.rs:154
@@ -78,12 +80,16 @@ def bm25_scores(
         F.col(source_col).alias("source"),
         *( [F.col(split_col).alias("split")] if split_col else [] ),
         analyze_col(text_col).alias("__terms"),
-    ).persist()  # consumed by postings, doclen, and queries — analyze once
-    postings = (
+    )
+    # base: consumed by postings, doclen, and queries — analyze once;
+    # postings: consumed by the score join and df_stats. Scoped caches:
+    # a repeat call releases the previous generation's blocks.
+    base = cache_scoped(base, "bm25.base")
+    postings = cache_scoped(
         base.select("did", "source", F.explode("__terms").alias("term"))
         .groupBy("source", "term", "did")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .persist()  # consumed by the score join and df_stats
+        .agg(F.count("*").cast("long").alias("tf")),
+        "bm25.postings",
     )
     doclen = base.select("did", "source", F.size("__terms").cast("long").alias("dl"))
     src_stats = doclen.groupBy("source").agg(

@@ -100,34 +100,36 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    ``batch_rows`` bounds Arrow batch memory (blobs × rows per batch is the
-    working-set knob at scale). With ``use_stub=False`` the real decoder is
-    called (raises here — documented stub)."""
+    ``batch_rows`` bounds the decode working set (blobs × rows is the
+    memory knob at scale): the UDF slices each incoming Arrow batch into
+    ``batch_rows``-row chunks and yields one output frame per chunk, so the
+    bound holds at execution time regardless of the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (a session conf set
+    here would be restored before the lazy plan ever ran). To also bound
+    the *input* Arrow transfer, set that conf around the action. With
+    ``use_stub=False`` the real decoder is called (raises here —
+    documented stub)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if use_stub:
-                    feats.append(_fake_feature(payload, dim))
-                else:
-                    feats.append(_decode_image(payload))
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "feature": feats,
-                "feat_dim": [dim] * len(pdf),
-            })
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo : lo + batch_rows]
+                feats = []
+                for payload in sub["payload"]:
+                    if use_stub:
+                        feats.append(_fake_feature(payload, dim))
+                    else:
+                        feats.append(_decode_image(payload))
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "kind": sub["kind"].to_numpy(),
+                    "feature": feats,
+                    "feat_dim": [dim] * len(sub),
+                })
 
-    spark = media.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-    try:
-        return media.select("media_id", "kind", "payload").mapInPandas(
-            run, schema=FEATURE_SCHEMA
-        )
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(

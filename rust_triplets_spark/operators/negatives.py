@@ -18,13 +18,19 @@ Split isolation (``src/config.rs:123-136``): every pool is partitioned by
 
 Tiers mirror the reference:
 
-- ``wrong_article``: same (source, split, date) excluding self → same
-  (source, split) → fallback same split (tier named
+- ``wrong_article``: same (source, split, date) excluding self — only rows
+  with a REAL date participate, matching the reference's "both dates
+  present and equal" gate (src/sampler/mod.rs:1005-1014; undated records
+  fall through) → same (source, split) → fallback same split (tier named
   ``fallback_same_split``, src/sampler/mod.rs:1392-1395);
-- ``wrong_publication_date``: pick a *different date bucket* within the same
-  (source, split) — NULL dates form their own bucket, so "exactly one side
-  missing" counts as differing (src/sampler/mod.rs:1054-1108) — then a
-  uniform member of that bucket; fallback same split;
+- ``wrong_publication_date``: pick uniformly over ALL records of the same
+  (source, split) whose date bucket differs from the anchor's — NULL dates
+  form their own bucket, so "exactly one side missing" counts as differing
+  (src/sampler/mod.rs:1054-1108); members are ranked in one flattened
+  bucket-contiguous order and the anchor's own bucket is skipped
+  arithmetically, so small date buckets are NOT overweighted (the
+  reference draws uniformly over records, not buckets); fallback same
+  split;
 - ``qa_mismatch``: same (source, split) excluding self; fallback same split
   (src/sampler/mod.rs:1109-1151).
 
@@ -97,14 +103,18 @@ def negative_pick(
     order_h = hash31_col(F.col("__idf"), seed + POOL_SEED_OFF)
     pick_mix = mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF)
 
-    def tier_pick(keys: list[str], tier: str) -> DataFrame:
+    def tier_pick(keys: list[str], tier: str, src: DataFrame | None = None) -> DataFrame:
         """Indexed-pool pick with self-exclusion within ``keys`` pools."""
         w = Window.partitionBy(*keys).orderBy(order_h.asc(), F.col("id").asc())
         ranked = (
-            base.withColumn("__rn", F.row_number().over(w) - 1)
+            (base if src is None else src)
+            .withColumn("__rn", F.row_number().over(w) - 1)
             .withColumn("__cnt", F.count("*").over(Window.partitionBy(*keys)))
         )
-        k = F.pmod(pick_mix, F.col("__cnt") - 1)
+        # divisor made total with greatest(.,1): singleton pools are filtered
+        # out below, but ANSI mode evaluates the expression wherever Catalyst
+        # places it (e.g. as a join key), so it must never divide by zero
+        k = F.pmod(pick_mix, F.greatest(F.col("__cnt") - 1, F.lit(1)))
         anchors = ranked.where(F.col("__cnt") >= 2).withColumn(
             "__pick", F.when(k >= F.col("__rn"), k + 1).otherwise(k)
         ).select("id", *keys, "__pick")
@@ -117,7 +127,17 @@ def negative_pick(
 
     results: list[DataFrame] = []
     if strategy == "wrong_article" and date_col:
-        results.append(tier_pick(["source", "split", "datek"], "same_source_same_date"))
+        # same-date tier only buckets REAL dates: the reference requires
+        # both dates present and equal (src/sampler/mod.rs:1005-1014), so
+        # two undated records must NOT count as "same date" — they fall
+        # through to the same-source tier.
+        results.append(
+            tier_pick(
+                ["source", "split", "datek"],
+                "same_source_same_date",
+                base.where(F.col("datek") != NULL_DATE),
+            )
+        )
     if strategy in ("wrong_article", "qa_mismatch"):
         results.append(tier_pick(["source", "split"], "same_source"))
     if strategy == "wrong_publication_date":
@@ -138,47 +158,43 @@ def negative_pick(
 
 
 def _wrong_date_pick(base: DataFrame, order_h, seed: int, variant: int) -> DataFrame:
-    """Different-date-bucket pick within (source, split)."""
+    """Uniform pick over ALL different-date records within (source, split).
+
+    Members are ranked in one flattened order where each date bucket is
+    contiguous (ordered by bucket hash, then member hash); an anchor draws
+    ``k ∈ [0, n - own_bucket_size)`` and shifts past its own bucket's
+    contiguous range — uniform over the whole different-date pool, so small
+    date buckets are not overweighted (the reference draws uniformly over
+    records in (source, split) with a differing date,
+    src/sampler/mod.rs:1054-1108)."""
     bucket_h = hash31_col(strfold_col("datek"), seed + BUCKET_SEED_OFF)
-    wb = Window.partitionBy("source", "split").orderBy(bucket_h.asc(), F.col("datek").asc())
-    buckets = (
-        base.groupBy("source", "split", "datek")
-        .agg(F.count("*").alias("__bcnt"))
-        .withColumn("__brn", F.row_number().over(wb) - 1)
-        .withColumn("__nb", F.count("*").over(Window.partitionBy("source", "split")))
+    wm = Window.partitionBy("source", "split").orderBy(
+        bucket_h.asc(), F.col("datek").asc(), order_h.asc(), F.col("id").asc()
     )
-    anchors = base.join(
-        buckets.select("source", "split", "datek", F.col("__brn").alias("__own_brn"), "__nb"),
-        ["source", "split", "datek"],
-        "inner",
-    ).where(F.col("__nb") >= 2)
-    kb = F.pmod(
-        mix31_col([F.col("__idf"), F.lit(variant)], seed + BUCKET_SEED_OFF),
-        F.col("__nb") - 1,
+    members = base.withColumn("__mrn", F.row_number().over(wm) - 1).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("source", "split"))
+    )
+    bstats = members.groupBy("source", "split", "datek").agg(
+        F.min("__mrn").alias("__bstart"), F.count("*").alias("__bcnt")
+    )
+    anchors = members.join(bstats, ["source", "split", "datek"], "inner").where(
+        F.col("__n") > F.col("__bcnt")  # at least one different-date member
+    )
+    # total divisor (see tier_pick): all-one-bucket groups are filtered out,
+    # but the expression must be safe wherever ANSI-mode codegen evaluates it
+    k = F.pmod(
+        mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF),
+        F.greatest(F.col("__n") - F.col("__bcnt"), F.lit(1)),
     )
     anchors = anchors.withColumn(
-        "__pick_brn", F.when(kb >= F.col("__own_brn"), kb + 1).otherwise(kb)
-    ).select("id", "source", "split", "__idf", "__pick_brn")
-    anchors = anchors.join(
-        buckets.select(
-            "source", "split", F.col("datek").alias("__pick_datek"),
-            F.col("__brn").alias("__pick_brn"), "__bcnt",
-        ),
-        ["source", "split", "__pick_brn"],
-        "inner",
-    )
-    wm = Window.partitionBy("source", "split", "datek").orderBy(order_h.asc(), F.col("id").asc())
-    members = base.withColumn("__mrn", F.row_number().over(wm) - 1).select(
-        "source", "split", F.col("datek").alias("__pick_datek"),
-        F.col("id").alias("pid"), "__mrn",
-    )
-    km = F.pmod(
-        mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF), F.col("__bcnt")
+        "__pick", F.when(k >= F.col("__bstart"), k + F.col("__bcnt")).otherwise(k)
+    ).select("id", "source", "split", "__pick")
+    pool = members.select(
+        "source", "split", F.col("id").alias("pid"), F.col("__mrn").alias("__prn")
     )
     return (
-        anchors.withColumn("__mpick", km)
-        .join(members, ["source", "split", "__pick_datek"], "inner")
-        .where(F.col("__mpick") == F.col("__mrn"))
+        anchors.join(pool, ["source", "split"], "inner")
+        .where(F.col("__pick") == F.col("__prn"))
         .select("id", F.col("pid").alias("negative_id"), F.lit("wrong_date").alias("tier"))
     )
 
@@ -220,11 +236,11 @@ def negative_pick_sql(
     )
     order_h_base = hash31_sql(_fold_sql("id", id_is_string), seed + POOL_SEED_OFF)
 
-    def pool_cte(keys: str, name: str) -> str:
+    def pool_cte(keys: str, name: str, pool_where: str = "TRUE") -> str:
         return (
             f"{name} AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY {keys} "
             f"ORDER BY {order_h_base}, id) - 1 AS rn, "
-            f"count(*) OVER (PARTITION BY {keys}) AS cnt FROM base)"
+            f"count(*) OVER (PARTITION BY {keys}) AS cnt FROM base WHERE {pool_where})"
         )
 
     def tier_select(keys: str, name: str, tier: str, not_served: str) -> str:
@@ -248,8 +264,10 @@ def negative_pick_sql(
         )
 
     if strategy == "wrong_article":
+        # same-date tier only over real dates (src/sampler/mod.rs:1005-1014)
+        real_date = f"datek <> '{NULL_DATE}'"
         return (
-            f"WITH {base}, {pool_cte('source, split, datek', 'p_ssd')}, "
+            f"WITH {base}, {pool_cte('source, split, datek', 'p_ssd', real_date)}, "
             f"{pool_cte('source, split', 'p_ss')}, {pool_cte('split', 'p_s')}, "
             f"t0 AS ({tier_select('source, split, datek', 'p_ssd', 'same_source_same_date', '')}), "
             f"t1 AS ({tier_select('source, split', 'p_ss', 'same_source', ' AND a.id NOT IN (SELECT id FROM t0)')}) "
@@ -257,37 +275,34 @@ def negative_pick_sql(
             f"{tier_select('split', 'p_s', 'fallback_same_split', ' AND a.id NOT IN (SELECT id FROM t0 UNION ALL SELECT id FROM t1)')}"
         )
 
-    # wrong_publication_date
+    # wrong_publication_date — uniform over the flattened different-date
+    # member pool (bucket-contiguous rank + arithmetic skip of the
+    # anchor's own bucket); see _wrong_date_pick
     if not date_sql:
         raise ValueError("wrong_publication_date requires date_sql")
     bkey = hash31_sql(strfold_sql("datek"), seed + BUCKET_SEED_OFF)
-    kb = f"({pick_mix('a', BUCKET_SEED_OFF)} % (a.nb - 1))"
-    km = f"({pick_mix('r')} % r.bcnt)"
+    k = f"({pick_mix('a')} % (a.n - a.bcnt))"
     return f"""
-WITH {base}, buckets AS (
-  SELECT source, split, datek, count(*) AS bcnt,
-         row_number() OVER (PARTITION BY source, split ORDER BY {bkey}, datek) - 1 AS brn,
-         count(*) OVER (PARTITION BY source, split) AS nb
-  FROM base GROUP BY source, split, datek
-), anchors AS (
-  SELECT b.id, b.source, b.split, b.datek, bu.brn AS own_brn, bu.nb
-  FROM base b JOIN buckets bu USING (source, split, datek) WHERE bu.nb >= 2
-), picked AS (
-  SELECT a.*, CASE WHEN {kb} >= a.own_brn THEN {kb} + 1 ELSE {kb} END AS pick_brn
-  FROM anchors a
-), resolved AS (
-  SELECT p.id, p.source, p.split, bu.datek AS pick_datek, bu.bcnt
-  FROM picked p JOIN buckets bu
-    ON bu.source = p.source AND bu.split = p.split AND bu.brn = p.pick_brn
-), members AS (
-  SELECT source, split, datek, id AS pid,
-         row_number() OVER (PARTITION BY source, split, datek ORDER BY {order_h_base}, id) - 1 AS mrn
+WITH {base}, members AS MATERIALIZED (
+  SELECT *,
+         row_number() OVER (PARTITION BY source, split ORDER BY {bkey}, datek, {order_h_base}, id) - 1 AS mrn,
+         count(*) OVER (PARTITION BY source, split) AS n
   FROM base
+), bstats AS (
+  SELECT source, split, datek, min(mrn) AS bstart, count(*) AS bcnt
+  FROM members GROUP BY source, split, datek
+), anchors AS (
+  SELECT m.id, m.source, m.split, b.bstart, b.bcnt, m.n
+  FROM members m JOIN bstats b USING (source, split, datek)
+  WHERE m.n > b.bcnt
+), picked AS (
+  SELECT a.id, a.source, a.split,
+         CASE WHEN {k} >= a.bstart THEN {k} + a.bcnt ELSE {k} END AS pick
+  FROM anchors a
 ), {pool_cte('split', 'p_s')}, t1 AS (
-  SELECT r.id, m.pid AS negative_id, 'wrong_date' AS tier
-  FROM resolved r JOIN members m
-    ON m.source = r.source AND m.split = r.split AND m.datek = r.pick_datek
-   AND m.mrn = ({km})
+  SELECT p.id, m.id AS negative_id, 'wrong_date' AS tier
+  FROM picked p JOIN members m
+    ON m.source = p.source AND m.split = p.split AND m.mrn = p.pick
 )
 SELECT * FROM t1
 UNION ALL

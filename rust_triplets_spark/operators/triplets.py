@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rust_triplets_spark.functions.caching import cache_scoped
 from rust_triplets_spark.functions.hashing import (
     M31,
     hash31_sql,
@@ -128,11 +129,11 @@ def assemble_triplets(
         "__ccnt", F.count("*").over(Window.partitionBy("record_id"))
     )
     # the ranked-chunks frame feeds anchors (rn=1), positives (rn=2), and
-    # the negative's chunk lookup — persist so the scan+chunk+rank pipeline
+    # the negative's chunk lookup — cache so the scan+chunk+rank pipeline
     # runs once instead of once per consumer (the reference recomputes
-    # chunks on every access, src/sampler/mod.rs:1765-1773; caching is the
-    # Spark-native improvement, SURVEY §4)
-    ranked = ranked.persist()
+    # chunks on every access, src/sampler/mod.rs:1765-1773). Scoped cache:
+    # a repeat call releases the previous generation's blocks.
+    ranked = cache_scoped(ranked, "triplets.ranked")
 
     pick = ranked.where(F.col("__ccnt") >= 2)
     anchors = pick.where(F.col("__crn") == 1).select(
@@ -149,10 +150,12 @@ def assemble_triplets(
     )
     pair = anchors.join(positives, "record_id", "inner")
 
-    # negative at record level over records that produced an anchor
-    rec_pool = pair.select(
-        F.col("record_id").alias("id"), "source", "split",
-        *( [] ),
+    # negative pool = ALL chunked records in the split (the reference draws
+    # negatives from every record regardless of chunk count,
+    # src/sampler/mod.rs:995-1151) — not just records that produced an
+    # anchor/positive pair, so short single-chunk records can be negatives
+    rec_pool = ranked.where(F.col("__crn") == 1).select(
+        F.col("record_id").alias("id"), "source", "split"
     )
     neg = negative_pick(
         rec_pool, "id", "source", "split", recipe.negative_strategy,
@@ -248,7 +251,7 @@ def assemble_triplets_sql(
     )
     order_key = mix31_sql(["idf", "win_index", "overlap", str(variant)], seed + CHUNK_SEED_OFF)
     neg_sql = negative_pick_sql(
-        "(SELECT record_id AS id, source, split FROM pair)",
+        "(SELECT record_id AS id, source, split FROM wchunks WHERE crn = 1)",
         "id", "source", "split", recipe.negative_strategy,
         seed=seed, variant=variant, id_is_string=id_is_string,
     )

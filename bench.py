@@ -53,6 +53,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # the sf* inputs are single-row-group parquet files: without an explicit
+    # repartition every scan is ONE task and per-row compute runs serially.
+    # Real corpora arrive as many files/row groups; this knob only restores
+    # the parallelism the file layout denies on local[N].
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.conf.set("spark.rust_triplets.scanPartitions", str(cpus))
 
     # warm the JVM/session on the smallest SF so timings measure the queries
     for name in BENCH_QUERIES[:1]:

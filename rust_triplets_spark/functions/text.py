@@ -128,17 +128,36 @@ STOPWORDS = {
 
 def lang_id_col(col) -> Column:
     """N-gram-free language-ID heuristic: stopword hit-rate per language,
-    argmax with alphabetical tie-break; 'und' (undetermined) when no hits."""
-    toks = tokens_col(col)
-    best_score = F.lit(0).cast("long")
-    best_lang = F.lit("und")
-    for lang in sorted(STOPWORDS):  # alphabetical: first strict max wins
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    argmax with alphabetical tie-break; 'und' (undetermined) when no hits.
+
+    Single pass: tokenize + lowercase ONCE, fold per-language hit counts
+    through one ``aggregate`` (the accumulator is a bound lambda variable,
+    so referencing it per language does not re-evaluate any subtree), then
+    argmax inside the finish lambda via ``array_max`` over
+    ``(score, -rank, lang)`` structs — lexicographic struct order gives
+    highest score, ties to the alphabetically first language. A when-chain
+    fold with the tokenizer inlined per reference grows the expression
+    tree exponentially (measured 19.5 s → ~1 s at sf0.1)."""
+    langs = sorted(STOPWORDS)
+    lower_toks = F.transform(tokens_col(col), F.lower)
+    zero = F.array(*[F.lit(0).cast("long") for _ in langs])
+    sws = [F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs]
+
+    def merge(acc, t):
+        return F.array(*[
+            acc[i] + F.array_contains(sws[i], t).cast("long") for i in range(len(langs))
+        ])
+
+    def finish(acc):
+        entries = [
+            F.struct(acc[i].alias("s"), F.lit(-i).cast("long").alias("r"),
+                     F.lit(lang).alias("l"))
+            for i, lang in enumerate(langs)
+        ]
+        best = F.array_max(F.array(*entries))
+        return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+    return F.aggregate(lower_toks, zero, merge, finish)
 
 
 def lang_id_sql(col: str) -> str:

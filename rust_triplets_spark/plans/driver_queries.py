@@ -67,7 +67,17 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver table. The synthetic sf* files are single-row-group
+    parquet, so Spark's file splitting yields ONE scan partition no matter
+    the core count; ``spark.rust_triplets.scanPartitions`` (set by bench.py)
+    opts into a round-robin repartition so per-row compute parallelizes on
+    local[N]. Results are partitioning-independent; real corpora arrive as
+    many files/row groups and don't need this."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    n = int(spark.conf.get("spark.rust_triplets.scanPartitions", "0"))
+    if n > 0:
+        df = df.repartition(n)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +336,7 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS) — Spark rejects it unless nanos
     are surfaced as raw INT64 (DuckDB reads them natively as TIMESTAMP_NS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _t(spark, sf_dir, "events")
 
 
 def _events_base(spark: SparkSession, sf_dir: str) -> DataFrame:

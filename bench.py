@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "text_samples",
     "rollup_revenue",
     "window_topn_orders",
+    "sentence_split",
+    "round_robin_interleave",
+    "sliding_window_counts",
+    "ann_bucketed_topk",
+    "simhash_band_pairs",
 ]
 
 
@@ -66,11 +71,17 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    from rust_triplets_spark.functions import caching
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # operator-internal scoped caches (triplets.ranked, bm25.*) are for
+        # reuse WITHIN a query; carrying them across queries only adds
+        # executor memory pressure that skews later timings
+        caching.release_all()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

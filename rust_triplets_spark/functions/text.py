@@ -114,6 +114,41 @@ def split_sentences_udf():
     return _split
 
 
+# Native (JVM-side, oracle-checkable) sentence splitter. Same contract as
+# split_sentences_py for the reference's tested cases (decimals, tickers,
+# ellipses — src/utils.rs:161-255): a boundary is `.!?` followed by a space
+# (post-normalization), EXCEPT a '.' preceded by another '.' (ellipsis).
+# Decimals (3.14) and tickers (BRK.B) need no special casing — their '.' is
+# not followed by whitespace. Capture-group rewriting instead of lookbehind
+# keeps the regexes inside both Java-regex (Spark) and RE2 (DuckDB).
+_SENT_MARK = "\x01"
+
+
+def sentences_native_col(col) -> Column:
+    """Array of sentences: blocks on blank lines, whitespace-normalized,
+    boundary-marked, split, trimmed, empties dropped."""
+
+    def per_block(b):
+        norm = F.trim(F.regexp_replace(b, WS, " "))
+        marked = F.regexp_replace(norm, "([!?]) ", "$1" + _SENT_MARK)
+        marked = F.regexp_replace(marked, "([^.])(\\.) ", "$1$2" + _SENT_MARK)
+        return F.split(marked, _SENT_MARK)
+
+    sents = F.flatten(F.transform(F.split(_c(col), "\n\n"), per_block))
+    return F.filter(F.transform(sents, F.trim), lambda s: s != F.lit(""))
+
+
+def sentences_native_sql(col: str) -> str:
+    norm = f"trim(regexp_replace(b, '{WS}', ' ', 'g'))"
+    m1 = f"regexp_replace({norm}, '([!?]) ', '\\1' || chr(1), 'g')"
+    m2 = f"regexp_replace({m1}, '([^.])(\\.) ', '\\1\\2' || chr(1), 'g')"
+    return (
+        f"list_filter(list_transform(flatten(list_transform("
+        f"string_split({col}, chr(10) || chr(10)), b -> string_split({m2}, chr(1)))), "
+        f"s -> trim(s)), s -> s <> '')"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis extensions (driver north star; not in the reference)
 # ---------------------------------------------------------------------------

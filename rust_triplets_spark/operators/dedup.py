@@ -246,6 +246,67 @@ SELECT id, {sig} AS simhash FROM agg
 """
 
 
+def simhash_band_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    bits: int = 32, bands: int = 4, seed: int = SIMHASH_SEED,
+) -> DataFrame:
+    """SimHash near-duplicate candidates: split each signature into
+    ``bands`` equal bit-bands; pairs (a < b) sharing ≥ 1 exact band are
+    candidates (Hamming distance ≤ bits - bits/bands guaranteed to be
+    caught when distance < bands). Returns (a, b, hamming) distinct.
+
+    Scale shape: band explode + equi-join on (band, value) — the classic
+    linear-cost simhash index; never an all-pairs comparison."""
+    if bits % bands:
+        raise ValueError("bits must divide into equal bands")
+    r = bits // bands
+    mask = (1 << r) - 1
+    sigs = simhash(df, id_col, text_col, bits, seed)
+    banded = sigs.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * r).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__b"),
+    ).select("id", "simhash", F.col("__b.band").alias("band"), F.col("__b.val").alias("val"))
+    left = banded.select("band", "val", F.col("id").alias("a"), F.col("simhash").alias("__sa"))
+    right = banded.select("band", "val", F.col("id").alias("b"), F.col("simhash").alias("__sb"))
+    return (
+        left.join(right, ["band", "val"], "inner")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def simhash_band_pairs_sql(
+    table: str, id_sql: str, text_sql: str,
+    bits: int = 32, bands: int = 4, seed: int = SIMHASH_SEED,
+) -> str:
+    r = bits // bands
+    mask = (1 << r) - 1
+    sig_sql = simhash_sql(table, id_sql, text_sql, bits, seed)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * r}) & {mask} AS val FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS MATERIALIZED ({sig_sql}),
+banded AS MATERIALIZED ({band_selects})
+SELECT DISTINCT l.id AS a, r.id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM banded l JOIN banded r ON l.band = r.band AND l.val = r.val AND l.id < r.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -168,6 +168,82 @@ def hyperplane_lsh_buckets_sql(
     )
 
 
+def _bucketed_scored_sql(
+    table: str, id_sql: str, vec_sql: str, n_planes: int, seed: int
+) -> str:
+    """Shared CTE body: quantized vectors + norms + LSH bucket, self-joined
+    within bucket with exact integer-cosine scoring."""
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    buckets = hyperplane_lsh_buckets_sql(table, id_sql, vec_sql, n_planes, seed)
+    return f"""
+b AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table}
+), n AS MATERIALIZED (
+  SELECT b.id, b.v,
+         CAST(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])) AS BIGINT) AS nn,
+         bk.bucket
+  FROM b JOIN ({buckets}) bk ON bk.id = b.id
+), scored AS MATERIALIZED (
+  SELECT l.id AS qid, r.id AS nid,
+         CAST(CAST(list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(l.nn AS DOUBLE)) * sqrt(CAST(r.nn AS DOUBLE))) AS cos_sim
+  FROM n l JOIN n r ON l.bucket = r.bucket AND l.id <> r.id
+)"""
+
+
+def ann_bucketed_topk_sql(
+    table: str, id_sql: str, vec_sql: str, k: int = 5,
+    n_planes: int = 8, seed: int = 7000,
+) -> str:
+    """DuckDB twin of :func:`ann_bucketed_topk`."""
+    body = _bucketed_scored_sql(table, id_sql, vec_sql, n_planes, seed)
+    return f"""
+WITH {body}
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9,
+    n_planes: int = 8, seed: int = 7000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: pairs (a < b) in the
+    same LSH bucket with cosine ≥ threshold. The dedup counterpart of
+    :func:`ann_bucketed_topk` — Σ bucket² join cost, never corpus²."""
+    buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v"))).join(buckets, "id")
+    left = base.select(F.col("id").alias("a"), F.col("__v").alias("__av"),
+                       F.col("__n").alias("__an"), "bucket")
+    right = base.select(F.col("id").alias("b"), F.col("__v").alias("__bv"),
+                        F.col("__n").alias("__bn"), "bucket")
+    joined = left.join(right, "bucket").where(F.col("a") < F.col("b"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__an").cast("double")) * F.sqrt(F.col("__bn").cast("double"))
+    )
+    return (
+        joined.withColumn("__dot", _dot(F.col("__av"), F.col("__bv")))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str, id_sql: str, vec_sql: str, threshold: float = 0.9,
+    n_planes: int = 8, seed: int = 7000,
+) -> str:
+    body = _bucketed_scored_sql(table, id_sql, vec_sql, n_planes, seed)
+    return f"""
+WITH {body}
+SELECT qid AS a, nid AS b, cos_sim
+FROM scored WHERE qid < nid AND cos_sim >= {threshold!r}
+"""
+
+
 def ann_bucketed_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     n_planes: int = 8, seed: int = 7000,

@@ -1148,3 +1148,326 @@ def ann_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment — the similarity-search
     scale path (bucketed ANN joins instead of corpus² cross joins)."""
     return hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+# ===========================================================================
+# Wave 5 — sentence splitting, pager permutation, round-robin drain,
+# metadata kv, auto-recipe gates, rotation cursors, sliding windows,
+# bucketed ANN top-k, embedding near-dup, CSV row-build, simhash bands
+# ===========================================================================
+
+from rust_triplets_spark.operators.dedup import (  # noqa: E402
+    simhash_band_pairs, simhash_band_pairs_sql,
+)
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    ann_bucketed_topk, ann_bucketed_topk_sql,
+    embedding_neardup_pairs, embedding_neardup_pairs_sql,
+)
+from rust_triplets_spark.streaming.windows import (  # noqa: E402
+    sliding_agg, sliding_agg_sql,
+)
+
+# augmented text exercising every boundary case the reference tests
+# (src/utils.rs:161-255): decimals, bangs, ellipses, two paragraph blocks
+def _sent_aug_col() -> F.Column:
+    return F.concat(
+        F.substring("text", 1, 50),
+        F.lit(". Values hit 3.14 today! More soon... stay tuned."),
+        F.lit("\n\n"),
+        F.lit("Block two ends. "),
+        F.substring("text", 1, 20),
+    )
+_SENT_AUG_SQL = (
+    "substr(text, 1, 50) || '. Values hit 3.14 today! More soon... stay tuned.'"
+    " || chr(10) || chr(10) || 'Block two ends. ' || substr(text, 1, 20)"
+)
+
+
+@_register(
+    "sentence_split",
+    f"""
+WITH aug AS (SELECT doc_id, {_SENT_AUG_SQL} AS t FROM documents),
+sents AS (SELECT doc_id, {TX.sentences_native_sql('t')} AS l FROM aug)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(u.i AS BIGINT) AS sent_idx, l[u.i] AS sentence
+FROM sents, UNNEST(range(1, len(l) + 1)) AS u(i)
+""",
+)
+def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic sentence splitter (src/utils.rs:37-121): paragraph blocks
+    on blank lines, boundary on `.!?` + space, ellipsis/decimal/ticker
+    exceptions — native regex rewriting on both engines."""
+    aug = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), _sent_aug_col().alias("t")
+    )
+    return aug.select(
+        "doc_id", F.posexplode(TX.sentences_native_col("t")).alias("__p", "sentence")
+    ).select("doc_id", (F.col("__p") + 1).cast("long").alias("sent_idx"), "sentence")
+
+
+_AFFINE_A = 48271  # odd ⇒ bijection mod 2^k (Lehmer multiplier; small enough
+_AFFINE_B = 42     # that a*idx stays in int64 up to multi-billion-row corpora)
+
+
+@_register(
+    "affine_index_permutation",
+    f"""
+WITH idx AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+         count(*) OVER () AS n
+  FROM documents
+), p AS (
+  SELECT doc_id, idx,
+         ({_AFFINE_A} * idx + {_AFFINE_B}) % (CAST(1 AS BIGINT) << CAST(ceil(log2(CAST(greatest(n, 2) AS DOUBLE))) AS INT)) AS perm0
+  FROM idx
+)
+SELECT CAST(row_number() OVER (ORDER BY perm0) - 1 AS BIGINT) AS position, doc_id
+FROM p
+""",
+)
+def affine_perm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexablePager's deterministic pseudo-random paging permutation
+    (src/source/mod.rs:316-368): affine bit permutation `a*x+b mod 2^k`
+    over the stable row index. The reference's cycle-walking (re-apply
+    until the value lands in [0, n)) is replaced by rank-compaction of the
+    2^k-domain image — the same bijection [0,n)→[0,n), one window function
+    instead of an unbounded loop."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    idx = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    k = F.ceil(F.log2(F.greatest(F.col("n"), F.lit(2)).cast("double"))).cast("int")
+    # shiftleft's python wrapper only takes an int literal; the SQL form
+    # accepts a column for the shift amount
+    m = idx.withColumn("__k", k).withColumn(
+        "m", F.expr("CAST(shiftleft(CAST(1 AS BIGINT), __k) AS BIGINT)")
+    )
+    p = m.withColumn("perm0", F.pmod(F.lit(_AFFINE_A) * F.col("idx") + F.lit(_AFFINE_B), F.col("m")))
+    return p.select(
+        (F.row_number().over(Window.orderBy("perm0")) - 1).cast("long").alias("position"),
+        "doc_id",
+    )
+
+
+@_register(
+    "round_robin_interleave",
+    f"""
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {hash31_sql('doc_id', SEED)}, doc_id) AS turn
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY turn, source, doc_id) - 1 AS BIGINT) AS position,
+       doc_id, source
+FROM r
+""",
+)
+def round_robin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted round-robin drain (src/ingestion.rs:583-604): one record
+    per source per turn, per-source order deterministic by hash."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(hash31_col("doc_id", SEED).asc(), F.col("doc_id").asc())
+    r = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.row_number().over(w).alias("turn"),
+    )
+    return r.select(
+        (F.row_number().over(Window.orderBy("turn", "source", "doc_id")) - 1)
+        .cast("long").alias("position"),
+        "doc_id", "source",
+    )
+
+
+@_register(
+    "metadata_kv_roundtrip",
+    """
+WITH e AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         'date=' || strftime(o_orderdate, '%Y-%m-%d') AS meta_entry
+  FROM orders
+)
+SELECT id, meta_entry,
+       split_part(meta_entry, '=', 1) AS meta_key,
+       split_part(meta_entry, '=', 2) AS meta_value
+FROM e
+""",
+)
+def metadata_kv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetadataKey encode/strip (src/metadata.rs:8-34; META_FIELD_DATE
+    src/constants.rs:73-75): `key=value` taxonomy entries round-tripped."""
+    e = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.concat(F.lit("date="), F.date_format("o_orderdate", "yyyy-MM-dd")).alias("meta_entry"),
+    )
+    return e.select(
+        "id", "meta_entry",
+        F.substring_index("meta_entry", "=", 1).alias("meta_key"),
+        F.substring_index("meta_entry", "=", -1).alias("meta_value"),
+    )
+
+
+@_register(
+    "long_section_gate",
+    f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         {TX.token_count_sql('text')} AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(CASE WHEN max(n_tokens) OVER (PARTITION BY source) > {_CHUNK_STRAT.max_window_tokens}
+                 THEN 1 ELSE 0 END AS BIGINT) AS src_has_long_section,
+       CAST(CASE WHEN n_tokens > {_CHUNK_STRAT.max_window_tokens} THEN 1 ELSE 0 END AS BIGINT) AS record_eligible
+FROM t
+""",
+)
+def long_section_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-injected long-section recipe gates (src/sampler/mod.rs:1217-1256,
+    :1801-1812): source qualifies when ANY section exceeds the window;
+    a record is pair-eligible when its section chunks to ≥ 2 windows
+    (⇔ token count > window, stride < span)."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        TX.token_count_col("text").alias("n_tokens"),
+    )
+    win = _CHUNK_STRAT.max_window_tokens
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        F.when(F.max("n_tokens").over(Window.partitionBy("source")) > win, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("src_has_long_section"),
+        F.when(F.col("n_tokens") > win, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("record_eligible"),
+    )
+
+
+_ROTATION_STEPS = 4
+_ROTATION_SEED_OFF = 606
+
+
+@_register(
+    "chunk_rotation",
+    f"""
+WITH chunks AS MATERIALIZED ({chunk_sql('documents', 'doc_id', 'text', _CHUNK_STRAT)}),
+pools AS (
+  SELECT CAST(record_id AS BIGINT) AS record_id, CAST(count(*) AS BIGINT) AS pool_size
+  FROM chunks WHERE view_kind = 'window' GROUP BY record_id
+)
+SELECT record_id, CAST(u.step AS BIGINT) AS step,
+       CAST(({hash31_sql('record_id', SEED + _ROTATION_SEED_OFF)} + u.step) % pool_size AS BIGINT) AS pick_idx,
+       pool_size
+FROM pools, UNNEST(range(0, {_ROTATION_STEPS})) AS u(step)
+""",
+)
+def chunk_rotation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-window rotation cursors (src/sampler/mod.rs:443-470,
+    :1717-1751): per-record deterministic hashed starting offset + step
+    arithmetic over the window-chunk pool — every chunk visited once per
+    pool_size steps, no mutable cursor state."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"), F.lit(0).alias("section_idx"), "text"
+    )
+    chunks = chunk_sections(docs, _CHUNK_STRAT, "text", ("record_id", "section_idx"))
+    pools = (
+        chunks.where(F.col("view_kind") == "window")
+        .groupBy(F.col("record_id").cast("long").alias("record_id"))
+        .agg(F.count("*").cast("long").alias("pool_size"))
+    )
+    exploded = pools.select(
+        "record_id", "pool_size",
+        F.explode(F.sequence(F.lit(0), F.lit(_ROTATION_STEPS - 1))).alias("step"),
+    )
+    pick = F.pmod(
+        hash31_col(F.col("record_id"), SEED + _ROTATION_SEED_OFF) + F.col("step"),
+        F.col("pool_size"),
+    )
+    return exploded.select(
+        "record_id", F.col("step").cast("long").alias("step"),
+        pick.cast("long").alias("pick_idx"), "pool_size",
+    )
+
+
+@_register("sliding_window_counts", sliding_agg_sql("events"))
+def sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_read_events(spark, sf_dir))
+
+
+@_register(
+    "ann_bucketed_topk",
+    ann_bucketed_topk_sql("embeddings", "vec_id", "embedding", k=3, n_planes=4),
+)
+def ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-coarse ANN: exact cosine top-k WITHIN each vector's LSH
+    bucket — the 100 TB similarity-search plan (Σ bucket² ≪ corpus²)."""
+    return ann_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, n_planes=4
+    )
+
+
+@_register(
+    "embedding_neardup_pairs",
+    embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding",
+                                threshold=0.35, n_planes=4),
+)
+def emb_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets.
+    (Threshold 0.35 is tuned to the synthetic fixture — its random
+    embeddings top out near cos 0.5; real corpora would use ~0.9.)"""
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.35, n_planes=4,
+    )
+
+
+@_register(
+    "csv_role_records",
+    f"""
+WITH rows_kept AS (
+  SELECT source, {TX.normalize_inline_whitespace_sql('text')} AS anchor_text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS row_idx
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT source || '::row_' || CAST(row_idx AS VARCHAR) AS id,
+       source, anchor_text, CAST(0.85 AS DOUBLE) AS trust
+FROM rows_kept
+""",
+)
+def csv_role_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CsvSource role-mode row build (csv_source.rs:267-334): skip rows
+    with empty required fields, normalize, id = `{{source}}::row_{{idx}}`,
+    trust default 0.85 (csv_source.rs:149-348)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    kept = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            TX.normalize_inline_whitespace_col("text").alias("anchor_text"),
+            (F.row_number().over(w) - 1).alias("row_idx"),
+        )
+    )
+    return kept.select(
+        F.concat(F.col("source"), F.lit("::row_"), F.col("row_idx").cast("string")).alias("id"),
+        "source", "anchor_text", F.lit(0.85).cast("double").alias("trust"),
+    )
+
+
+@_register(
+    "simhash_band_pairs",
+    simhash_band_pairs_sql("documents", "doc_id", "text"),
+)
+def simhash_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup candidates + Hamming distances."""
+    return simhash_band_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")

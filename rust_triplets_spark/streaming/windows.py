@@ -125,6 +125,64 @@ FROM marked GROUP BY user_id, session_idx
 """
 
 
+def sliding_agg(
+    events: DataFrame,
+    ts_ns_col: str = "ts",
+    key_col: str = "event_type",
+    window_seconds: int = 7200,
+    slide_seconds: int = 3600,
+) -> DataFrame:
+    """Sliding (hopping) window counts: window ``window_seconds`` wide,
+    advancing every ``slide_seconds`` — each event belongs to
+    ``window/slide`` overlapping windows, generated by exploding the slide
+    ids (exactly how Spark's ``window(ts, w, s)`` plans it; expressed in
+    integer nano math so the DuckDB twin is exact).
+
+    Returns (window_id, window_start_s, key, n); window ``w`` covers
+    ``[w*slide, w*slide + window)``."""
+    if window_seconds % slide_seconds:
+        raise ValueError("window must be a multiple of slide")
+    n_win = window_seconds // slide_seconds
+    slide_ns = slide_seconds * NS_PER_SEC
+    s0 = F.expr(f"{ts_ns_col} div {slide_ns}").cast("long")
+    exploded = events.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.sequence(s0 - (n_win - 1), s0)).alias("window_id"),
+    )
+    return (
+        exploded.groupBy("window_id", "key")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("window_id").cast("long").alias("window_id"),
+            (F.col("window_id") * slide_seconds).cast("long").alias("window_start_s"),
+            "key",
+            "n",
+        )
+    )
+
+
+def sliding_agg_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_seconds: int = 7200,
+    slide_seconds: int = 3600,
+) -> str:
+    n_win = window_seconds // slide_seconds
+    slide_ns = slide_seconds * NS_PER_SEC
+    return f"""
+WITH e AS (
+  SELECT {key_col} AS key, epoch_ns({ts_col}) // {slide_ns} AS s0 FROM {table}
+), exploded AS (
+  SELECT key, u.w AS window_id FROM e, UNNEST(range(s0 - {n_win - 1}, s0 + 1)) AS u(w)
+)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(window_id * {slide_seconds} AS BIGINT) AS window_start_s,
+       key, CAST(count(*) AS BIGINT) AS n
+FROM exploded GROUP BY 1, 2, 3
+"""
+
+
 def stream_tumbling_agg(
     spark,
     source_dir: str,

@@ -1,0 +1,82 @@
+"""Scalable global ordering: dense 0-based positions over a total order
+WITHOUT a single-partition sort.
+
+``row_number() OVER (ORDER BY key)`` — or partitioned by a low-cardinality
+column like ``split`` — funnels the whole frame through one task. At 100 TB
+that is the difference between a plan that finishes and one that doesn't.
+
+``bucketed_position`` computes the identical result with bounded
+parallelism: range-bucket the integer order key (``bucket = key div B`` —
+range, not hash, so bucket order aligns with key order), rank within
+(partition, bucket), then add per-bucket start offsets obtained from a tiny
+(partitions × n_buckets) counts frame via a prefix-sum window and a
+broadcast join back. Total order realized: (key, *tiebreak) — exactly what
+the single window would produce, so DuckDB oracle twins can keep the plain
+``row_number`` form.
+
+Skew note: hash-valued keys (hash31 outputs are uniform on [0, M31)) fill
+buckets evenly by construction; arbitrary keys may skew buckets, which
+still caps any task at the largest bucket rather than the whole frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import M31
+
+DEFAULT_BUCKETS = 1024
+
+
+def bucketed_position(
+    df: DataFrame,
+    key_col: str,
+    tiebreak: Sequence[str] = (),
+    part_cols: Sequence[str] = (),
+    key_space: int = M31,
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "position",
+) -> DataFrame:
+    """0-based dense rank of each row by ``(key, *tiebreak)`` within
+    ``part_cols`` (global when empty), equal to
+    ``row_number() OVER (PARTITION BY part ORDER BY key, *tiebreak) - 1``
+    but executed with (partitions × n_buckets)-way parallelism.
+
+    ``key_col`` must be a non-negative integer column < ``key_space``.
+    """
+    bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
+    parts = list(part_cols)
+    with_b = df.withColumn("__bkt", (F.col(key_col) / F.lit(bsize)).cast("long"))
+    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
+        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1)
+    counts = with_b.groupBy(*parts, "__bkt").agg(F.count("*").alias("__c"))
+    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = counts.select(
+        *parts, "__bkt", F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start")
+    )
+    return (
+        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
+        .withColumn(out_col, (F.col("__start") + F.col("__r")).cast("long"))
+        .drop("__bkt", "__r", "__start")
+    )
+
+
+def group_count(
+    df: DataFrame, part_cols: Sequence[str], out_col: str = "__cnt"
+) -> DataFrame:
+    """Attach per-group row counts via aggregate + broadcast join — the
+    scalable stand-in for ``count(*) OVER (PARTITION BY low_card_col)``
+    (a global count when ``part_cols`` is empty)."""
+    parts = list(part_cols)
+    if not parts:
+        counts = df.groupBy().agg(F.count("*").alias(out_col))
+        return df.crossJoin(F.broadcast(counts))
+    counts = df.groupBy(*parts).agg(F.count("*").alias(out_col))
+    return df.join(F.broadcast(counts), parts, "inner")

@@ -153,6 +153,25 @@ def sentences_native_sql(col: str) -> str:
 # text analysis extensions (driver north star; not in the reference)
 # ---------------------------------------------------------------------------
 
+# BPE-ish pre-tokenization (GPT-2-style coarse classes, no merges): letter
+# runs, digit runs, and non-space punctuation runs each count as one token.
+# The class is spelled out (no \s) because Java regex and RE2 disagree on
+# \s (U+000B).
+BPE_WORD = "[A-Za-z]+"
+BPE_DIGIT = "[0-9]+"
+BPE_PUNCT = "[^A-Za-z0-9 \\t\\n\\r\\f]+"
+BPE_TOKEN = f"{BPE_WORD}|{BPE_DIGIT}|{BPE_PUNCT}"
+
+
+def bpe_token_count_col(col, pattern: str = BPE_TOKEN) -> Column:
+    """Count BPE-ish pre-tokens (JVM-side regexp_count)."""
+    return F.regexp_count(_c(col), F.lit(pattern)).cast("long")
+
+
+def bpe_token_count_sql(col: str, pattern: str = BPE_TOKEN) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{pattern}')) AS BIGINT)"
+
+
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],

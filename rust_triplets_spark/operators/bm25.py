@@ -81,20 +81,25 @@ def bm25_scores(
         *( [F.col(split_col).alias("split")] if split_col else [] ),
         analyze_col(text_col).alias("__terms"),
     )
-    # base: consumed by postings, doclen, and queries — analyze once;
+    # base: consumed by postings, stats, and queries — analyze once;
     # postings: consumed by the score join and df_stats. Scoped caches:
     # a repeat call releases the previous generation's blocks.
     base = cache_scoped(base, "bm25.base")
+    # dl rides along in the postings key (functionally determined by did):
+    # the per-hit frame then never joins a doc-length side at all
     postings = cache_scoped(
-        base.select("did", "source", F.explode("__terms").alias("term"))
-        .groupBy("source", "term", "did")
+        base.select(
+            "did", "source",
+            F.size("__terms").cast("long").alias("dl"),
+            F.explode("__terms").alias("term"),
+        )
+        .groupBy("source", "term", "did", "dl")
         .agg(F.count("*").cast("long").alias("tf")),
         "bm25.postings",
     )
-    doclen = base.select("did", "source", F.size("__terms").cast("long").alias("dl"))
-    src_stats = doclen.groupBy("source").agg(
+    src_stats = base.groupBy("source").agg(
         F.count("*").cast("long").alias("N"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.avg(F.size("__terms").cast("double")).alias("avgdl"),
     )
     df_stats = postings.groupBy("source", "term").agg(
         F.count("*").cast("long").alias("df")
@@ -110,18 +115,24 @@ def bm25_scores(
             F.array_distinct(F.slice("__terms", 1, BM25_QUERY_TOKEN_LIMIT))
         ).alias("term"),
     )
-    joined = (
-        queries.join(postings, ["source", "term"], "inner")
+    # idf inputs attach to the SMALL per-query-term side, and stop terms are
+    # pruned BEFORE the big postings join — the hit-scale frame (query-term ×
+    # postings-list) is joined exactly once and carries only arithmetic
+    q_terms = (
+        queries.join(df_stats, ["source", "term"], "inner")
         .join(F.broadcast(src_stats), "source")
-        .join(df_stats, ["source", "term"])
-        .join(doclen.select(F.col("did"), F.col("dl")), "did")
-        .where(F.col("df").cast("double") <= F.lit(STOP_TERM_DF_RATIO) * F.col("N").cast("double"))
+        .where(
+            F.col("df").cast("double")
+            <= F.lit(STOP_TERM_DF_RATIO) * F.col("N").cast("double")
+        )
     )
     idf = F.log(
         (F.col("N").cast("double") - F.col("df").cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
         + F.lit(1.0)
     )
+    q_terms = q_terms.withColumn("__idf", idf)
+    joined = q_terms.join(postings, ["source", "term"], "inner")
     tf_part = (
         F.col("tf").cast("double") * F.lit(K1 + 1.0)
     ) / (
@@ -130,7 +141,7 @@ def bm25_scores(
     )
     group_cols = ["qid", "did"] + (["qsplit"] if split_col else [])
     return (
-        joined.withColumn("__s", idf * tf_part)
+        joined.withColumn("__s", F.col("__idf") * tf_part)
         .groupBy(*group_cols)
         .agg(F.sum("__s").alias("score"))
     )

@@ -71,41 +71,52 @@ GROUP BY {normalize_inline_whitespace_sql(text_sql)}
 # shingles
 # ---------------------------------------------------------------------------
 
-def _shingles_from_tokens(toks, n: int):
-    """Distinct n-token shingles from a MATERIALIZED token-array column.
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, seed: int = MINHASH_SEED
+) -> DataFrame:
+    """(id, shingle) rows where a shingle is the int64 FINGERPRINT of n
+    consecutive tokens: each token is hashed exactly once, a shingle mixes
+    its n token hashes. Skipping the string materialization (concat +
+    re-hash per shingle) keeps explode rows, shuffle keys, and group keys
+    fixed-width integers — the difference between shuffling ~30-byte
+    strings and 8-byte longs at corpus scale. A fingerprint collision maps
+    both engines to the SAME collision (same hash), so cross-engine parity
+    is unaffected.
 
-    ``toks`` must be a bound column (not an inline tokenizer expression) —
-    ``element_at(tokens_col(text), i)`` would re-run the whole split per
-    element access, an O(n²) re-evaluation blowup."""
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    Shape: posexplode → per-token hash (LINEAR — one hash per token row)
+    → window ``lead`` to line up the next n-1 hashes → arithmetic mix.
+    The array-expression formulation (``element_at(transform(...), i)``)
+    is a trap: CollapseProject inlines the whole per-token hash transform
+    into every element access, exploding the expression tree (measured:
+    the optimized plan grew to 60 kB and a 500-doc input stopped
+    finishing). Per-doc distinct mirrors the reference shingle SET."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "__tok"),
     )
-
-
-def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return (
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t"))
-        .withColumn("__toks", tokens_col("__t"))
-        .select("id", F.explode(_shingles_from_tokens(F.col("__toks"), n)).alias("shingle"))
+    th = toks.select("id", "pos", hash31_str_col("__tok", seed).alias("__h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("__h")] + [F.lead("__h", j).over(w) for j in range(1, n)]
+    sh = th.select(
+        "id",
+        F.when(parts[-1].isNotNull(), mix31_col(parts, seed)).alias("shingle"),
     )
+    return sh.where(F.col("shingle").isNotNull()).dropDuplicates(["id", "shingle"])
 
 
-def _shingles_sql(text_sql: str, n: int) -> str:
+def _shingles_sql(text_sql: str, n: int, seed: int = MINHASH_SEED) -> str:
     toks = tokens_sql(text_sql)
-    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
+    parts = [f"(__th)[i + {j}]" for j in range(n)]
+    mix = mix31_sql(parts, seed)
+    # bind the token-hash list once via list_transform over a 1-element
+    # range — DuckDB has no scalar lambda-let, and inlining __th per
+    # shingle element would re-hash every token per shingle
     return (
-        f"list_distinct(CASE WHEN len({toks}) - {n - 1} > 0 THEN "
-        f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {parts}) "
-        f"ELSE [] END)"
+        f"flatten(list_transform([{th}], __th -> "
+        f"list_distinct(CASE WHEN len(__th) - {n - 1} > 0 THEN "
+        f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix}) "
+        f"ELSE [] END)))"
     )
 
 
@@ -118,12 +129,12 @@ def minhash_signatures(
     num_hashes: int = 16, shingle_n: int = 3, seed: int = MINHASH_SEED,
 ) -> DataFrame:
     """(id, mh_0 … mh_{k-1}): per-doc minimum of the i-th shingle hash.
-    One explode + one groupBy with k partial-aggregable mins."""
-    sh = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
-        "__sf", hash31_str_col("shingle", seed)
-    )
+    One explode + one groupBy with k partial-aggregable mins. Shingles
+    arrive as int64 fingerprints (see _shingles_from_tokens), so the i-th
+    hash is one arithmetic mix — no per-shingle string work."""
+    sh = _with_shingles(df, id_col, text_col, shingle_n, seed)
     aggs = [
-        F.min(mix31_col([F.col("__sf"), F.lit(i)], seed)).cast("long").alias(f"mh_{i}")
+        F.min(mix31_col([F.col("shingle"), F.lit(i)], seed)).cast("long").alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -134,14 +145,13 @@ def minhash_signatures_sql(
     num_hashes: int = 16, shingle_n: int = 3, seed: int = MINHASH_SEED,
 ) -> str:
     aggs = ", ".join(
-        f"CAST(min({mix31_sql(['sf', str(i)], seed)}) AS BIGINT) AS mh_{i}"
+        f"CAST(min({mix31_sql(['shingle', str(i)], seed)}) AS BIGINT) AS mh_{i}"
         for i in range(num_hashes)
     )
     return f"""
 WITH sh AS MATERIALIZED (
-  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle,
-         {hash31_str_sql('s.shingle', seed)} AS sf
-  FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n)}) AS s(shingle)
+  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
+  FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n, seed)}) AS s(shingle)
 )
 SELECT id, {aggs} FROM sh GROUP BY id
 """
@@ -149,9 +159,13 @@ SELECT id, {aggs} FROM sh GROUP BY id
 
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
-    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, seed: int = MINHASH_SEED,
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, seed: int = MINHASH_SEED,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) sharing ≥ 1 LSH band bucket."""
+    """Candidate near-duplicate pairs (a < b) sharing ≥ 1 LSH band bucket.
+
+    Default 32 hashes in 8 bands of 4: S-curve threshold (1/b)^(1/r) ≈ 0.59
+    with ~0.5% miss probability at Jaccard 0.83 (vs ~7% for 4 bands of 4 —
+    a near-dup pair should not hinge on one lucky band)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
@@ -180,7 +194,7 @@ def minhash_lsh_pairs(
 
 def minhash_lsh_pairs_sql(
     table: str, id_sql: str, text_sql: str,
-    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3, seed: int = MINHASH_SEED,
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, seed: int = MINHASH_SEED,
 ) -> str:
     r = num_hashes // bands
     sig_sql = minhash_signatures_sql(table, id_sql, text_sql, num_hashes, shingle_n, seed)

@@ -104,12 +104,19 @@ def negative_pick(
     pick_mix = mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF)
 
     def tier_pick(keys: list[str], tier: str, src: DataFrame | None = None) -> DataFrame:
-        """Indexed-pool pick with self-exclusion within ``keys`` pools."""
-        w = Window.partitionBy(*keys).orderBy(order_h.asc(), F.col("id").asc())
-        ranked = (
-            (base if src is None else src)
-            .withColumn("__rn", F.row_number().over(w) - 1)
-            .withColumn("__cnt", F.count("*").over(Window.partitionBy(*keys)))
+        """Indexed-pool pick with self-exclusion within ``keys`` pools.
+
+        Pool indexes come from :func:`bucketed_position`, NOT a bare
+        ``row_number`` window — a pool keyed only by ``split`` would
+        otherwise sort the whole corpus in 3 tasks. The pick join's key is
+        (keys…, index), so the join itself distributes over pool indexes,
+        not over the low-cardinality pool key."""
+        from rust_triplets_spark.functions.ordering import bucketed_position, group_count
+
+        frame = (base if src is None else src).withColumn("__oh", order_h)
+        ranked = group_count(
+            bucketed_position(frame, "__oh", ["id"], part_cols=keys, out_col="__rn"),
+            keys,
         )
         # divisor made total with greatest(.,1): singleton pools are filtered
         # out below, but ANSI mode evaluates the expression wherever Catalyst
@@ -119,10 +126,11 @@ def negative_pick(
             "__pick", F.when(k >= F.col("__rn"), k + 1).otherwise(k)
         ).select("id", *keys, "__pick")
         pool = ranked.select(*keys, F.col("id").alias("pid"), F.col("__rn").alias("__prn"))
-        return (
-            anchors.join(pool, keys, "inner")
-            .where(F.col("__pick") == F.col("__prn"))
-            .select("id", F.col("pid").alias("negative_id"), F.lit(tier).alias("tier"))
+        cond = [anchors[c] == pool[c] for c in keys] + [
+            anchors["__pick"] == pool["__prn"]
+        ]
+        return anchors.join(pool, cond, "inner").select(
+            anchors["id"], pool["pid"].alias("negative_id"), F.lit(tier).alias("tier")
         )
 
     results: list[DataFrame] = []
@@ -167,12 +175,21 @@ def _wrong_date_pick(base: DataFrame, order_h, seed: int, variant: int) -> DataF
     date buckets are not overweighted (the reference draws uniformly over
     records in (source, split) with a differing date,
     src/sampler/mod.rs:1054-1108)."""
+    from rust_triplets_spark.functions.ordering import bucketed_position, group_count
+
     bucket_h = hash31_col(strfold_col("datek"), seed + BUCKET_SEED_OFF)
-    wm = Window.partitionBy("source", "split").orderBy(
-        bucket_h.asc(), F.col("datek").asc(), order_h.asc(), F.col("id").asc()
-    )
-    members = base.withColumn("__mrn", F.row_number().over(wm) - 1).withColumn(
-        "__n", F.count("*").over(Window.partitionBy("source", "split"))
+    # bucket-contiguous member index without a (source, split)-partition
+    # sort: range-bucket on the leading hash key (see ordering module)
+    members = group_count(
+        bucketed_position(
+            base.withColumn("__bh", bucket_h).withColumn("__oh", order_h),
+            "__bh",
+            ["datek", "__oh", "id"],
+            part_cols=["source", "split"],
+            out_col="__mrn",
+        ),
+        ["source", "split"],
+        out_col="__n",
     )
     bstats = members.groupBy("source", "split", "datek").agg(
         F.min("__mrn").alias("__bstart"), F.count("*").alias("__bcnt")
@@ -192,10 +209,14 @@ def _wrong_date_pick(base: DataFrame, order_h, seed: int, variant: int) -> DataF
     pool = members.select(
         "source", "split", F.col("id").alias("pid"), F.col("__mrn").alias("__prn")
     )
-    return (
-        anchors.join(pool, ["source", "split"], "inner")
-        .where(F.col("__pick") == F.col("__prn"))
-        .select("id", F.col("pid").alias("negative_id"), F.lit("wrong_date").alias("tier"))
+    cond = [
+        anchors["source"] == pool["source"],
+        anchors["split"] == pool["split"],
+        anchors["__pick"] == pool["__prn"],
+    ]
+    return anchors.join(pool, cond, "inner").select(
+        anchors["id"], pool["pid"].alias("negative_id"),
+        F.lit("wrong_date").alias("tier"),
     )
 
 

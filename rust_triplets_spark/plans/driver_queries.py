@@ -661,14 +661,15 @@ FROM ranked
 """,
 )
 def pager_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from rust_triplets_spark.functions.ordering import bucketed_position
 
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(hash31_col("doc_id", SEED).asc(), F.col("doc_id").asc())
-    ranked = docs.select(
+    docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        (F.row_number().over(w) - 1).alias("perm"),
+        hash31_col("doc_id", SEED).alias("__h"),
     )
+    # global hash order realized via range-bucketed ranking (no
+    # single-partition sort; identical positions — see functions.ordering)
+    ranked = bucketed_position(docs, "__h", ["doc_id"], out_col="perm")
     return ranked.select(
         F.floor(F.col("perm") / _PAGE_SIZE).cast("long").alias("page"),
         F.pmod(F.col("perm"), F.lit(_PAGE_SIZE)).cast("long").alias("slot"),
@@ -1091,12 +1092,14 @@ def grouped_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(hash31_col("doc_id", SEED).asc(), F.col("doc_id").asc())
+    # group count via aggregate + broadcast, not a global window (a
+    # partition-less window funnels the corpus through one task)
+    n_groups = docs.agg(F.countDistinct("source").alias("n_groups"))
     g = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
         F.row_number().over(w).alias("rn"),
-        F.size(F.collect_set("source").over(Window.partitionBy())).alias("n_groups"),
-    )
+    ).crossJoin(F.broadcast(n_groups))
     cap = F.ceil(F.lit(100.0) / F.col("n_groups")).cast("long")
     return g.where(F.col("rn") <= cap).select(
         "doc_id", "source", F.col("rn").cast("long").alias("rn")
@@ -1471,3 +1474,27 @@ def csv_role_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup candidates + Hamming distances."""
     return simhash_band_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "bpe_token_stats",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {TX.bpe_token_count_sql('text')} AS n_bpe,
+       {TX.bpe_token_count_sql('text', TX.BPE_WORD)} AS n_word,
+       {TX.bpe_token_count_sql('text', TX.BPE_DIGIT)} AS n_digit,
+       {TX.bpe_token_count_sql('text', TX.BPE_PUNCT)} AS n_punct
+FROM documents
+""",
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter/digit/punct runs) — the
+    subword-side complement of the whitespace tokenizer
+    (src/tokenizer.rs:25-65)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.bpe_token_count_col("text").alias("n_bpe"),
+        TX.bpe_token_count_col("text", TX.BPE_WORD).alias("n_word"),
+        TX.bpe_token_count_col("text", TX.BPE_DIGIT).alias("n_digit"),
+        TX.bpe_token_count_col("text", TX.BPE_PUNCT).alias("n_punct"),
+    )

@@ -107,6 +107,22 @@ def mix31_py(xs: list[int], seed: int = 42) -> int:
     return h
 
 
+def mix31_step_col(h, x, seed: int = 42, i: int = 1) -> Column:
+    """One fold step continuing from an ALREADY-HASHED prefix ``h``:
+    ``mix31_step(hash31(a, seed), b, seed, 1) == mix31([a, b], seed)``.
+
+    Lets callers hoist the shared prefix hash out of a fan-out (e.g. k
+    minhash aggregates over the same shingle hash) — identical values,
+    k× smaller expression trees."""
+    v = F.pmod(_as_long(h) * F.lit(31) + F.pmod(_as_long(x), F.lit(M31)), F.lit(M31))
+    return hash31_col(v, seed + i)
+
+
+def mix31_step_sql(h_sql: str, x_sql: str, seed: int = 42, i: int = 1) -> str:
+    v = f"(({h_sql} * 31 + ((CAST({x_sql} AS BIGINT) % {M31}) + {M31}) % {M31}) % {M31})"
+    return hash31_sql(v, seed + i)
+
+
 # ---------------------------------------------------------------------------
 # string fold: polynomial hash over unicode codepoints
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ def bucketed_position(
     key_space: int = M31,
     n_buckets: int = DEFAULT_BUCKETS,
     out_col: str = "position",
+    count_col: str | None = None,
 ) -> DataFrame:
     """0-based dense rank of each row by ``(key, *tiebreak)`` within
     ``part_cols`` (global when empty), equal to
@@ -46,6 +47,11 @@ def bucketed_position(
     but executed with (partitions × n_buckets)-way parallelism.
 
     ``key_col`` must be a non-negative integer column < ``key_space``.
+
+    ``count_col``: also attach the TOTAL partition row count (the
+    ``count(*) OVER (PARTITION BY part)`` twin) — derived from the same
+    tiny bucket-counts frame and shipped on the same broadcast join, so
+    rank + count together cost one groupBy and one join, not two of each.
     """
     bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
     parts = list(part_cols)
@@ -58,8 +64,75 @@ def bucketed_position(
     w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    extra = []
+    if count_col is not None:
+        w_all = Window.partitionBy(*parts)
+        extra = [F.sum("__c").over(w_all).alias(count_col)]
     starts = counts.select(
-        *parts, "__bkt", F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start")
+        *parts, "__bkt",
+        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start"),
+        *extra,
+    )
+    return (
+        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
+        .withColumn(out_col, (F.col("__start") + F.col("__r")).cast("long"))
+        .drop("__bkt", "__r", "__start")
+    )
+
+
+def bucketed_position_numeric(
+    df: DataFrame,
+    key_col: str,
+    tiebreak: Sequence[str] = (),
+    part_cols: Sequence[str] = (),
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "position",
+    count_col: str | None = None,
+) -> DataFrame:
+    """:func:`bucketed_position` for keys with UNKNOWN range (doubles,
+    unbounded ints): per-partition-group min/max are aggregated first (a
+    tiny frame, broadcast back), and the bucket is the key's position in
+    ``n_buckets`` equal slices of [min, max]. The mapping is monotone in
+    the key, so bucket order aligns with key order and the per-bucket
+    offset trick applies unchanged. Equal keys always land in the same
+    bucket (same arithmetic), so ties are still resolved by the in-bucket
+    sort on (key, *tiebreak).
+
+    Costs one extra tiny aggregate + broadcast join over the integer
+    version; use that one when the key is already a bounded hash."""
+    parts = list(part_cols)
+    key = F.col(key_col).cast("double")
+    bounds = df.groupBy(*parts).agg(
+        F.min(key).alias("__kmin"), F.max(key).alias("__kmax")
+    )
+    if parts:
+        with_bounds = df.join(F.broadcast(bounds), parts, "inner")
+    else:
+        with_bounds = df.crossJoin(F.broadcast(bounds))
+    span = F.col("__kmax") - F.col("__kmin")
+    bkt = F.when(
+        span > 0,
+        F.least(
+            F.floor((key - F.col("__kmin")) / span * F.lit(n_buckets)).cast("long"),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+    with_b = with_bounds.withColumn("__bkt", bkt).drop("__kmin", "__kmax")
+    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
+        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1)
+    counts = with_b.groupBy(*parts, "__bkt").agg(F.count("*").alias("__c"))
+    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    extra = []
+    if count_col is not None:
+        extra = [F.sum("__c").over(Window.partitionBy(*parts)).alias(count_col)]
+    starts = counts.select(
+        *parts, "__bkt",
+        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start"),
+        *extra,
     )
     return (
         ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")

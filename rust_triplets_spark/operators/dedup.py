@@ -19,15 +19,19 @@ oracle-checkable:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.functions.hashing import (
     M31,
+    hash31_col,
+    hash31_sql,
     hash31_str_col,
     hash31_str_sql,
     mix31_col,
     mix31_sql,
+    mix31_step_col,
+    mix31_step_sql,
 )
 from rust_triplets_spark.functions.text import (
     normalize_inline_whitespace_col,
@@ -39,6 +43,10 @@ from rust_triplets_spark.functions.text import (
 MINHASH_SEED = 1000
 BAND_SEED = 2000
 SIMHASH_SEED = 3000
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
 
 
 # ---------------------------------------------------------------------------
@@ -71,37 +79,52 @@ GROUP BY {normalize_inline_whitespace_sql(text_sql)}
 # shingles
 # ---------------------------------------------------------------------------
 
+def shingle_fingerprints_col(text_col, n: int, seed: int = MINHASH_SEED) -> Column:
+    """DISTINCT int64 shingle fingerprints of ``text_col`` as one row-local
+    array expression — no explode, no window, no shuffle. A shingle is the
+    FINGERPRINT of n consecutive tokens: each token is hashed exactly once,
+    a shingle mixes its n token hashes. Skipping the string materialization
+    (concat + re-hash per shingle) keeps downstream explode rows and
+    shuffle keys fixed-width integers — the difference between shuffling
+    ~30-byte strings and 8-byte longs at corpus scale. A fingerprint
+    collision maps both engines to the SAME collision (same hash), so
+    cross-engine parity is unaffected.
+
+    The per-token hash array is bound ONCE as a lambda variable via the
+    1-element-array trick (``transform(array(th_expr), th -> ...)``) —
+    mirroring DuckDB's ``list_transform([th], __th -> ...)`` in the SQL
+    twin. Writing ``element_at(transform(tokens, hash), i)`` directly is a
+    trap: CollapseProject inlines the whole per-token hash transform into
+    every element access, an O(n²) expression-tree blowup (measured: the
+    optimized plan grew to 60 kB and a 500-doc input stopped finishing).
+    The naive exploded formulation (posexplode → window ``lead`` →
+    dropDuplicates → groupBy) was also measured and rejected: three wide
+    shuffles of token-scale rows per consumer, 45 s at sf0.1 vs ~2 s for
+    this shape."""
+    th_expr = F.transform(tokens_col(_c(text_col)), lambda t: hash31_str_col(t, seed))
+
+    def shingles(th):
+        k = F.size(th) - (n - 1)
+        gen = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: mix31_col([F.element_at(th, i + j) for j in range(n)], seed),
+        )
+        return F.when(k > 0, F.array_distinct(gen)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return F.flatten(F.transform(F.array(th_expr), shingles))
+
+
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, seed: int = MINHASH_SEED
 ) -> DataFrame:
-    """(id, shingle) rows where a shingle is the int64 FINGERPRINT of n
-    consecutive tokens: each token is hashed exactly once, a shingle mixes
-    its n token hashes. Skipping the string materialization (concat +
-    re-hash per shingle) keeps explode rows, shuffle keys, and group keys
-    fixed-width integers — the difference between shuffling ~30-byte
-    strings and 8-byte longs at corpus scale. A fingerprint collision maps
-    both engines to the SAME collision (same hash), so cross-engine parity
-    is unaffected.
-
-    Shape: posexplode → per-token hash (LINEAR — one hash per token row)
-    → window ``lead`` to line up the next n-1 hashes → arithmetic mix.
-    The array-expression formulation (``element_at(transform(...), i)``)
-    is a trap: CollapseProject inlines the whole per-token hash transform
-    into every element access, exploding the expression tree (measured:
-    the optimized plan grew to 60 kB and a 500-doc input stopped
-    finishing). Per-doc distinct mirrors the reference shingle SET."""
-    toks = df.select(
+    """(id, shingle) exploded form of :func:`shingle_fingerprints_col`
+    (already distinct per doc; docs with < n tokens produce no rows)."""
+    return df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "__tok"),
+        F.explode(shingle_fingerprints_col(F.col(text_col), n, seed)).alias("shingle"),
     )
-    th = toks.select("id", "pos", hash31_str_col("__tok", seed).alias("__h"))
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("__h")] + [F.lead("__h", j).over(w) for j in range(1, n)]
-    sh = th.select(
-        "id",
-        F.when(parts[-1].isNotNull(), mix31_col(parts, seed)).alias("shingle"),
-    )
-    return sh.where(F.col("shingle").isNotNull()).dropDuplicates(["id", "shingle"])
 
 
 def _shingles_sql(text_sql: str, n: int, seed: int = MINHASH_SEED) -> str:
@@ -129,12 +152,26 @@ def minhash_signatures(
     num_hashes: int = 16, shingle_n: int = 3, seed: int = MINHASH_SEED,
 ) -> DataFrame:
     """(id, mh_0 … mh_{k-1}): per-doc minimum of the i-th shingle hash.
-    One explode + one groupBy with k partial-aggregable mins. Shingles
-    arrive as int64 fingerprints (see _shingles_from_tokens), so the i-th
-    hash is one arithmetic mix — no per-shingle string work."""
-    sh = _with_shingles(df, id_col, text_col, shingle_n, seed)
+
+    Shape: ONE explode of the row-local shingle-fingerprint array (the
+    generator evaluates the array expression once per doc) → ONE groupBy
+    with k partial-aggregable mins (map-side combine shrinks the shuffle
+    to ≤ one row per doc per partition; the min/mix arithmetic runs in
+    whole-stage codegen). A pure array-expression formulation (k ×
+    ``array_min(transform(...))`` columns) was measured and rejected:
+    higher-order functions are CodegenFallback — interpreted, no common-
+    subexpression elimination — so every signature column re-evaluated the
+    whole shingle pipeline (33× recompute, 41 s at sf0.1 vs ~3 s here).
+    Docs with < shingle_n tokens have no shingles and produce no row.
+
+    The shared ``hash31(shingle)`` prefix is hoisted into one projected
+    column so each of the k aggregates folds a single step from it
+    (identical values via ``mix31_step``, k× smaller codegen unit)."""
+    sh = _with_shingles(df, id_col, text_col, shingle_n, seed).select(
+        "id", hash31_col("shingle", seed).alias("__h0")
+    )
     aggs = [
-        F.min(mix31_col([F.col("shingle"), F.lit(i)], seed)).cast("long").alias(f"mh_{i}")
+        F.min(mix31_step_col(F.col("__h0"), F.lit(i), seed)).cast("long").alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -145,12 +182,12 @@ def minhash_signatures_sql(
     num_hashes: int = 16, shingle_n: int = 3, seed: int = MINHASH_SEED,
 ) -> str:
     aggs = ", ".join(
-        f"CAST(min({mix31_sql(['shingle', str(i)], seed)}) AS BIGINT) AS mh_{i}"
+        f"CAST(min({mix31_step_sql('h0', str(i), seed)}) AS BIGINT) AS mh_{i}"
         for i in range(num_hashes)
     )
     return f"""
 WITH sh AS MATERIALIZED (
-  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
+  SELECT CAST({id_sql} AS BIGINT) AS id, {hash31_sql('s.shingle', seed)} AS h0
   FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n, seed)}) AS s(shingle)
 )
 SELECT id, {aggs} FROM sh GROUP BY id
@@ -168,20 +205,28 @@ def minhash_lsh_pairs(
     a near-dup pair should not hinge on one lucky band)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_rows.append(
-            sigs.select(
-                "id",
-                F.lit(b).alias("band"),
-                mix31_col(cols, BAND_SEED + b).alias("sig"),
-            )
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    # both sides of the bucket self-join consume the signature frame; the
+    # frame is tiny (one row per doc) but its lineage is the full shingle
+    # explode + aggregate — cache so it runs once, not once per join side
+    sigs = cache_scoped(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed),
+        "dedup.minhash_sigs",
+    )
+    # ONE explode over per-band structs, not a union of per-band selects —
+    # a union re-evaluates the signature lineage once per band (and the
+    # self-join below doubles that again); this frame is a single pass
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            mix31_col([F.col(f"mh_{b * r + j}") for j in range(r)], BAND_SEED + b).alias("sig"),
         )
-    banded = band_rows[0]
-    for p in band_rows[1:]:
-        banded = banded.unionByName(p)
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
     left = banded.select("band", "sig", F.col("id").alias("a"))
     right = banded.select("band", "sig", F.col("id").alias("b"))
     return (

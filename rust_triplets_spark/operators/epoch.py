@@ -66,14 +66,21 @@ def epoch_order(
         F.col(source_col).alias("source"),
         _shuffle_key_col(id_fold, epoch, label, seed).alias("__id_key"),
     )
-    w_src = Window.partitionBy("source").orderBy("__id_key", "id")
-    ranked = keyed.withColumn("__rn", F.row_number().over(w_src) - 1).drop("__id_key")
+    from rust_triplets_spark.functions.ordering import bucketed_position
+
+    # per-source rank via range-bucketed ranking (__id_key is a uniform
+    # 31-bit hash): a single giant source never pins one sort task
+    ranked = bucketed_position(
+        keyed, "__id_key", ["id"], part_cols=["source"], out_col="__rn"
+    ).drop("__id_key")
 
     stats = (
         ranked.groupBy("source")
         .agg(F.count("*").alias("__cnt"))
         .withColumn("__src_key", _shuffle_key_col(strfold_col("source"), epoch, label, seed))
     )
+    # stats is one row per SOURCE — broadcast scale; a plain global window
+    # over it is the right plan
     w_all = Window.orderBy("__src_key", "source")
     stats = (
         stats.withColumn("__src_rank", F.row_number().over(w_all) - 1)

@@ -100,20 +100,29 @@ def weighted_interleave(
     wdf = spark.createDataFrame(
         [(s, float(w)) for s, w in weights.items()], "__wsrc string, __weight double"
     )
+    from rust_triplets_spark.functions.ordering import (
+        bucketed_position,
+        bucketed_position_numeric,
+    )
+
     idf = strfold_col(id_col) if id_is_string else F.col(id_col).cast("long")
     order_h = hash31_col(idf, seed)
-    w_src = Window.partitionBy(source_col).orderBy(order_h.asc(), F.col(id_col).asc())
-    ranked = df.withColumn("__rn", F.row_number().over(w_src) - 1)
+    # per-source rank and the global stride order are both realized via
+    # range-bucketed ranking — neither a giant source nor the global
+    # interleave ever funnels through a single sort task
+    ranked = bucketed_position(
+        df.withColumn("__oh", order_h), "__oh", [id_col],
+        part_cols=[source_col], out_col="__rn",
+    ).drop("__oh")
     joined = ranked.join(
         F.broadcast(wdf), ranked[source_col] == wdf["__wsrc"], "left"
     ).withColumn("__w", F.coalesce(F.col("__weight"), F.lit(1.0)))
     vtime = (F.col("__rn").cast("double") + F.lit(1.0)) / F.col("__w")
-    w_all = Window.orderBy(vtime.asc(), F.col(source_col).asc(), F.col(id_col).asc())
-    return (
-        joined.where(F.col("__w") > 0)
-        .withColumn("position", (F.row_number().over(w_all) - 1).cast("long"))
-        .drop("__rn", "__w", "__wsrc", "__weight")
+    out = bucketed_position_numeric(
+        joined.where(F.col("__w") > 0).withColumn("__vt", vtime),
+        "__vt", [source_col, id_col], out_col="position",
     )
+    return out.drop("__vt", "__rn", "__w", "__wsrc", "__weight")
 
 
 def weighted_interleave_sql(

@@ -93,12 +93,20 @@ def negative_pick(
         if date_col
         else []
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("source"),
-        F.col(split_col).alias("split"),
-        *date_sel,
-        _fold(id_col, id_is_string).alias("__idf"),
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    # every tier (and both sides within a tier) starts from this slim
+    # projection; cache it so upstream lineage (scan, chunking, split
+    # derivation, …) runs once per negative_pick call
+    base = cache_scoped(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            F.col(split_col).alias("split"),
+            *date_sel,
+            _fold(id_col, id_is_string).alias("__idf"),
+        ),
+        f"negatives.{strategy}.base",
     )
     order_h = hash31_col(F.col("__idf"), seed + POOL_SEED_OFF)
     pick_mix = mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF)
@@ -110,13 +118,21 @@ def negative_pick(
         ``row_number`` window — a pool keyed only by ``split`` would
         otherwise sort the whole corpus in 3 tasks. The pick join's key is
         (keys…, index), so the join itself distributes over pool indexes,
-        not over the low-cardinality pool key."""
-        from rust_triplets_spark.functions.ordering import bucketed_position, group_count
+        not over the low-cardinality pool key.
+
+        The ranked frame feeds BOTH join sides (anchors and pool) plus the
+        broadcast-offsets subtree inside bucketed_position — cached per
+        tier so the rank pipeline runs once, not once per consumer."""
+        from rust_triplets_spark.functions.caching import cache_scoped
+        from rust_triplets_spark.functions.ordering import bucketed_position
 
         frame = (base if src is None else src).withColumn("__oh", order_h)
-        ranked = group_count(
-            bucketed_position(frame, "__oh", ["id"], part_cols=keys, out_col="__rn"),
-            keys,
+        ranked = cache_scoped(
+            bucketed_position(
+                frame, "__oh", ["id"], part_cols=keys,
+                out_col="__rn", count_col="__cnt",
+            ),
+            f"negatives.{strategy}.{tier}",
         )
         # divisor made total with greatest(.,1): singleton pools are filtered
         # out below, but ANSI mode evaluates the expression wherever Catalyst
@@ -175,21 +191,24 @@ def _wrong_date_pick(base: DataFrame, order_h, seed: int, variant: int) -> DataF
     date buckets are not overweighted (the reference draws uniformly over
     records in (source, split) with a differing date,
     src/sampler/mod.rs:1054-1108)."""
-    from rust_triplets_spark.functions.ordering import bucketed_position, group_count
+    from rust_triplets_spark.functions.ordering import bucketed_position
+
+    from rust_triplets_spark.functions.caching import cache_scoped
 
     bucket_h = hash31_col(strfold_col("datek"), seed + BUCKET_SEED_OFF)
     # bucket-contiguous member index without a (source, split)-partition
-    # sort: range-bucket on the leading hash key (see ordering module)
-    members = group_count(
+    # sort: range-bucket on the leading hash key (see ordering module).
+    # Cached: consumed by bstats, the anchor join, and the pool side.
+    members = cache_scoped(
         bucketed_position(
             base.withColumn("__bh", bucket_h).withColumn("__oh", order_h),
             "__bh",
             ["datek", "__oh", "id"],
             part_cols=["source", "split"],
             out_col="__mrn",
+            count_col="__n",
         ),
-        ["source", "split"],
-        out_col="__n",
+        "negatives.wrong_date.members",
     )
     bstats = members.groupBy("source", "split", "datek").agg(
         F.min("__mrn").alias("__bstart"), F.count("*").alias("__bcnt")

@@ -1235,15 +1235,15 @@ def affine_perm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the value lands in [0, n)) is replaced by rank-compaction of the
     2^k-domain image — the same bijection [0,n)→[0,n), one window function
     instead of an unbounded loop."""
-    from pyspark.sql import Window
+    from rust_triplets_spark.functions.ordering import bucketed_position_numeric
 
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    idx = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("idx"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
     )
+    # both global ranks (index assignment, rank-compaction) via range-
+    # bucketed ranking — no single-partition sort; the row count rides the
+    # same broadcast as the bucket offsets
+    idx = bucketed_position_numeric(docs, "doc_id", out_col="idx", count_col="n")
     k = F.ceil(F.log2(F.greatest(F.col("n"), F.lit(2)).cast("double"))).cast("int")
     # shiftleft's python wrapper only takes an int literal; the SQL form
     # accepts a column for the shift amount
@@ -1251,9 +1251,8 @@ def affine_perm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.expr("CAST(shiftleft(CAST(1 AS BIGINT), __k) AS BIGINT)")
     )
     p = m.withColumn("perm0", F.pmod(F.lit(_AFFINE_A) * F.col("idx") + F.lit(_AFFINE_B), F.col("m")))
-    return p.select(
-        (F.row_number().over(Window.orderBy("perm0")) - 1).cast("long").alias("position"),
-        "doc_id",
+    return bucketed_position_numeric(p, "perm0", out_col="position").select(
+        F.col("position").cast("long").alias("position"), "doc_id"
     )
 
 
@@ -1274,18 +1273,24 @@ FROM r
 def round_robin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted round-robin drain (src/ingestion.rs:583-604): one record
     per source per turn, per-source order deterministic by hash."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(hash31_col("doc_id", SEED).asc(), F.col("doc_id").asc())
-    r = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source",
-        F.row_number().over(w).alias("turn"),
+    from rust_triplets_spark.functions.ordering import (
+        bucketed_position,
+        bucketed_position_numeric,
     )
-    return r.select(
-        (F.row_number().over(Window.orderBy("turn", "source", "doc_id")) - 1)
-        .cast("long").alias("position"),
-        "doc_id", "source",
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        hash31_col("doc_id", SEED).alias("__h"),
+    )
+    # per-source turn + global (turn, source) order, both bucket-ranked —
+    # no single-partition sort at either level
+    r = bucketed_position(
+        docs, "__h", ["doc_id"], part_cols=["source"], out_col="__t"
+    ).withColumn("turn", F.col("__t") + 1)
+    return bucketed_position_numeric(
+        r, "turn", ["source", "doc_id"], out_col="position"
+    ).select(
+        F.col("position").cast("long").alias("position"), "doc_id", "source"
     )
 
 

@@ -29,7 +29,22 @@ _LIVE: dict[str, list[DataFrame]] = {}
 
 
 def cache_scoped(df: DataFrame, scope: str) -> DataFrame:
-    """Persist ``df`` under ``scope``, releasing the previous generation."""
+    """Persist ``df`` under ``scope``, releasing the previous generation.
+
+    If the scope's live frame is semantically identical to ``df`` (same
+    analyzed plan — e.g. triplet assembly re-invoked with the same inputs
+    by the pairs query), the ALREADY-MATERIALIZED frame is returned
+    instead of evicting and recomputing it: repeated calls are free, and
+    the at-most-one-generation memory bound still holds."""
+    live = _LIVE.get(scope)
+    if live:
+        try:
+            if live[-1].sparkSession is df.sparkSession and df.sameSemantics(
+                live[-1]
+            ):
+                return live[-1]
+        except Exception:
+            pass  # session of the live frame already stopped — evict below
     release_scope(scope)
     out = df.persist()
     _LIVE.setdefault(scope, []).append(out)

@@ -14,6 +14,14 @@ broadcast join back. Total order realized: (key, *tiebreak) — exactly what
 the single window would produce, so DuckDB oracle twins can keep the plain
 ``row_number`` form.
 
+Exchange-reuse note: the bucket-counts frame is aggregated FROM THE RANKED
+frame, not from the input. The rank window shuffles on hash(parts, __bkt)
+and its output keeps that partitioning, so the counts aggregate needs no
+new exchange — and because the counts subtree and the join's probe side
+share the identical Exchange node, Spark's ReuseExchange rule executes the
+upstream lineage ONCE. Aggregating from the raw input instead would run
+the whole upstream pipeline twice (measured 2× on every caller at sf0.1).
+
 Skew note: hash-valued keys (hash31 outputs are uniform on [0, M31)) fill
 buckets evenly by construction; arbitrary keys may skew buckets, which
 still caps any task at the largest bucket rather than the whole frame.
@@ -29,6 +37,47 @@ from pyspark.sql import functions as F
 from rust_triplets_spark.functions.hashing import M31
 
 DEFAULT_BUCKETS = 1024
+
+
+def _rank_and_offset(
+    with_b: DataFrame,
+    key_col: str,
+    tiebreak: Sequence[str],
+    parts: list[str],
+    out_col: str,
+    count_col: str | None,
+) -> DataFrame:
+    """Shared tail of the bucketed-ranking plans: rank within
+    (parts, __bkt), derive per-bucket counts from the RANKED frame (no new
+    shuffle — see module doc), prefix-sum them into start offsets, and
+    broadcast-join the offsets back.
+
+    ``count_col``: also attach the TOTAL partition row count (the
+    ``count(*) OVER (PARTITION BY part)`` twin) — derived from the same
+    tiny bucket-counts frame and shipped on the same broadcast join, so
+    rank + count together cost one aggregate and one join, not two of each.
+    """
+    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
+        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1)
+    counts = ranked.groupBy(*parts, "__bkt").agg(F.count("*").alias("__c"))
+    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    extra = []
+    if count_col is not None:
+        extra = [F.sum("__c").over(Window.partitionBy(*parts)).alias(count_col)]
+    starts = counts.select(
+        *parts, "__bkt",
+        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start"),
+        *extra,
+    )
+    return (
+        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
+        .withColumn(out_col, (F.col("__start") + F.col("__r")).cast("long"))
+        .drop("__bkt", "__r", "__start")
+    )
 
 
 def bucketed_position(
@@ -47,37 +96,11 @@ def bucketed_position(
     but executed with (partitions × n_buckets)-way parallelism.
 
     ``key_col`` must be a non-negative integer column < ``key_space``.
-
-    ``count_col``: also attach the TOTAL partition row count (the
-    ``count(*) OVER (PARTITION BY part)`` twin) — derived from the same
-    tiny bucket-counts frame and shipped on the same broadcast join, so
-    rank + count together cost one groupBy and one join, not two of each.
     """
     bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
     parts = list(part_cols)
     with_b = df.withColumn("__bkt", (F.col(key_col) / F.lit(bsize)).cast("long"))
-    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
-        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
-    )
-    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1)
-    counts = with_b.groupBy(*parts, "__bkt").agg(F.count("*").alias("__c"))
-    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    extra = []
-    if count_col is not None:
-        w_all = Window.partitionBy(*parts)
-        extra = [F.sum("__c").over(w_all).alias(count_col)]
-    starts = counts.select(
-        *parts, "__bkt",
-        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start"),
-        *extra,
-    )
-    return (
-        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
-        .withColumn(out_col, (F.col("__start") + F.col("__r")).cast("long"))
-        .drop("__bkt", "__r", "__start")
-    )
+    return _rank_and_offset(with_b, key_col, tiebreak, parts, out_col, count_col)
 
 
 def bucketed_position_numeric(
@@ -99,7 +122,9 @@ def bucketed_position_numeric(
     sort on (key, *tiebreak).
 
     Costs one extra tiny aggregate + broadcast join over the integer
-    version; use that one when the key is already a bounded hash."""
+    version (the bounds prepass re-reads the input lineage; any shuffle in
+    that lineage is ReuseExchange-shared with the main pass); use the
+    integer version when the key is already a bounded hash."""
     parts = list(part_cols)
     key = F.col(key_col).cast("double")
     bounds = df.groupBy(*parts).agg(
@@ -118,27 +143,7 @@ def bucketed_position_numeric(
         ),
     ).otherwise(F.lit(0))
     with_b = with_bounds.withColumn("__bkt", bkt).drop("__kmin", "__kmax")
-    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
-        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
-    )
-    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1)
-    counts = with_b.groupBy(*parts, "__bkt").agg(F.count("*").alias("__c"))
-    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    extra = []
-    if count_col is not None:
-        extra = [F.sum("__c").over(Window.partitionBy(*parts)).alias(count_col)]
-    starts = counts.select(
-        *parts, "__bkt",
-        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start"),
-        *extra,
-    )
-    return (
-        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
-        .withColumn(out_col, (F.col("__start") + F.col("__r")).cast("long"))
-        .drop("__bkt", "__r", "__start")
-    )
+    return _rank_and_offset(with_b, key_col, tiebreak, parts, out_col, count_col)
 
 
 def group_count(

@@ -86,14 +86,19 @@ def bm25_scores(
     # a repeat call releases the previous generation's blocks.
     base = cache_scoped(base, "bm25.base")
     # dl rides along in the postings key (functionally determined by did):
-    # the per-hit frame then never joins a doc-length side at all
+    # the per-hit frame then never joins a doc-length side at all.
+    # split rides along too (when given) so the split-isolation filter
+    # applies BEFORE the hit-scale join instead of after aggregation —
+    # same surviving (qid, did) groups, ~sum(split_share²) of the rows.
     postings = cache_scoped(
         base.select(
             "did", "source",
+            *( [F.col("split").alias("__psplit")] if split_col else [] ),
             F.size("__terms").cast("long").alias("dl"),
             F.explode("__terms").alias("term"),
         )
-        .groupBy("source", "term", "did", "dl")
+        .groupBy("source", "term", "did", "dl",
+                 *( ["__psplit"] if split_col else [] ))
         .agg(F.count("*").cast("long").alias("tf")),
         "bm25.postings",
     )
@@ -133,6 +138,8 @@ def bm25_scores(
     )
     q_terms = q_terms.withColumn("__idf", idf)
     joined = q_terms.join(postings, ["source", "term"], "inner")
+    if split_col:
+        joined = joined.where(F.col("qsplit") == F.col("__psplit"))
     tf_part = (
         F.col("tf").cast("double") * F.lit(K1 + 1.0)
     ) / (
@@ -160,13 +167,7 @@ def bm25_topk(
     bm25_backend.rs:243-249). Returns (qid, rank, did, score_q)."""
     scores = bm25_scores(docs, id_col, source_col, text_col, split_col)
     scores = scores.where(F.col("qid") != F.col("did"))
-    if split_col:
-        cand_splits = docs.select(
-            F.col(id_col).cast("long").alias("did"), F.col(split_col).alias("__dsplit")
-        )
-        scores = scores.join(cand_splits, "did").where(
-            F.col("qsplit") == F.col("__dsplit")
-        )
+    # split isolation already applied inside bm25_scores (pre-join filter)
     score_q = F.round(F.col("score"), 9)
     w = Window.partitionBy("qid").orderBy(score_q.desc(), F.col("did").asc())
     return (

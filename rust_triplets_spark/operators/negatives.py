@@ -2,33 +2,47 @@
 layer: ``WrongArticle``, ``WrongPublicationDate``, ``QuestionAnswerMismatch``
 (``src/sampler/mod.rs:995-1151``), each with the same-split fallback tier.
 
-Design: **indexed-pool pick**, not candidate explosion. The reference picks
-one uniform-random candidate from a strategy-filtered pool; a naive Spark
-translation joins every anchor to its whole pool and ranks (O(n·pool)
-shuffle). Instead each pool member gets a deterministic index
-(``row_number`` over a seeded hash order), and an anchor picks index
-``k = mix(anchor, variant) % (pool_size - 1)`` with its own slot skipped via
-``k >= own_rank ? k+1 : k`` — one window function plus ONE 1:1 equi-join on
-``(pool_key, index)``, both co-partitioned by the pool key. O(n) at any
-corpus size, no skew amplification, and exactly expressible in DuckDB SQL
-for the oracle.
+Design: **one hierarchically-ordered ranked frame per strategy**, not one
+ranking pipeline per tier. The tier pool keys nest —
+``(source, split, datek) ⊂ (source, split) ⊂ (split)`` — so ranking every
+record ONCE per split in the hierarchical order
+``(source_hash, source, datek, record_hash, id)`` makes every tier's pool a
+*contiguous rank range*:
 
-Split isolation (``src/config.rs:123-136``): every pool is partitioned by
+- per-(source, datek) ranges serve the same-date tier,
+- per-source ranges serve the same-source tier,
+- the whole split serves the fallback tier.
+
+Range starts/sizes come from one tiny aggregate (broadcast back), tier
+choice + uniform pick become pure row-local arithmetic (pick a slot in the
+chosen range, skipping self / the anchor's own date bucket), and ALL tiers
+share a single equi-join on ``(split, rank)``. Cost: one distributed rank
+(range-bucketed, no single-partition sort), one small aggregate, one 1:1
+join — O(n) at any corpus size, skew-free (the join key is the unique
+rank), vs. the naive plan's per-tier candidate explosion or per-tier
+rank+join+union chains.
+
+The pick is a deterministic uniform draw from the strategy pool — the
+reference's contract (``DefaultBackend``,
+src/sampler/backends/default_backend.rs:26-72) — under THIS engine's
+determinism spec (stateless seeded hashes; the reference's RNG-stream
+sequences are explicitly not bit-replicated, SURVEY §7.0).
+
+Split isolation (``src/config.rs:123-136``): ranks are computed within
 ``split``, so anchor and negative always share the requested split.
 
 Tiers mirror the reference:
 
 - ``wrong_article``: same (source, split, date) excluding self — only rows
-  with a REAL date participate, matching the reference's "both dates
-  present and equal" gate (src/sampler/mod.rs:1005-1014; undated records
-  fall through) → same (source, split) → fallback same split (tier named
-  ``fallback_same_split``, src/sampler/mod.rs:1392-1395);
+  with a REAL date get the tier (src/sampler/mod.rs:1005-1014; undated
+  records fall through) → same (source, split) → fallback same split
+  (tier named ``fallback_same_split``, src/sampler/mod.rs:1392-1395);
 - ``wrong_publication_date``: pick uniformly over ALL records of the same
   (source, split) whose date bucket differs from the anchor's — NULL dates
   form their own bucket, so "exactly one side missing" counts as differing
-  (src/sampler/mod.rs:1054-1108); members are ranked in one flattened
-  bucket-contiguous order and the anchor's own bucket is skipped
-  arithmetically, so small date buckets are NOT overweighted (the
+  (src/sampler/mod.rs:1054-1108); the hierarchical order within a source
+  is bucket-contiguous, so the anchor's own bucket is skipped
+  arithmetically and small date buckets are NOT overweighted (the
   reference draws uniformly over records, not buckets); fallback same
   split;
 - ``qa_mismatch``: same (source, split) excluding self; fallback same split
@@ -41,7 +55,7 @@ rotation cursors (src/sampler/mod.rs:443-470) with stateless arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.functions.hashing import (
@@ -54,9 +68,10 @@ from rust_triplets_spark.functions.hashing import (
 )
 
 # seed offsets — fixed parts of this engine's determinism spec
-POOL_SEED_OFF = 101  # pool ordering
+POOL_SEED_OFF = 101  # record ordering within a pool
 PICK_SEED_OFF = 202  # which pool index an anchor picks
-BUCKET_SEED_OFF = 303  # date-bucket ordering / pick
+BUCKET_SEED_OFF = 303  # date-bucket ordering
+SRC_SEED_OFF = 606  # source ordering within a split
 
 NULL_DATE = "§null§"
 
@@ -88,155 +103,129 @@ def negative_pick(
     if strategy == "wrong_publication_date" and not date_col:
         raise ValueError("wrong_publication_date requires date_col")
 
+    from rust_triplets_spark.functions.caching import cache_scoped
+    from rust_triplets_spark.functions.ordering import bucketed_position
+
+    dated = strategy == "wrong_article" and date_col is not None
+    wd = strategy == "wrong_publication_date"
     date_sel = (
         [F.coalesce(F.col(date_col).cast("string"), F.lit(NULL_DATE)).alias("datek")]
         if date_col
         else []
     )
-    from rust_triplets_spark.functions.caching import cache_scoped
-
-    # every tier (and both sides within a tier) starts from this slim
-    # projection; cache it so upstream lineage (scan, chunking, split
-    # derivation, …) runs once per negative_pick call
-    base = cache_scoped(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(source_col).alias("source"),
-            F.col(split_col).alias("split"),
-            *date_sel,
-            _fold(id_col, id_is_string).alias("__idf"),
-        ),
-        f"negatives.{strategy}.base",
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(split_col).alias("split"),
+        *date_sel,
+        _fold(id_col, id_is_string).alias("__idf"),
     )
-    order_h = hash31_col(F.col("__idf"), seed + POOL_SEED_OFF)
-    pick_mix = mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF)
+    base = base.withColumn(
+        "__srck", hash31_col(strfold_col("source"), seed + SRC_SEED_OFF)
+    ).withColumn("__oh", hash31_col(F.col("__idf"), seed + POOL_SEED_OFF))
 
-    def tier_pick(keys: list[str], tier: str, src: DataFrame | None = None) -> DataFrame:
-        """Indexed-pool pick with self-exclusion within ``keys`` pools.
-
-        Pool indexes come from :func:`bucketed_position`, NOT a bare
-        ``row_number`` window — a pool keyed only by ``split`` would
-        otherwise sort the whole corpus in 3 tasks. The pick join's key is
-        (keys…, index), so the join itself distributes over pool indexes,
-        not over the low-cardinality pool key.
-
-        The ranked frame feeds BOTH join sides (anchors and pool) plus the
-        broadcast-offsets subtree inside bucketed_position — cached per
-        tier so the rank pipeline runs once, not once per consumer."""
-        from rust_triplets_spark.functions.caching import cache_scoped
-        from rust_triplets_spark.functions.ordering import bucketed_position
-
-        frame = (base if src is None else src).withColumn("__oh", order_h)
-        ranked = cache_scoped(
-            bucketed_position(
-                frame, "__oh", ["id"], part_cols=keys,
-                out_col="__rn", count_col="__cnt",
-            ),
-            f"negatives.{strategy}.{tier}",
+    # hierarchical order within split; for wrong_date the per-source order
+    # is additionally date-bucket-contiguous (bucket hash before datek)
+    tiebreak = ["source"]
+    if wd:
+        base = base.withColumn(
+            "__bh", hash31_col(strfold_col("datek"), seed + BUCKET_SEED_OFF)
         )
-        # divisor made total with greatest(.,1): singleton pools are filtered
-        # out below, but ANSI mode evaluates the expression wherever Catalyst
-        # places it (e.g. as a join key), so it must never divide by zero
-        k = F.pmod(pick_mix, F.greatest(F.col("__cnt") - 1, F.lit(1)))
-        anchors = ranked.where(F.col("__cnt") >= 2).withColumn(
-            "__pick", F.when(k >= F.col("__rn"), k + 1).otherwise(k)
-        ).select("id", *keys, "__pick")
-        pool = ranked.select(*keys, F.col("id").alias("pid"), F.col("__rn").alias("__prn"))
-        cond = [anchors[c] == pool[c] for c in keys] + [
-            anchors["__pick"] == pool["__prn"]
-        ]
-        return anchors.join(pool, cond, "inner").select(
-            anchors["id"], pool["pid"].alias("negative_id"), F.lit(tier).alias("tier")
-        )
+        tiebreak += ["__bh", "datek"]
+    elif date_col:
+        tiebreak += ["datek"]
+    tiebreak += ["__oh", "id"]
 
-    results: list[DataFrame] = []
-    if strategy == "wrong_article" and date_col:
-        # same-date tier only buckets REAL dates: the reference requires
-        # both dates present and equal (src/sampler/mod.rs:1005-1014), so
-        # two undated records must NOT count as "same date" — they fall
-        # through to the same-source tier.
-        results.append(
-            tier_pick(
-                ["source", "split", "datek"],
-                "same_source_same_date",
-                base.where(F.col("datek") != NULL_DATE),
-            )
-        )
-    if strategy in ("wrong_article", "qa_mismatch"):
-        results.append(tier_pick(["source", "split"], "same_source"))
-    if strategy == "wrong_publication_date":
-        results.append(_wrong_date_pick(base, order_h, seed, variant))
-    results.append(tier_pick(["split"], "fallback_same_split"))
-
-    # earlier tier wins — resolved with ONE row_number over the tier union
-    # (an anti-join chain would shuffle once per tier)
-    tagged = results[0].withColumn("__prio", F.lit(0))
-    for i, r in enumerate(results[1:], start=1):
-        tagged = tagged.unionByName(r.withColumn("__prio", F.lit(i)))
-    w = Window.partitionBy("id").orderBy(F.col("__prio").asc())
-    return (
-        tagged.withColumn("__trn", F.row_number().over(w))
-        .where(F.col("__trn") == 1)
-        .select("id", "negative_id", "tier")
-    )
-
-
-def _wrong_date_pick(base: DataFrame, order_h, seed: int, variant: int) -> DataFrame:
-    """Uniform pick over ALL different-date records within (source, split).
-
-    Members are ranked in one flattened order where each date bucket is
-    contiguous (ordered by bucket hash, then member hash); an anchor draws
-    ``k ∈ [0, n - own_bucket_size)`` and shifts past its own bucket's
-    contiguous range — uniform over the whole different-date pool, so small
-    date buckets are not overweighted (the reference draws uniformly over
-    records in (source, split) with a differing date,
-    src/sampler/mod.rs:1054-1108)."""
-    from rust_triplets_spark.functions.ordering import bucketed_position
-
-    from rust_triplets_spark.functions.caching import cache_scoped
-
-    bucket_h = hash31_col(strfold_col("datek"), seed + BUCKET_SEED_OFF)
-    # bucket-contiguous member index without a (source, split)-partition
-    # sort: range-bucket on the leading hash key (see ordering module).
-    # Cached: consumed by bstats, the anchor join, and the pool side.
-    members = cache_scoped(
+    # ranked is consumed by the stats aggregate, the anchor side, and the
+    # pool side of the pick join — cache so the rank pipeline runs once
+    ranked = cache_scoped(
         bucketed_position(
-            base.withColumn("__bh", bucket_h).withColumn("__oh", order_h),
-            "__bh",
-            ["datek", "__oh", "id"],
-            part_cols=["source", "split"],
-            out_col="__mrn",
-            count_col="__n",
+            base, "__srck", tiebreak, part_cols=["split"],
+            out_col="__grn", count_col="__ns",
         ),
-        "negatives.wrong_date.members",
+        f"negatives.{strategy}.ranked",
     )
-    bstats = members.groupBy("source", "split", "datek").agg(
-        F.min("__mrn").alias("__bstart"), F.count("*").alias("__bcnt")
+
+    # tier range stats: one pass over the ranked frame, broadcast back.
+    # g1 (finest grain) feeds g2 so the corpus is scanned once.
+    if date_col:
+        g1 = ranked.groupBy("split", "source", "datek").agg(
+            F.min("__grn").alias("__st1"), F.count("*").alias("__c1")
+        )
+        g2 = g1.groupBy("split", "source").agg(
+            F.min("__st1").alias("__st2"), F.sum("__c1").alias("__c2")
+        )
+        anchors = ranked.join(
+            F.broadcast(g1), ["split", "source", "datek"], "inner"
+        ).join(F.broadcast(g2), ["split", "source"], "inner")
+    else:
+        g2 = ranked.groupBy("split", "source").agg(
+            F.min("__grn").alias("__st2"), F.count("*").alias("__c2")
+        )
+        anchors = ranked.join(F.broadcast(g2), ["split", "source"], "inner")
+
+    pick_mix = mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF)
+    # all divisors made total with greatest(.,1): ineligible tiers are
+    # masked out by the CASE, but ANSI mode evaluates subexpressions
+    # wherever Catalyst places them, so none may divide by zero
+    def skip_self(k, start, cnt_unused=None):
+        self_idx = F.col("__grn") - start
+        return start + F.when(k >= self_idx, k + 1).otherwise(k)
+
+    k_s = F.pmod(pick_mix, F.greatest(F.col("__ns") - 1, F.lit(1)))
+    p_fallback = F.when(k_s >= F.col("__grn"), k_s + 1).otherwise(k_s)
+    fallback_ok = F.col("__ns") >= 2
+
+    if wd:
+        # uniform over all different-date members of (source, split): draw
+        # k in [0, n - own_bucket) and shift past the own bucket's
+        # contiguous range
+        local_bstart = F.col("__st1") - F.col("__st2")
+        k_wd = F.pmod(
+            pick_mix, F.greatest(F.col("__c2") - F.col("__c1"), F.lit(1))
+        )
+        p_wd = F.col("__st2") + F.when(
+            k_wd >= local_bstart, k_wd + F.col("__c1")
+        ).otherwise(k_wd)
+        tier = F.when(F.col("__c2") > F.col("__c1"), F.lit("wrong_date")).when(
+            fallback_ok, F.lit("fallback_same_split")
+        )
+        gpick = F.when(F.col("__c2") > F.col("__c1"), p_wd).when(
+            fallback_ok, p_fallback
+        )
+    else:
+        k_ss = F.pmod(pick_mix, F.greatest(F.col("__c2") - 1, F.lit(1)))
+        p_ss = skip_self(k_ss, F.col("__st2"))
+        ss_ok = F.col("__c2") >= 2
+        if dated:
+            k_ssd = F.pmod(pick_mix, F.greatest(F.col("__c1") - 1, F.lit(1)))
+            p_ssd = skip_self(k_ssd, F.col("__st1"))
+            ssd_ok = (F.col("datek") != NULL_DATE) & (F.col("__c1") >= 2)
+            tier = (
+                F.when(ssd_ok, F.lit("same_source_same_date"))
+                .when(ss_ok, F.lit("same_source"))
+                .when(fallback_ok, F.lit("fallback_same_split"))
+            )
+            gpick = F.when(ssd_ok, p_ssd).when(ss_ok, p_ss).when(
+                fallback_ok, p_fallback
+            )
+        else:
+            tier = F.when(ss_ok, F.lit("same_source")).when(
+                fallback_ok, F.lit("fallback_same_split")
+            )
+            gpick = F.when(ss_ok, p_ss).when(fallback_ok, p_fallback)
+
+    anchors = anchors.select(
+        "id", "split", tier.alias("tier"), gpick.alias("__gpick")
+    ).where(F.col("tier").isNotNull())
+    pool = ranked.select(
+        "split", F.col("id").alias("negative_id"), F.col("__grn").alias("__prn")
     )
-    anchors = members.join(bstats, ["source", "split", "datek"], "inner").where(
-        F.col("__n") > F.col("__bcnt")  # at least one different-date member
-    )
-    # total divisor (see tier_pick): all-one-bucket groups are filtered out,
-    # but the expression must be safe wherever ANSI-mode codegen evaluates it
-    k = F.pmod(
-        mix31_col([F.col("__idf"), F.lit(variant)], seed + PICK_SEED_OFF),
-        F.greatest(F.col("__n") - F.col("__bcnt"), F.lit(1)),
-    )
-    anchors = anchors.withColumn(
-        "__pick", F.when(k >= F.col("__bstart"), k + F.col("__bcnt")).otherwise(k)
-    ).select("id", "source", "split", "__pick")
-    pool = members.select(
-        "source", "split", F.col("id").alias("pid"), F.col("__mrn").alias("__prn")
-    )
-    cond = [
-        anchors["source"] == pool["source"],
-        anchors["split"] == pool["split"],
-        anchors["__pick"] == pool["__prn"],
-    ]
-    return anchors.join(pool, cond, "inner").select(
-        anchors["id"], pool["pid"].alias("negative_id"),
-        F.lit("wrong_date").alias("tier"),
-    )
+    return anchors.join(
+        pool,
+        (anchors["split"] == pool["split"]) & (anchors["__gpick"] == pool["__prn"]),
+        "inner",
+    ).select(anchors["id"], pool["negative_id"], anchors["tier"])
 
 
 # ---------------------------------------------------------------------------
@@ -259,92 +248,111 @@ def negative_pick_sql(
     name or a parenthesized subquery. Returns (id, negative_id, tier)."""
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
-
-    def idf(q: str) -> str:
-        return _fold_sql(f"{q}.id", id_is_string)
-
-    def order_h(q: str) -> str:
-        return hash31_sql(idf(q), seed + POOL_SEED_OFF)
-
-    def pick_mix(q: str, off: int = PICK_SEED_OFF) -> str:
-        return mix31_sql([idf(q), str(variant)], seed + off)
-
-    datek = f"coalesce(CAST({date_sql} AS VARCHAR), '{NULL_DATE}')" if date_sql else "NULL"
-    base = (
-        f"base AS MATERIALIZED (SELECT {id_sql} AS id, {source_sql} AS source, {split_sql} AS split, "
-        f"{datek} AS datek FROM {table_sql} WHERE {where})"
-    )
-    order_h_base = hash31_sql(_fold_sql("id", id_is_string), seed + POOL_SEED_OFF)
-
-    def pool_cte(keys: str, name: str, pool_where: str = "TRUE") -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY {keys} "
-            f"ORDER BY {order_h_base}, id) - 1 AS rn, "
-            f"count(*) OVER (PARTITION BY {keys}) AS cnt FROM base WHERE {pool_where})"
-        )
-
-    def tier_select(keys: str, name: str, tier: str, not_served: str) -> str:
-        k = f"({pick_mix('a')} % (a.cnt - 1))"
-        idx = f"CASE WHEN {k} >= a.rn THEN {k} + 1 ELSE {k} END"
-        join_keys = " AND ".join(
-            f"a.{c.strip()} = p.{c.strip()}" for c in keys.split(",")
-        )
-        return (
-            f"SELECT a.id, p.id AS negative_id, '{tier}' AS tier "
-            f"FROM {name} a JOIN {name} p ON {join_keys} AND p.rn = ({idx}) "
-            f"WHERE a.cnt >= 2{not_served}"
-        )
-
-    if strategy == "qa_mismatch" or (strategy == "wrong_article" and not date_sql):
-        return (
-            f"WITH {base}, {pool_cte('source, split', 'p_ss')}, {pool_cte('split', 'p_s')}, "
-            f"t1 AS ({tier_select('source, split', 'p_ss', 'same_source', '')}) "
-            f"SELECT * FROM t1 UNION ALL "
-            f"{tier_select('split', 'p_s', 'fallback_same_split', ' AND a.id NOT IN (SELECT id FROM t1)')}"
-        )
-
-    if strategy == "wrong_article":
-        # same-date tier only over real dates (src/sampler/mod.rs:1005-1014)
-        real_date = f"datek <> '{NULL_DATE}'"
-        return (
-            f"WITH {base}, {pool_cte('source, split, datek', 'p_ssd', real_date)}, "
-            f"{pool_cte('source, split', 'p_ss')}, {pool_cte('split', 'p_s')}, "
-            f"t0 AS ({tier_select('source, split, datek', 'p_ssd', 'same_source_same_date', '')}), "
-            f"t1 AS ({tier_select('source, split', 'p_ss', 'same_source', ' AND a.id NOT IN (SELECT id FROM t0)')}) "
-            f"SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL "
-            f"{tier_select('split', 'p_s', 'fallback_same_split', ' AND a.id NOT IN (SELECT id FROM t0 UNION ALL SELECT id FROM t1)')}"
-        )
-
-    # wrong_publication_date — uniform over the flattened different-date
-    # member pool (bucket-contiguous rank + arithmetic skip of the
-    # anchor's own bucket); see _wrong_date_pick
-    if not date_sql:
+    if strategy == "wrong_publication_date" and not date_sql:
         raise ValueError("wrong_publication_date requires date_sql")
-    bkey = hash31_sql(strfold_sql("datek"), seed + BUCKET_SEED_OFF)
-    k = f"({pick_mix('a')} % (a.n - a.bcnt))"
-    return f"""
-WITH {base}, members AS MATERIALIZED (
-  SELECT *,
-         row_number() OVER (PARTITION BY source, split ORDER BY {bkey}, datek, {order_h_base}, id) - 1 AS mrn,
-         count(*) OVER (PARTITION BY source, split) AS n
-  FROM base
-), bstats AS (
-  SELECT source, split, datek, min(mrn) AS bstart, count(*) AS bcnt
-  FROM members GROUP BY source, split, datek
-), anchors AS (
-  SELECT m.id, m.source, m.split, b.bstart, b.bcnt, m.n
-  FROM members m JOIN bstats b USING (source, split, datek)
-  WHERE m.n > b.bcnt
-), picked AS (
-  SELECT a.id, a.source, a.split,
-         CASE WHEN {k} >= a.bstart THEN {k} + a.bcnt ELSE {k} END AS pick
-  FROM anchors a
-), {pool_cte('split', 'p_s')}, t1 AS (
-  SELECT p.id, m.id AS negative_id, 'wrong_date' AS tier
-  FROM picked p JOIN members m
-    ON m.source = p.source AND m.split = p.split AND m.mrn = p.pick
-)
-SELECT * FROM t1
-UNION ALL
-{tier_select('split', 'p_s', 'fallback_same_split', ' AND a.id NOT IN (SELECT id FROM t1)')}
-"""
+
+    dated = strategy == "wrong_article" and date_sql is not None
+    wd = strategy == "wrong_publication_date"
+
+    datek = (
+        f"coalesce(CAST({date_sql} AS VARCHAR), '{NULL_DATE}')" if date_sql else "NULL"
+    )
+    idf = _fold_sql("id", id_is_string)
+    srck = hash31_sql(strfold_sql("source"), seed + SRC_SEED_OFF)
+    oh = hash31_sql(idf, seed + POOL_SEED_OFF)
+    order = ["srck", "source"]
+    extra_keys = ""
+    if wd:
+        bh = hash31_sql(strfold_sql("datek"), seed + BUCKET_SEED_OFF)
+        extra_keys = f", {bh} AS bh"
+        order += ["bh", "datek"]
+    elif date_sql:
+        order += ["datek"]
+    order += ["oh", "id"]
+    order_sql = ", ".join(order)
+
+    base = (
+        f"nb_base AS MATERIALIZED (SELECT * , {srck} AS srck, {oh} AS oh{extra_keys} FROM "
+        f"(SELECT {id_sql} AS id, {source_sql} AS source, {split_sql} AS split, "
+        f"{datek} AS datek FROM {table_sql} WHERE {where}))"
+    )
+    ranked = (
+        f"nb_ranked AS MATERIALIZED (SELECT *, "
+        f"row_number() OVER (PARTITION BY split ORDER BY {order_sql}) - 1 AS grn, "
+        f"count(*) OVER (PARTITION BY split) AS ns FROM nb_base)"
+    )
+    pick_mix = mix31_sql(["a.idf2", str(variant)], seed + PICK_SEED_OFF)
+
+    if date_sql:
+        stats = (
+            "nb_g1 AS (SELECT split, source, datek, CAST(min(grn) AS BIGINT) AS st1, "
+            "CAST(count(*) AS BIGINT) AS c1 FROM nb_ranked GROUP BY 1, 2, 3), "
+            "nb_g2 AS (SELECT split, source, CAST(min(st1) AS BIGINT) AS st2, "
+            "CAST(sum(c1) AS BIGINT) AS c2 FROM nb_g1 GROUP BY 1, 2)"
+        )
+        astats = (
+            "SELECT r.*, {idf} AS idf2, nb_g1.st1, nb_g1.c1, nb_g2.st2, nb_g2.c2 FROM nb_ranked r "
+            "JOIN nb_g1 USING (split, source, datek) JOIN nb_g2 USING (split, source)"
+        ).format(idf=_fold_sql("r.id", id_is_string))
+    else:
+        stats = (
+            "nb_g2 AS (SELECT split, source, CAST(min(grn) AS BIGINT) AS st2, "
+            "CAST(count(*) AS BIGINT) AS c2 FROM nb_ranked GROUP BY 1, 2)"
+        )
+        astats = (
+            "SELECT r.*, {idf} AS idf2, nb_g2.st2, nb_g2.c2 FROM nb_ranked r "
+            "JOIN nb_g2 USING (split, source)"
+        ).format(idf=_fold_sql("r.id", id_is_string))
+
+    k_s = f"({pick_mix} % greatest(a.ns - 1, 1))"
+    p_fb = f"CASE WHEN {k_s} >= a.grn THEN {k_s} + 1 ELSE {k_s} END"
+    fb_ok = "a.ns >= 2"
+
+    if wd:
+        k_wd = f"({pick_mix} % greatest(a.c2 - a.c1, 1))"
+        p_wd = (
+            f"a.st2 + (CASE WHEN {k_wd} >= (a.st1 - a.st2) "
+            f"THEN {k_wd} + a.c1 ELSE {k_wd} END)"
+        )
+        tier = (
+            f"CASE WHEN a.c2 > a.c1 THEN 'wrong_date' "
+            f"WHEN {fb_ok} THEN 'fallback_same_split' END"
+        )
+        gpick = f"CASE WHEN a.c2 > a.c1 THEN {p_wd} WHEN {fb_ok} THEN {p_fb} END"
+    else:
+        k_ss = f"({pick_mix} % greatest(a.c2 - 1, 1))"
+        p_ss = (
+            f"a.st2 + (CASE WHEN {k_ss} >= (a.grn - a.st2) "
+            f"THEN {k_ss} + 1 ELSE {k_ss} END)"
+        )
+        ss_ok = "a.c2 >= 2"
+        if dated:
+            k_ssd = f"({pick_mix} % greatest(a.c1 - 1, 1))"
+            p_ssd = (
+                f"a.st1 + (CASE WHEN {k_ssd} >= (a.grn - a.st1) "
+                f"THEN {k_ssd} + 1 ELSE {k_ssd} END)"
+            )
+            ssd_ok = f"(a.datek <> '{NULL_DATE}' AND a.c1 >= 2)"
+            tier = (
+                f"CASE WHEN {ssd_ok} THEN 'same_source_same_date' "
+                f"WHEN {ss_ok} THEN 'same_source' "
+                f"WHEN {fb_ok} THEN 'fallback_same_split' END"
+            )
+            gpick = (
+                f"CASE WHEN {ssd_ok} THEN {p_ssd} WHEN {ss_ok} THEN {p_ss} "
+                f"WHEN {fb_ok} THEN {p_fb} END"
+            )
+        else:
+            tier = (
+                f"CASE WHEN {ss_ok} THEN 'same_source' "
+                f"WHEN {fb_ok} THEN 'fallback_same_split' END"
+            )
+            gpick = f"CASE WHEN {ss_ok} THEN {p_ss} WHEN {fb_ok} THEN {p_fb} END"
+
+    return (
+        f"WITH {base}, {ranked}, {stats}, "
+        f"nb_anchors AS MATERIALIZED (SELECT a.id, a.split, {tier} AS tier, "
+        f"{gpick} AS gpick FROM ({astats}) a WHERE {tier} IS NOT NULL) "
+        f"SELECT a.id, p.id AS negative_id, a.tier "
+        f"FROM nb_anchors a JOIN nb_ranked p ON p.split = a.split AND p.grn = a.gpick"
+    )

@@ -320,7 +320,13 @@ def simhash_band_pairs(
         raise ValueError("bits must divide into equal bands")
     r = bits // bands
     mask = (1 << r) - 1
-    sigs = simhash(df, id_col, text_col, bits, seed)
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    # both sides of the band self-join consume the signature frame — cache
+    # so the tokenize + 32-bit-sum aggregate runs once, not per join side
+    sigs = cache_scoped(
+        simhash(df, id_col, text_col, bits, seed), "dedup.simhash_sigs"
+    )
     banded = sigs.select(
         "id", "simhash",
         F.explode(
@@ -378,10 +384,20 @@ def ngram_jaccard_pairs(
     shingle. ``max_df`` drops shingles present in more than that many docs
     (stop-shingle skew guard — without it one common phrase creates a
     quadratic bucket)."""
-    sh = _with_shingles(df, id_col, text_col, shingle_n)
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    # sh feeds sizes + the df-filter; sh_f feeds BOTH sides of the shingle
+    # self-join — cache each so the shingle explode and the df window run
+    # once instead of once per consumer
+    sh = cache_scoped(
+        _with_shingles(df, id_col, text_col, shingle_n), "dedup.ngram_sh"
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("__sz"))
     w = Window.partitionBy("shingle")
-    sh_f = sh.withColumn("__df", F.count("*").over(w)).where(F.col("__df") <= max_df)
+    sh_f = cache_scoped(
+        sh.withColumn("__df", F.count("*").over(w)).where(F.col("__df") <= max_df),
+        "dedup.ngram_sh_f",
+    )
     inter = (
         sh_f.alias("l")
         .join(sh_f.alias("r"), "shingle")

@@ -74,10 +74,17 @@ def main() -> None:
     from rust_triplets_spark.functions import caching
 
     times: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        # one broken query must not zero out the whole round's bench: record
+        # the failure and keep timing the rest.
+        try:
+            DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
     # scoped caches are retained ACROSS queries: cache_scoped reuses a
     # semantically identical live frame, so e.g. pairs_from_triplets reads
     # triplet_assembly's materialized chunks instead of recomputing them —
@@ -86,13 +93,16 @@ def main() -> None:
     caching.release_all()
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -25,17 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def epoch_seconds_col(ts_col) -> F.Column:
-    """TIMESTAMP_NTZ → epoch seconds, session-timezone independent (built
-    from date/time parts, so it matches DuckDB's ``epoch()`` on NTZ data)."""
-    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return (
-        F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
-        + F.hour(c).cast("long") * 3600
-        + F.minute(c).cast("long") * 60
-        + F.second(c).cast("long")
-    )
+from rust_triplets_spark.functions.timeutils import epoch_seconds_col  # noqa: F401 (re-export)
 
 
 def asof_nearest(

@@ -96,7 +96,7 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 def extract_features(
     media: DataFrame, dim: int = 8, use_stub: bool = True,
-    batch_rows: int = 64,
+    batch_rows: int = 64, emit_chunk_rows: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
@@ -108,7 +108,14 @@ def extract_features(
     here would be restored before the lazy plan ever ran). To also bound
     the *input* Arrow transfer, set that conf around the action. With
     ``use_stub=False`` the real decoder is called (raises here —
-    documented stub)."""
+    documented stub). ``emit_chunk_rows`` appends a ``chunk_rows`` column
+    recording the execution-time chunk each row was decoded in — the
+    observable proof of the memory bound (used by tests/monitoring)."""
+    schema = FEATURE_SCHEMA
+    if emit_chunk_rows:
+        schema = T.StructType(
+            FEATURE_SCHEMA.fields + [T.StructField("chunk_rows", T.IntegerType())]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,16 +127,17 @@ def extract_features(
                         feats.append(_fake_feature(payload, dim))
                     else:
                         feats.append(_decode_image(payload))
-                yield pd.DataFrame({
+                out = {
                     "media_id": sub["media_id"].to_numpy(),
                     "kind": sub["kind"].to_numpy(),
                     "feature": feats,
                     "feat_dim": [dim] * len(sub),
-                })
+                }
+                if emit_chunk_rows:
+                    out["chunk_rows"] = [len(sub)] * len(sub)
+                yield pd.DataFrame(out)
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        run, schema=FEATURE_SCHEMA
-    )
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(

@@ -66,17 +66,38 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Row count straight from the parquet footer — no Spark job."""
+    if path not in _ROW_COUNT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _ROW_COUNT_CACHE[path] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            _ROW_COUNT_CACHE[path] = -1
+    n = _ROW_COUNT_CACHE[path]
+    return None if n < 0 else n
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver table. The synthetic sf* files are single-row-group
     parquet, so Spark's file splitting yields ONE scan partition no matter
     the core count; ``spark.rust_triplets.scanPartitions`` (set by bench.py)
     opts into a round-robin repartition so per-row compute parallelizes on
-    local[N]. Results are partitioning-independent; real corpora arrive as
-    many files/row groups and don't need this."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    local[N]. Gated on the footer row count: dimension tables (region,
+    nation, …) stay un-shuffled — a 6-row exchange buys nothing. Results
+    are partitioning-independent; real corpora arrive as many files/row
+    groups and don't need this."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     n = int(spark.conf.get("spark.rust_triplets.scanPartitions", "0"))
     if n > 0:
-        df = df.repartition(n)
+        rows = _parquet_rows(path)
+        if rows is None or rows >= 8 * n:
+            df = df.repartition(n)
     return df
 
 
@@ -333,17 +354,23 @@ _EV_BASE_SQL = (
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — Spark rejects it unless nanos
-    are surfaced as raw INT64 (DuckDB reads them natively as TIMESTAMP_NS)."""
+    """events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS)/NTZ across testdata generations — never assume the
+    physical type. ``nanosAsLong`` lets NANOS files resolve (as BIGINT; it
+    is a no-op for MICROS), then ``ensure_epoch_us`` branches on the
+    RESOLVED dtype and yields BIGINT epoch microseconds either way —
+    matching DuckDB's ``epoch_us(ts)`` on the oracle side."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    from rust_triplets_spark.functions.timeutils import ensure_epoch_us
+
+    return ensure_epoch_us(_t(spark, sf_dir, "events"), "ts", int_unit="ns")
 
 
 def _events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_events(spark, sf_dir)
-    # integer day arithmetic (ts is int64 nanos ≈ 1.7e18 — double math would
-    # lose precision, so use `div`, not `/`)
-    day = F.expr("ts div 86400000000000").cast("int")
+    # integer day arithmetic (ts is int64 epoch micros ≈ 1.7e15 — double
+    # math would lose precision, so use `div`, not `/`)
+    day = F.expr("ts div 86400000000").cast("int")
     return ev.select(
         F.col("event_id").alias("id"),
         F.col("event_type").alias("source"),
@@ -617,12 +644,12 @@ def denoise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("tumbling_window_counts", tumbling_agg_sql("events"))
 def tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_agg(_read_events(spark, sf_dir))
+    return tumbling_agg(_read_events(spark, sf_dir), int_unit="us")
 
 
 @_register("sessionization", sessionize_sql("events"))
 def session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize(_read_events(spark, sf_dir))
+    return sessionize(_read_events(spark, sf_dir), int_unit="us")
 
 
 @_register(
@@ -1406,7 +1433,7 @@ def chunk_rotation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("sliding_window_counts", sliding_agg_sql("events"))
 def sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_agg(_read_events(spark, sf_dir))
+    return sliding_agg(_read_events(spark, sf_dir), int_unit="us")
 
 
 @_register(

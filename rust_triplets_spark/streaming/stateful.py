@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-NS_PER_SEC = 1_000_000_000
+US_PER_SEC = 1_000_000
 
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -31,15 +31,17 @@ SESSION_SCHEMA = T.StructType([
 
 STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
-    T.StructField("start_ns", T.LongType()),
-    T.StructField("end_ns", T.LongType()),
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
 ])
 
 
 def make_session_tracker(gap_seconds: int = 1800):
     """Returns the (key, batches, state) -> rows function for
-    ``applyInPandasWithState``. State = the currently-open session."""
-    gap_ns = gap_seconds * NS_PER_SEC
+    ``applyInPandasWithState``. State = the currently-open session.
+    ``ts`` is BIGINT epoch microseconds (callers normalize through
+    ``timeutils.ensure_epoch_us`` — see ``stream_sessionize``)."""
+    gap_us = gap_seconds * US_PER_SEC
 
     def track(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -49,7 +51,7 @@ def make_session_tracker(gap_seconds: int = 1800):
         if state.hasTimedOut:
             if state.exists:
                 n, s, e = state.get
-                closed.append((user_id, n, s // 1000, e // 1000))
+                closed.append((user_id, n, s, e))
                 state.remove()
         else:
             ts_all: list[int] = []
@@ -61,8 +63,8 @@ def make_session_tracker(gap_seconds: int = 1800):
             else:
                 n, s, e = 0, None, None
             for t in ts_all:
-                if n and t - e > gap_ns:
-                    closed.append((user_id, n, s // 1000, e // 1000))
+                if n and t - e > gap_us:
+                    closed.append((user_id, n, s, e))
                     n, s, e = 0, None, None
                 if n == 0:
                     s = t
@@ -83,10 +85,14 @@ def stream_sessionize(
     schema,
     gap_seconds: int = 1800,
     user_col: str = "user_id",
+    int_unit: str = "ns",
 ):
     """File stream → per-user stateful session tracker. Update output mode;
-    closed sessions only."""
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    closed sessions only. ``ts`` is normalized to epoch micros from its
+    resolved dtype (int64 nanos or TIMESTAMP both work)."""
+    from rust_triplets_spark.functions.timeutils import ensure_epoch_us
+
+    raw = ensure_epoch_us(spark.readStream.schema(schema).parquet(source_dir), "ts", int_unit)
     return (
         raw.select(F.col(user_col).cast("long").alias("user_id"), F.col("ts"))
         .groupBy("user_id")

@@ -59,6 +59,18 @@ def test_feature_extraction_stub_pipeline(spark):
     assert joined.count() == 5
 
 
+def test_batch_rows_bound_holds_at_execution(spark):
+    # 5 rows in one partition with batch_rows=2 → chunks of (2, 2, 1); the
+    # bound must hold at execution time, NOT via a session conf restored
+    # before the lazy plan runs.
+    feats = extract_features(
+        _media(spark).coalesce(1), dim=4, batch_rows=2, emit_chunk_rows=True
+    ).collect()
+    sizes = [r["chunk_rows"] for r in feats]
+    assert max(sizes) <= 2
+    assert sorted(sizes) == [1, 2, 2, 2, 2]
+
+
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         _decode_image(PNG)

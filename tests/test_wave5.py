@@ -66,7 +66,6 @@ def test_sliding_windows_cover_each_event_twice(spark):
 
     out = QUERIES["sliding_window_counts"](spark, "/root/testdata/sf0.001")
     total_slots = out.agg(F.sum("n")).collect()[0][0]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert total_slots == 2 * n_events  # window = 2 x slide
 

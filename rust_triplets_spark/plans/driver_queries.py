@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_triplets_spark.functions import dates as DT
 from rust_triplets_spark.functions.hashing import M31, hash31_col, hash31_sql, mix31_col, mix31_sql
 from rust_triplets_spark.functions import text as TX
 from rust_triplets_spark.operators.asof import asof_nearest, asof_nearest_sql
@@ -730,6 +731,68 @@ def parse_dates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("id"),
         parsed.cast("string").alias("parsed"),
     )
+
+
+@_register(
+    "folder_date_parsing",
+    f"""
+WITH shaped AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'folder' WHEN 1 THEN 'folder' WHEN 2 THEN 'year_folder'
+           WHEN 3 THEN 'month_range' ELSE 'folder' END AS mode,
+         strftime(o_orderdate, '%Y') AS y,
+         CASE o_orderkey % 5
+           WHEN 0 THEN strftime(o_orderdate, '%m-%d-%Y')
+           WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 2 THEN strftime(o_orderdate, '%m-%d') || '--DRAFT'
+           WHEN 3 THEN strftime(o_orderdate - INTERVAL 31 DAY, '%b') || '. + '
+                       || strftime(o_orderdate, '%b') || ' ' || strftime(o_orderdate, '%Y')
+           ELSE 'not-a-date' END AS folder
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS id, mode,
+       CAST(CASE mode
+         WHEN 'folder' THEN {DT.folder_date_sql('folder')}
+         WHEN 'year_folder' THEN {DT.year_folder_date_sql('y', 'folder')}
+         ELSE {DT.month_range_date_sql('y', 'folder')}
+       END AS VARCHAR) AS parsed
+FROM shaped
+""",
+)
+def folder_date_parsing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four reference folder-date formats (date_helpers.rs:6-95) over
+    deterministically shaped folder names, incl. a --suffix year-folder and
+    a cross-year month-range; key % 5 == 4 is garbage → NULL."""
+    d = F.col("o_orderdate")
+    k = F.col("o_orderkey") % 5
+    mode = (
+        F.when(k == 2, F.lit("year_folder"))
+        .when(k == 3, F.lit("month_range"))
+        .otherwise(F.lit("folder"))
+    )
+    folder = (
+        F.when(k == 0, F.date_format(d, "MM-dd-yyyy"))
+        .when(k == 1, F.date_format(d, "yyyy-MM-dd"))
+        .when(k == 2, F.concat(F.date_format(d, "MM-dd"), F.lit("--DRAFT")))
+        .when(k == 3, F.concat(
+            F.date_format(F.date_sub(d, 31), "MMM"), F.lit(". + "),
+            F.date_format(d, "MMM"), F.lit(" "), F.date_format(d, "yyyy"),
+        ))
+        .otherwise(F.lit("not-a-date"))
+    )
+    shaped = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        mode.alias("mode"),
+        F.date_format(d, "yyyy").alias("y"),
+        folder.alias("folder"),
+    )
+    parsed = (
+        F.when(F.col("mode") == "folder", DT.folder_date_col("folder"))
+        .when(F.col("mode") == "year_folder", DT.year_folder_date_col("y", "folder"))
+        .otherwise(DT.month_range_date_col("y", "folder"))
+    )
+    return shaped.select("id", "mode", parsed.cast("string").alias("parsed"))
 
 
 @_register(

@@ -324,6 +324,248 @@ WHERE nc.negative_text <> a.anchor_text AND nc.negative_text <> a.positive_text
 """
 
 
+def assemble_temporal_triplets(
+    records: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    ts_col: str,
+    recipe: TripletRecipe,
+    chunking: ChunkingStrategy,
+    offset_days: int = 30,
+    seed: int = 42,
+    variant: int = 0,
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    ts_is_epoch: bool = True,
+) -> DataFrame:
+    """Triplet assembly with a ``Selector::TemporalOffset`` positive
+    (src/config.rs:200-215; execution src/sampler/mod.rs:950-976,
+    :1694-1706): the positive chunk comes from the nearest *other* record
+    of the same (source, split) to ``created_at + offset_days`` — never
+    crossing split boundaries — then that neighbor's representative chunk
+    (the reference's Context-role pick reduced to the ranked window chunk
+    for this one-section corpus). Negative strategy, 50% swap, weight
+    model, degenerate rejection, and dedup are identical to
+    :func:`assemble_triplets`.
+
+    Scale: neighbor selection is the distributed insertion-point as-of
+    join (operators/asof.py — two sorts + a 4x equi-join, no per-group
+    all-pairs), and the chunk lineage is computed once and shared by the
+    anchor/positive/negative lookups via a scoped cache."""
+    from rust_triplets_spark.operators.asof import asof_nearest
+
+    idf = F.col(id_col).cast("long")
+    recs = records.select(
+        F.col(id_col).alias("record_id"),
+        F.lit(0).alias("section_idx"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
+        _trust_col(idf).cast("double").alias("trust"),
+        split_label_col(id_col, seed, ratios).alias("split"),
+        idf.alias("__idf"),
+        F.col(ts_col).alias("__ts"),
+    )
+
+    chunks = chunk_sections(
+        recs,
+        chunking,
+        text_col="text",
+        carry_cols=("record_id", "section_idx", "source", "split", "trust", "__idf"),
+    ).where(F.col("view_kind") == "window")
+    order_key = mix31_col(
+        [F.col("__idf"), F.col("win_index"), F.col("overlap"), F.lit(variant)],
+        seed + CHUNK_SEED_OFF,
+    )
+    w_rec = Window.partitionBy("record_id").orderBy(order_key.asc(), F.col("chunk_key").asc())
+    ranked = cache_scoped(
+        chunks.withColumn("__crn", F.row_number().over(w_rec)).where(F.col("__crn") == 1),
+        "triplets.temporal.rep",
+    )
+
+    neighbor = asof_nearest(
+        recs, "record_id", "__ts", "source", split_col="split",
+        offset_days=offset_days, ts_is_epoch=ts_is_epoch,
+    ).select(F.col("id").alias("record_id"), F.col("neighbor_id"))
+
+    anchors = ranked.select(
+        "record_id", "source", "split", "trust", "__idf",
+        F.col("chunk_key").alias("anchor_key"),
+        F.col("chunk_text").alias("anchor_text"),
+        F.col("win_index").alias("__a_idx"),
+    )
+    pos_chunk = ranked.select(
+        F.col("record_id").alias("neighbor_id"),
+        F.col("chunk_key").alias("positive_key"),
+        F.col("chunk_text").alias("positive_text"),
+        F.col("win_index").alias("__p_idx"),
+    )
+    pair = anchors.join(neighbor, "record_id", "inner").join(
+        pos_chunk, "neighbor_id", "inner"
+    )
+
+    rec_pool = ranked.select(F.col("record_id").alias("id"), "source", "split")
+    neg = negative_pick(
+        rec_pool, "id", "source", "split", recipe.negative_strategy,
+        date_col=None, seed=seed, variant=variant, id_is_string=False,
+    )
+    neg_chunk = ranked.select(
+        F.col("record_id").alias("negative_id"),
+        F.col("chunk_key").alias("negative_key"),
+        F.col("chunk_text").alias("negative_text"),
+        F.col("trust").alias("__n_trust"),
+    )
+    trip = (
+        pair.join(neg.withColumnRenamed("id", "record_id"), "record_id", "inner")
+        .join(neg_chunk, "negative_id", "inner")
+    )
+
+    swap_coin = F.pmod(
+        mix31_col([F.col("__idf"), F.lit(variant)], seed + SWAP_SEED_OFF), F.lit(2)
+    )
+    trip = trip.withColumn("swapped", (swap_coin == 0).cast("long"))
+
+    floor = float(chunking.chunk_weight_floor)
+    trust_c = F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0)))
+    n_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__n_trust"), F.lit(1.0)))
+    base_a = F.lit(1.0) / (F.col("__a_idx").cast("double") + F.lit(1.0))
+    base_p = F.lit(1.0) / (F.col("__p_idx").cast("double") + F.lit(1.0))
+    d = F.abs(F.col("__a_idx") - F.col("__p_idx")).cast("double")
+    prox = F.lit(1.0) - d / (d + F.lit(1.0))
+    aw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_a * trust_c) * prox)
+    pw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_p * trust_c) * prox)
+    nw = F.greatest(F.lit(floor), n_trust_c)
+    weight = F.lit(float(recipe.weight)) * ((aw + pw + nw) / F.lit(3.0))
+
+    out = trip.select(
+        F.lit(recipe.name).alias("recipe"),
+        F.col("record_id").alias("anchor_id"),
+        F.when(F.col("swapped") == 1, F.col("positive_key")).otherwise(F.col("anchor_key")).alias("anchor_key"),
+        F.when(F.col("swapped") == 1, F.col("positive_text")).otherwise(F.col("anchor_text")).alias("anchor_text"),
+        F.col("neighbor_id").alias("positive_id"),
+        F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(F.col("positive_key")).alias("positive_key"),
+        F.when(F.col("swapped") == 1, F.col("anchor_text")).otherwise(F.col("positive_text")).alias("positive_text"),
+        F.col("negative_id"),
+        F.col("negative_key"),
+        F.col("negative_text"),
+        weight.alias("weight"),
+        F.col("swapped"),
+        F.col("tier"),
+        F.lit(recipe.instruction).cast("string").alias("instruction"),
+        F.col("split"),
+    )
+    if not recipe.allow_same_anchor_positive:
+        out = out.where(F.col("anchor_text") != F.col("positive_text"))
+    out = out.where(
+        (F.col("negative_text") != F.col("anchor_text"))
+        & (F.col("negative_text") != F.col("positive_text"))
+    )
+    return out.dropDuplicates(["anchor_id", "negative_id"])
+
+
+def assemble_temporal_triplets_sql(
+    table: str,
+    id_sql: str,
+    source_sql: str,
+    text_sql: str,
+    ts_sql: str,
+    recipe: TripletRecipe,
+    chunking: ChunkingStrategy,
+    offset_days: int = 30,
+    seed: int = 42,
+    variant: int = 0,
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    ts_is_epoch: bool = True,
+) -> str:
+    """DuckDB twin of :func:`assemble_temporal_triplets` — same as-of
+    insertion-point algorithm (asof_nearest_sql) window-for-window."""
+    from rust_triplets_spark.operators.asof import asof_nearest_sql
+
+    idf = f"CAST({id_sql} AS BIGINT)"
+    split_expr = split_label_sql(id_sql, seed, ratios)
+    trust_expr = _trust_sql(idf)
+    chunks_query = chunk_sql(
+        table, id_sql, text_sql, chunking,
+        extra_cols={"source": source_sql, "split": split_expr,
+                    "trust": trust_expr, "idf": idf},
+    )
+    order_key = mix31_sql(["idf", "win_index", "overlap", str(variant)], seed + CHUNK_SEED_OFF)
+    asof_sql = asof_nearest_sql(
+        table, id_sql, ts_sql, source_sql, split_sql=split_expr,
+        offset_days=offset_days, ts_is_epoch=ts_is_epoch,
+    )
+    neg_sql = negative_pick_sql(
+        "(SELECT record_id AS id, source, split FROM rep)",
+        "id", "source", "split", recipe.negative_strategy,
+        seed=seed, variant=variant, id_is_string=False,
+    )
+    swap_coin = f"({mix31_sql(['a.idf', str(variant)], seed + SWAP_SEED_OFF)} % 2)"
+    floor = float(chunking.chunk_weight_floor)
+    fl = f"{floor!r}"
+    trust_c = "greatest(0.0, least(a.trust, 1.0))"
+    n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
+    base_a = "(1.0 / (CAST(a.a_idx AS DOUBLE) + 1.0))"
+    base_p = "(1.0 / (CAST(pc.p_idx AS DOUBLE) + 1.0))"
+    d = "CAST(abs(a.a_idx - pc.p_idx) AS DOUBLE)"
+    prox = f"(1.0 - {d} / ({d} + 1.0))"
+    aw = f"greatest({fl}, greatest({fl}, {base_a} * {trust_c}) * {prox})"
+    pw = f"greatest({fl}, greatest({fl}, {base_p} * {trust_c}) * {prox})"
+    nw = f"greatest({fl}, {n_trust_c})"
+    weight = f"({float(recipe.weight)!r} * ((({aw}) + ({pw}) + ({nw})) / 3.0))"
+    degenerate = (
+        "" if recipe.allow_same_anchor_positive
+        else "AND a.anchor_text <> pc.positive_text "
+    )
+    instruction = f"'{recipe.instruction}'" if recipe.instruction else "CAST(NULL AS VARCHAR)"
+    return f"""
+WITH all_chunks AS MATERIALIZED ({chunks_query}),
+rep AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY {order_key}, chunk_key) AS crn
+    FROM all_chunks WHERE view_kind = 'window'
+  ) WHERE crn = 1
+),
+nb AS MATERIALIZED ({asof_sql}),
+anchors AS MATERIALIZED (
+  SELECT record_id, source, split, trust, idf, chunk_key AS anchor_key,
+         chunk_text AS anchor_text, win_index AS a_idx
+  FROM rep
+),
+pos_chunk AS MATERIALIZED (
+  SELECT record_id AS neighbor_id, chunk_key AS positive_key,
+         chunk_text AS positive_text, win_index AS p_idx
+  FROM rep
+),
+neg AS MATERIALIZED ({neg_sql}),
+neg_chunk AS MATERIALIZED (
+  SELECT record_id AS negative_id, chunk_key AS negative_key,
+         chunk_text AS negative_text, trust
+  FROM rep
+)
+SELECT '{recipe.name}' AS recipe,
+       a.record_id AS anchor_id,
+       CASE WHEN {swap_coin} = 0 THEN pc.positive_key ELSE a.anchor_key END AS anchor_key,
+       CASE WHEN {swap_coin} = 0 THEN pc.positive_text ELSE a.anchor_text END AS anchor_text,
+       nb.neighbor_id AS positive_id,
+       CASE WHEN {swap_coin} = 0 THEN a.anchor_key ELSE pc.positive_key END AS positive_key,
+       CASE WHEN {swap_coin} = 0 THEN a.anchor_text ELSE pc.positive_text END AS positive_text,
+       n.negative_id,
+       nc.negative_key,
+       nc.negative_text,
+       {weight} AS weight,
+       CAST(CASE WHEN {swap_coin} = 0 THEN 1 ELSE 0 END AS BIGINT) AS swapped,
+       n.tier,
+       {instruction} AS instruction,
+       a.split
+FROM anchors a
+JOIN nb ON nb.id = a.record_id
+JOIN pos_chunk pc ON pc.neighbor_id = nb.neighbor_id
+JOIN neg n ON n.id = a.record_id
+JOIN neg_chunk nc ON nc.negative_id = n.negative_id
+WHERE nc.negative_text <> a.anchor_text AND nc.negative_text <> pc.positive_text
+{degenerate}
+"""
+
+
 def pairs_from_triplets(triplets: DataFrame, negative_strategy: str) -> DataFrame:
     """Explode each triplet into Positive + Negative SamplePairs
     (src/sampler/mod.rs:2062-2100, :3072-3078). Single-pass ``explode`` —

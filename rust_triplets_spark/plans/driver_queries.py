@@ -511,6 +511,65 @@ def pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TemporalOffset positive selector wired into triplet assembly
+# (src/config.rs:200-215; src/sampler/mod.rs:950-976, :1694-1706)
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.triplets import (  # noqa: E402
+    assemble_temporal_triplets,
+    assemble_temporal_triplets_sql,
+)
+
+_TEMPORAL_RECIPE = TripletRecipe(
+    name="temporal_offset_neighbor_wrong_article",
+    negative_strategy="wrong_article",
+    weight=1.0,
+    instruction="Match the anchor passage to a temporally adjacent document.",
+)
+# documents carry no timestamp — derive a deterministic synthetic
+# created_at (epoch s, 90-day span) from doc_id, identically on both sides.
+_DOC_TS_SEED = 1311
+_DOC_TS_SQL = f"(1704067200 + ({hash31_sql('doc_id', _DOC_TS_SEED)} % 7776000))"
+
+
+def _doc_ts_col() -> F.Column:
+    return F.lit(1704067200) + F.pmod(hash31_col("doc_id", _DOC_TS_SEED), F.lit(7776000))
+
+
+@_register(
+    "temporal_offset_triplets",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       CAST(positive_id AS BIGINT) AS positive_id, positive_key, positive_text,
+       CAST(negative_id AS BIGINT) AS negative_id, negative_key, negative_text,
+       weight, swapped, tier, instruction, split
+FROM ({assemble_temporal_triplets_sql(
+    "(SELECT doc_id, source, text, " + _DOC_TS_SQL + " AS created_s FROM documents)",
+    "doc_id", "source", "text", "created_s",
+    _TEMPORAL_RECIPE, _CHUNK_STRAT, offset_days=30, seed=SEED, variant=0,
+    ts_is_epoch=True)})
+""",
+)
+def temporal_offset_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("created_s", _doc_ts_col())
+    out = assemble_temporal_triplets(
+        docs, "doc_id", "source", "text", "created_s",
+        _TEMPORAL_RECIPE, _CHUNK_STRAT, offset_days=30, seed=SEED, variant=0,
+        ts_is_epoch=True,
+    )
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text",
+        F.col("positive_id").cast("long").alias("positive_id"),
+        "positive_key", "positive_text",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "negative_key", "negative_text", "weight", "swapped", "tier",
+        "instruction", "split",
+    )
+
+
 # ===========================================================================
 # Wave 2 — dedup, similarity, text analysis, denoiser, streaming, pager
 # ===========================================================================

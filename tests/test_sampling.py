@@ -144,3 +144,24 @@ def test_weighted_recipe_order_ticket_counts(spark):
     # tickets = round(w / 0.25) clamped [1,16] → a=4, b=2, c=1; z excluded
     assert {k: len(v) for k, v in by_recipe.items()} == {"a": 4, "b": 2, "c": 1}
     assert sorted(r["slot"] for r in out) == list(range(7))
+
+
+def test_temporal_offset_triplets_split_isolation(spark):
+    """TemporalOffset positives must never cross split boundaries
+    (src/config.rs:206-210: same-split candidates only, None otherwise) —
+    and negatives are split-isolated like every strategy."""
+    from rust_triplets_spark.operators.splits import split_label_col
+    from rust_triplets_spark.plans.driver_queries import QUERIES
+
+    out = QUERIES["temporal_offset_triplets"](spark, "/root/testdata/sf0.001")
+    checked = out.select(
+        "split",
+        split_label_col("positive_id", 42).alias("p_split"),
+        split_label_col("negative_id", 42).alias("n_split"),
+        (F.col("positive_id") != F.col("anchor_id")).alias("p_other"),
+    ).collect()
+    assert checked, "fixture should yield temporal triplets"
+    for r in checked:
+        assert r["p_split"] == r["split"], "positive crossed split"
+        assert r["n_split"] == r["split"], "negative crossed split"
+        assert r["p_other"], "temporal positive must be a different record"

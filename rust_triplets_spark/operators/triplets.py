@@ -74,6 +74,30 @@ class TripletRecipe:
     allow_same_anchor_positive: bool = False
 
 
+@dataclass(frozen=True)
+class TextRecipe:
+    """Text-sample recipe (src/config.rs:218-238): one selector chunk per
+    record, recipe weight x chunk weight."""
+
+    name: str
+    weight: float = 1.0
+    instruction: str | None = None
+
+
+def derive_text_recipes(recipes: list[TripletRecipe]) -> list[TextRecipe]:
+    """Auto-expand each triplet recipe into three text recipes —
+    ``{name}_anchor`` / ``{name}_positive`` / ``{name}_negative`` — carrying
+    the triplet recipe's weight and no instruction
+    (``build_derived_text_recipes``, src/sampler/mod.rs:1775-1799;
+    src/heuristics.rs:100-124). A user porting a reference config gets the
+    same derived text-sampling surface for free."""
+    out: list[TextRecipe] = []
+    for r in recipes:
+        for side in ("anchor", "positive", "negative"):
+            out.append(TextRecipe(name=f"{r.name}_{side}", weight=r.weight))
+    return out
+
+
 def _trust_col(idf) -> "F.Column":
     from rust_triplets_spark.functions.hashing import hash31_col
 

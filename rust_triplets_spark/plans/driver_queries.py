@@ -1004,6 +1004,83 @@ def text_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# derived text recipes: each triplet recipe auto-expands into
+# {name}_anchor/_positive/_negative text recipes with the same weight
+# (build_derived_text_recipes, src/sampler/mod.rs:1775-1799)
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.triplets import derive_text_recipes  # noqa: E402
+
+_DERIVED_SRC_RECIPES = [
+    TripletRecipe(name="auto_injected_long_section_chunk_pair_wrong_article",
+                  negative_strategy="wrong_article", weight=1.0),
+    TripletRecipe(name="temporal_offset_neighbor_wrong_article",
+                  negative_strategy="wrong_article", weight=0.5),
+]
+_DERIVED = derive_text_recipes(_DERIVED_SRC_RECIPES)
+_DERIVED_VALUES_SQL = ", ".join(f"('{t.name}', {t.weight!r})" for t in _DERIVED)
+
+
+@_register(
+    "derived_text_recipes",
+    f"""
+WITH all_chunks AS MATERIALIZED ({{chunks}}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY {mix31_sql(['record_id', 'coalesce(win_index, -1)', 'coalesce(overlap, -1)', '0'], SEED + 404)}, chunk_key) AS crn
+  FROM all_chunks
+),
+recipes(recipe, recipe_w) AS (VALUES {_DERIVED_VALUES_SQL})
+SELECT r.recipe, CAST(c.record_id AS BIGINT) AS record_id,
+       c.chunk_key, c.chunk_text, c.split,
+       (r.recipe_w * greatest(0.1, CASE WHEN c.view_kind = 'window'
+                           THEN (1.0 / (CAST(c.win_index AS DOUBLE) + 1.0)) ELSE 0.35 END
+                      * greatest(0.0, least(c.trust, 1.0)))) AS weight
+FROM recipes r CROSS JOIN (SELECT * FROM ranked WHERE crn = 1) c
+""".replace("{chunks}", chunk_sql('documents', 'doc_id', 'text', _CHUNK_STRAT,
+        extra_cols={'trust': _trust_sql('doc_id'), 'split': _DOC_SPLIT_SQL})),
+)
+def derived_text_recipes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text sampling through the derived-recipe expansion: the 2-recipe
+    config expands to 6 text recipes; each samples one selector chunk per
+    record with weight = triplet weight x chunk weight. The recipe frame is
+    driver-side tiny → broadcast cross join (no shuffle of the chunk side)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.lit(0).alias("section_idx"),
+        "text",
+        _trust_col(F.col("doc_id").cast("long")).alias("trust"),
+        split_label_col("doc_id", SEED).alias("split"),
+    )
+    chunks = chunk_sections(docs, _CHUNK_STRAT, "text",
+                            ("record_id", "section_idx", "trust", "split"))
+    order_key = mix31_col(
+        [F.col("record_id").cast("long"), F.coalesce(F.col("win_index"), F.lit(-1)),
+         F.coalesce(F.col("overlap"), F.lit(-1)), F.lit(0)],
+        SEED + 404,
+    )
+    w = Window.partitionBy("record_id").orderBy(order_key.asc(), F.col("chunk_key").asc())
+    picked = chunks.withColumn("crn", F.row_number().over(w)).where(F.col("crn") == 1)
+    chunk_w = F.greatest(
+        F.lit(0.1),
+        F.when(F.col("view_kind") == "window",
+               F.lit(1.0) / (F.col("win_index").cast("double") + F.lit(1.0)))
+        .otherwise(F.lit(0.35))
+        * F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0))),
+    )
+    recipes = spark.createDataFrame(
+        [(t.name, float(t.weight)) for t in _DERIVED], "recipe string, recipe_w double"
+    )
+    return picked.crossJoin(F.broadcast(recipes)).select(
+        "recipe",
+        F.col("record_id").cast("long").alias("record_id"),
+        "chunk_key", "chunk_text", "split",
+        (F.col("recipe_w") * chunk_w).alias("weight"),
+    )
+
+
 # relational breadth (free in Spark; surfaced per SURVEY §2.11 checklist)
 
 @_register(

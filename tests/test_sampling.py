@@ -165,3 +165,18 @@ def test_temporal_offset_triplets_split_isolation(spark):
         assert r["p_split"] == r["split"], "positive crossed split"
         assert r["n_split"] == r["split"], "negative crossed split"
         assert r["p_other"], "temporal positive must be a different record"
+
+
+def test_derive_text_recipes_expansion():
+    """build_derived_text_recipes parity (src/sampler/mod.rs:1775-1799):
+    3 per triplet recipe, name-suffixed, same weight, no instruction."""
+    from rust_triplets_spark.operators.triplets import TripletRecipe, derive_text_recipes
+
+    out = derive_text_recipes([
+        TripletRecipe(name="r1", weight=0.75, instruction="ignored"),
+        TripletRecipe(name="r2", weight=2.0),
+    ])
+    assert [(t.name, t.weight, t.instruction) for t in out] == [
+        ("r1_anchor", 0.75, None), ("r1_positive", 0.75, None), ("r1_negative", 0.75, None),
+        ("r2_anchor", 2.0, None), ("r2_positive", 2.0, None), ("r2_negative", 2.0, None),
+    ]

@@ -26,7 +26,7 @@ import pandas as pd
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -122,6 +122,214 @@ def denoise_gates12_sql(col: str, cfg: DenoiserConfig = DenoiserConfig()) -> str
         f"CASE WHEN len({cleaned}) > 0 THEN array_to_string({cleaned}, chr(10)) "
         f"ELSE NULL END"
     )
+
+
+# ---------------------------------------------------------------------------
+# full reference semantics (wave expansion) — NATIVE closed form
+# ---------------------------------------------------------------------------
+#
+# The gate-3 iterative wave expansion (denoiser_preprocessor.rs:70-140) has
+# a closed form: waves expand the keep-set outward from the alpha-seed
+# tokens in whole distance-layers (wave k == the tokens at distance k from
+# the nearest seed), admitted while the CUMULATIVE digit-ratio through
+# layer k stays within budget, stopping at the first violation. So
+#
+#   K    = min{k >= 1 : cum_ratio(k) > budget} - 1   (else infinity)
+#   keep = {token : dist_to_nearest_seed <= K}
+#
+# which is pure window arithmetic — no iteration, no Python. Both engines
+# run the identical expression tree; distances are contiguous integers, so
+# the layer walk is exactly the reference's wave order.
+
+
+def denoise_full(df: DataFrame, id_col: str, text_col: str,
+                 cfg: DenoiserConfig = DenoiserConfig()) -> DataFrame:
+    """All three gates with EXACT gate-3 wave-expansion semantics, fully
+    native (codegen-able; the Pandas-UDF path below remains as the
+    cross-check). Returns (id, text_clean); NULL when every line drops."""
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    if not cfg.enabled:
+        return ids.select("id", F.col("__text").alias("text_clean"))
+
+    lines = ids.select(
+        "id", F.posexplode(_lines("__text")).alias("lineno", "line")
+    )
+    if cfg.strip_markdown:
+        eff = F.when(
+            F.col("line").rlike(TABLE_LINE_RE), _strip_pipes(F.col("line"))
+        ).otherwise(F.col("line"))
+        lines = lines.where(~F.col("line").rlike(SEPARATOR_RE)).withColumn("eff", eff)
+    else:
+        lines = lines.withColumn("eff", F.col("line"))
+
+    d = F.length(F.regexp_replace("eff", "[^0-9]", "")).cast("double")
+    a = F.length(F.regexp_replace("eff", "[^A-Za-z]", "")).cast("double")
+    g2 = lines.select("id", "lineno", "eff", d.alias("__d"), a.alias("__a")).where(
+        a > 0
+    )
+    budget = float(cfg.max_digit_ratio)
+    ratio = F.col("__d") / (F.col("__d") + F.col("__a"))
+    easy = g2.where(ratio <= budget).select("id", "lineno", F.col("eff").alias("out_line"))
+    hard = g2.where(ratio > budget)
+
+    toks = hard.select(
+        "id", "lineno",
+        F.posexplode(
+            F.filter(F.split("eff", "\\s+"), lambda t: t != F.lit(""))
+        ).alias("pos", "tok"),
+    ).select(
+        "id", "lineno", "pos", "tok",
+        F.length(F.regexp_replace("tok", "[^0-9]", "")).cast("double").alias("td"),
+        F.length(F.regexp_replace("tok", "[^A-Za-z]", "")).cast("double").alias("ta"),
+    )
+    INF = 1_000_000_000
+    wl = Window.partitionBy("id", "lineno").orderBy("pos")
+    seed_pos = F.when(F.col("ta") > 0, F.col("pos"))
+    prev_seed = F.last(seed_pos, ignorenulls=True).over(
+        wl.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_seed = F.first(seed_pos, ignorenulls=True).over(
+        wl.rowsBetween(0, Window.unboundedFollowing)
+    )
+    dist = F.least(
+        F.coalesce(F.col("pos") - prev_seed, F.lit(INF)),
+        F.coalesce(next_seed - F.col("pos"), F.lit(INF)),
+    )
+    with_dist = toks.withColumn("dist", dist)
+
+    layers = with_dist.groupBy("id", "lineno", "dist").agg(
+        F.sum("td").alias("ld"), F.sum("ta").alias("la")
+    )
+    wcum = Window.partitionBy("id", "lineno").orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = layers.withColumn("cd", F.sum("ld").over(wcum)).withColumn(
+        "ca", F.sum("la").over(wcum)
+    )
+    fail_at = F.when(
+        (F.col("dist") >= 1)
+        & (F.col("cd") / (F.col("cd") + F.col("ca")) > budget),
+        F.col("dist"),
+    )
+    kmax = cum.groupBy("id", "lineno").agg(
+        (F.coalesce(F.min(fail_at) - 1, F.lit(INF))).alias("kk")
+    )
+    retained = (
+        with_dist.join(kmax, ["id", "lineno"])
+        .where(F.col("dist") <= F.col("kk"))
+        .groupBy("id", "lineno")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("out_line")
+        )
+    )
+
+    docs = (
+        easy.unionByName(retained)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lineno", "out_line"))),
+                    lambda x: x["out_line"],
+                ),
+                "\n",
+            ).alias("text_clean")
+        )
+    )
+    return ids.join(docs, "id", "left").select("id", "text_clean")
+
+
+def denoise_full_sql(table: str, id_sql: str, text_sql: str,
+                     cfg: DenoiserConfig = DenoiserConfig()) -> str:
+    """DuckDB twin of :func:`denoise_full` — identical layer arithmetic."""
+    budget = float(cfg.max_digit_ratio)
+    strip = (
+        "array_to_string(list_filter(list_transform(string_split(line, '|'), "
+        "c -> trim(c)), c -> c <> ''), ' ')"
+    )
+    eff = (
+        f"CASE WHEN regexp_matches(line, '{TABLE_LINE_RE}') THEN {strip} ELSE line END"
+        if cfg.strip_markdown
+        else "line"
+    )
+    sep_filter = (
+        f"WHERE NOT regexp_matches(line, '{SEPARATOR_RE}')"
+        if cfg.strip_markdown
+        else ""
+    )
+    return f"""
+WITH src AS MATERIALIZED (SELECT {id_sql} AS id, {text_sql} AS t FROM {table}),
+lines0 AS (
+  SELECT id, CAST(u.i - 1 AS BIGINT) AS lineno, arr[u.i] AS line
+  FROM (SELECT id, regexp_split_to_array(t, '{LINE_SPLIT_RE}') AS arr FROM src),
+       UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+lines AS (
+  SELECT id, lineno, {eff} AS eff FROM lines0 {sep_filter}
+),
+g2 AS (
+  SELECT id, lineno, eff,
+         CAST(length(regexp_replace(eff, '[^0-9]', '', 'g')) AS DOUBLE) AS d,
+         CAST(length(regexp_replace(eff, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS a
+  FROM lines
+  WHERE length(regexp_replace(eff, '[^A-Za-z]', '', 'g')) > 0
+),
+easy AS (SELECT id, lineno, eff AS out_line FROM g2 WHERE d / (d + a) <= {budget!r}),
+hard AS (SELECT id, lineno, eff FROM g2 WHERE d / (d + a) > {budget!r}),
+toks AS (
+  SELECT id, lineno, CAST(u.i - 1 AS BIGINT) AS pos, tarr[u.i] AS tok,
+         CAST(length(regexp_replace(tarr[u.i], '[^0-9]', '', 'g')) AS DOUBLE) AS td,
+         CAST(length(regexp_replace(tarr[u.i], '[^A-Za-z]', '', 'g')) AS DOUBLE) AS ta
+  FROM (SELECT id, lineno,
+               list_filter(string_split_regex(eff, '\\s+'), x -> x <> '') AS tarr
+        FROM hard),
+       UNNEST(range(1, len(tarr) + 1)) AS u(i)
+),
+dists AS (
+  SELECT *, least(
+    coalesce(pos - max(CASE WHEN ta > 0 THEN pos END) OVER
+      (PARTITION BY id, lineno ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1000000000),
+    coalesce(min(CASE WHEN ta > 0 THEN pos END) OVER
+      (PARTITION BY id, lineno ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - pos, 1000000000)
+  ) AS dist
+  FROM toks
+),
+layers AS (
+  SELECT id, lineno, dist, sum(td) AS ld, sum(ta) AS la
+  FROM dists GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT *, sum(ld) OVER w AS cd, sum(la) OVER w AS ca
+  FROM layers
+  WINDOW w AS (PARTITION BY id, lineno ORDER BY dist ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+kmax AS (
+  SELECT id, lineno,
+         coalesce(min(CASE WHEN dist >= 1 AND cd / (cd + ca) > {budget!r} THEN dist END) - 1,
+                  1000000000) AS kk
+  FROM cum GROUP BY 1, 2
+),
+retained AS (
+  SELECT t.id, t.lineno, string_agg(t.tok, ' ' ORDER BY t.pos) AS out_line
+  FROM dists t JOIN kmax k ON k.id = t.id AND k.lineno = t.lineno
+  WHERE t.dist <= k.kk
+  GROUP BY 1, 2
+),
+alllines AS (SELECT * FROM easy UNION ALL SELECT * FROM retained),
+docs AS (
+  SELECT id, string_agg(out_line, chr(10) ORDER BY lineno) AS text_clean
+  FROM alllines GROUP BY id
+)
+SELECT s.id, d.text_clean FROM src s LEFT JOIN docs d USING (id)
+"""
 
 
 # ---------------------------------------------------------------------------

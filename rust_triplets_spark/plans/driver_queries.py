@@ -581,7 +581,7 @@ from rust_triplets_spark.operators.dedup import (  # noqa: E402
     simhash, simhash_sql,
 )
 from rust_triplets_spark.operators.denoiser import (  # noqa: E402
-    DenoiserConfig, denoise_gates12_col, denoise_gates12_sql,
+    DenoiserConfig, denoise_full_sql, denoise_gates12_col, denoise_gates12_sql,
 )
 from rust_triplets_spark.operators.similarity import cosine_topk, cosine_topk_sql  # noqa: E402
 from rust_triplets_spark.streaming.windows import (  # noqa: E402
@@ -700,6 +700,31 @@ def denoise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("id"),
         denoise_gates12_col(_ocr_text_col()).alias("text_clean"),
     )
+
+
+@_register(
+    "denoise_gate3_waves",
+    f"""
+SELECT CAST(id AS BIGINT) AS id, text_clean
+FROM ({{inner}})
+""".replace("{inner}", denoise_full_sql(
+        "(SELECT o_orderkey, " + _OCR_TEXT_SQL + " AS t FROM orders)",
+        "o_orderkey", "t")),
+)
+def denoise_gate3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-gate denoiser INCLUDING gate-3 wave expansion, in its
+    native closed form (denoiser.py) — the SURVEY §7.3(4) aggregate-effect
+    oracle: the DuckDB twin runs the identical layer arithmetic and the
+    values must hash-match. The 'totals <num> <num> <num>' line in the
+    synthetic OCR text is digit-heavy, so the wave path is exercised on
+    every record."""
+    from rust_triplets_spark.operators.denoiser import denoise_full
+
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), _ocr_text_col().alias("t")
+    )
+    out = denoise_full(src, "id", "t")
+    return out.select(F.col("id").cast("long").alias("id"), "text_clean")
 
 
 @_register("tumbling_window_counts", tumbling_agg_sql("events"))

@@ -80,3 +80,43 @@ def test_gates12_col_agrees_on_non_wave_inputs(spark):
     assert got[0] == "plain prose line"
     assert got[1] == "name age\nalpha beta"
     assert got[2] == "symbols ---"
+
+
+DENOISE_WAVE_CASES = [
+    # digit-heavy line: 'totals' seeds, numbers rescued while ratio allows
+    "totals 12 34",
+    "totals 123456 789012 345678",
+    "a 1 2 3 4 5 6 7 8 9 10 11 12",
+    "| h1 | h2 |\n|---|---|\n| a1 | 99999 |\n12345\nplain words here",
+    "9999 x 9999",
+    "x1x 2 y3y",
+    "",
+    "   \n\t\n",
+    "word\n| 1 | 2 |\n|:-:|---|\nmixed 5 tail 666666",
+]
+
+
+def test_native_denoise_full_matches_python_reference(spark):
+    """The closed-form layer arithmetic must reproduce the iterative wave
+    expansion (denoiser_preprocessor.rs:70-140) exactly, case by case."""
+    from rust_triplets_spark.operators.denoiser import denoise_full, denoise_text_py
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DENOISE_WAVE_CASES)], "id long, t string"
+    )
+    got = {r["id"]: r["text_clean"] for r in denoise_full(df, "id", "t").collect()}
+    for i, t in enumerate(DENOISE_WAVE_CASES):
+        assert got[i] == denoise_text_py(t), f"case {i}: {t!r}"
+
+
+def test_native_denoise_full_matches_pandas_udf_path(spark):
+    from rust_triplets_spark.operators.denoiser import denoise_full, denoise_udf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DENOISE_WAVE_CASES)], "id long, t string"
+    )
+    udf_out = {
+        r["id"]: r["c"] for r in df.select("id", denoise_udf()("t").alias("c")).collect()
+    }
+    nat_out = {r["id"]: r["text_clean"] for r in denoise_full(df, "id", "t").collect()}
+    assert nat_out == udf_out

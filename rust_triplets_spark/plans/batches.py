@@ -85,10 +85,14 @@ def batch_iterator(
     label: str | None = None,
     id_is_string: bool = True,
     checkpoint_path: str | None = None,
+    stats=None,
 ):
     """Yield ``(batch_idx, pandas.DataFrame)`` in deterministic epoch order,
     resuming from ``checkpoint.step``; persists progress after each yielded
-    batch when ``checkpoint_path`` is set."""
+    batch when ``checkpoint_path`` is set. ``stats`` (an optional
+    ``telemetry.PrefetcherStats``) counts queued rows / produced batches /
+    errors like the reference's prefetcher counters
+    (src/sampler/mod.rs:165-171)."""
     batched = epoch_batches(
         df, id_col, source_col, checkpoint.epoch, checkpoint.seed,
         batch_size, checkpoint.step, label, id_is_string,
@@ -97,17 +101,29 @@ def batch_iterator(
     current_idx, rows = None, []
     import pandas as pd
 
-    for row in batched.toLocalIterator(prefetchPartitions=True):
-        if current_idx is not None and row["batch_idx"] != current_idx:
-            yield current_idx, pd.DataFrame(rows)
+    def _produce(idx, rws):
+        if stats is not None:
+            stats.produced += 1
+        yield idx, pd.DataFrame(rws)
+
+    try:
+        for row in batched.toLocalIterator(prefetchPartitions=True):
+            if stats is not None:
+                stats.queued += 1
+            if current_idx is not None and row["batch_idx"] != current_idx:
+                yield from _produce(current_idx, rows)
+                checkpoint.step = int(current_idx) + 1
+                if checkpoint_path:
+                    checkpoint.save(checkpoint_path)
+                rows = []
+            current_idx = row["batch_idx"]
+            rows.append(row.asDict())
+        if rows:
+            yield from _produce(current_idx, rows)
             checkpoint.step = int(current_idx) + 1
             if checkpoint_path:
                 checkpoint.save(checkpoint_path)
-            rows = []
-        current_idx = row["batch_idx"]
-        rows.append(row.asDict())
-    if rows:
-        yield current_idx, pd.DataFrame(rows)
-        checkpoint.step = int(current_idx) + 1
-        if checkpoint_path:
-            checkpoint.save(checkpoint_path)
+    except Exception:
+        if stats is not None:
+            stats.errors += 1
+        raise

@@ -164,10 +164,18 @@ def denoise_full(df: DataFrame, id_col: str, text_col: str,
     else:
         lines = lines.withColumn("eff", F.col("line"))
 
+    from rust_triplets_spark.functions.caching import cache_scoped
+
     d = F.length(F.regexp_replace("eff", "[^0-9]", "")).cast("double")
     a = F.length(F.regexp_replace("eff", "[^A-Za-z]", "")).cast("double")
-    g2 = lines.select("id", "lineno", "eff", d.alias("__d"), a.alias("__a")).where(
-        a > 0
+    # g2 feeds both the easy branch and the whole gate-3 token pipeline —
+    # cache it (eagerly: the branches run inside one action) so the line
+    # explode + regex counting runs once, not once per branch
+    g2 = cache_scoped(
+        lines.select("id", "lineno", "eff", d.alias("__d"), a.alias("__a")).where(
+            a > 0
+        ),
+        "denoiser.g2", eager=True,
     )
     budget = float(cfg.max_digit_ratio)
     ratio = F.col("__d") / (F.col("__d") + F.col("__a"))
@@ -197,7 +205,10 @@ def denoise_full(df: DataFrame, id_col: str, text_col: str,
         F.coalesce(F.col("pos") - prev_seed, F.lit(INF)),
         F.coalesce(next_seed - F.col("pos"), F.lit(INF)),
     )
-    with_dist = toks.withColumn("dist", dist)
+    # consumed by the layer aggregation AND the retained-token join
+    with_dist = cache_scoped(
+        toks.withColumn("dist", dist), "denoiser.dists", eager=True
+    )
 
     layers = with_dist.groupBy("id", "lineno", "dist").agg(
         F.sum("td").alias("ld"), F.sum("ta").alias("la")

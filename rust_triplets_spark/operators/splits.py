@@ -72,6 +72,54 @@ def split_label_sql(
     )
 
 
+class FileSplitStore:
+    """Persisted split-assignment store (``FileSplitStore``,
+    src/splits.rs:563-611): the assignment table (id, split) is written as
+    parquet next to a JSON meta file carrying (seed, ratios, version); a
+    seed or ratio mismatch on open is an ERROR, not a silent re-derivation
+    — changing either would silently reshuffle every split downstream.
+    Publication is write-temp-then-rename on the meta (the parquet
+    directory write is already atomic-by-rename in Spark's committer)."""
+
+    META = "split_store.json"
+
+    def __init__(self, path: str, seed: int, ratios: tuple[float, float, float] = DEFAULT_RATIOS):
+        validate_ratios(ratios)
+        self.path, self.seed, self.ratios = path, seed, tuple(ratios)
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, self.META)
+
+    def save(self, assignments: DataFrame) -> None:
+        """Persist (id, split) rows; id may be any type castable to string."""
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        assignments.select(
+            F.col("id").cast("string").alias("id"), F.col("split").cast("string").alias("split")
+        ).write.mode("overwrite").parquet(os.path.join(self.path, "assignments"))
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seed": self.seed, "ratios": list(self.ratios), "version": 1}, f)
+        os.replace(tmp, self._meta_path())
+
+    def load(self, spark) -> DataFrame:
+        """Load assignments, guarding the (seed, ratios) contract."""
+        import json
+        import os
+
+        with open(self._meta_path()) as f:
+            meta = json.load(f)
+        if meta["seed"] != self.seed:
+            raise ValueError(f"seed mismatch: store {meta['seed']} != config {self.seed}")
+        if tuple(meta["ratios"]) != self.ratios:
+            raise ValueError(f"ratio mismatch: store {meta['ratios']} != config {list(self.ratios)}")
+        return spark.read.parquet(os.path.join(self.path, "assignments"))
+
+
 def with_split(
     df: DataFrame,
     id_col: str,

@@ -1458,6 +1458,89 @@ def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("__p") + 1).cast("long").alias("sent_idx"), "sentence")
 
 
+# ---------------------------------------------------------------------------
+# Selector composite: Role / Paragraph / Random section selection
+# (src/config.rs:200-215 Selector enum; execution src/sampler/mod.rs:1694-1760)
+# over multi-section records (sentences as sections)
+# ---------------------------------------------------------------------------
+
+_SEL_ROLE_OFF = 909
+_SEL_RAND_OFF = 910
+
+
+@_register(
+    "selector_text_samples",
+    f"""
+WITH aug AS (SELECT doc_id, {_SENT_AUG_SQL} AS t FROM documents),
+sents AS (SELECT doc_id, {TX.sentences_native_sql('t')} AS l FROM aug),
+sections AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(u.i - 1 AS BIGINT) AS section_idx,
+         l[u.i] AS section_text,
+         CAST(len(l) AS BIGINT) AS n_sections
+  FROM sents, UNNEST(range(1, len(l) + 1)) AS u(i)
+),
+role_pick AS (
+  SELECT 'role' AS selector, doc_id, section_idx, section_text
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY {mix31_sql(['doc_id', 'section_idx'], SEED + _SEL_ROLE_OFF)}, section_idx
+    ) AS rn FROM sections
+  ) WHERE rn = 1
+),
+para_pick AS (
+  SELECT 'paragraph_1' AS selector, doc_id, section_idx, section_text
+  FROM sections WHERE section_idx = 1
+),
+rand_pick AS (
+  SELECT 'random' AS selector, doc_id, section_idx, section_text
+  FROM sections
+  WHERE section_idx = {hash31_sql('doc_id', SEED + _SEL_RAND_OFF)} % n_sections
+)
+SELECT * FROM role_pick UNION ALL SELECT * FROM para_pick UNION ALL SELECT * FROM rand_pick
+""",
+)
+def selector_text_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Selector enum as one composite query: ``Role`` =
+    hashed-start rotation over the record's sections (select_by_role's
+    deterministic hashed offset, src/sampler/mod.rs:1735-1742), ``Paragraph(1)``
+    = fixed section index (None when absent — records with one sentence
+    produce no row), ``Random`` = seeded uniform pick (the reference's rng
+    reduced to the repo-wide deterministic hash convention). Sections are
+    sentences of the augmented document text."""
+    from pyspark.sql import Window
+
+    aug = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), _sent_aug_col().alias("t")
+    )
+    sections = aug.select(
+        "doc_id",
+        F.posexplode(TX.sentences_native_col("t")).alias("__p", "section_text"),
+    ).select(
+        "doc_id",
+        F.col("__p").cast("long").alias("section_idx"),
+        "section_text",
+        F.count("*").over(Window.partitionBy("doc_id")).cast("long").alias("n_sections"),
+    )
+    order_key = mix31_col(
+        [F.col("doc_id"), F.col("section_idx")], SEED + _SEL_ROLE_OFF
+    )
+    w = Window.partitionBy("doc_id").orderBy(order_key.asc(), F.col("section_idx").asc())
+    role = (
+        sections.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.lit("role").alias("selector"), "doc_id", "section_idx", "section_text")
+    )
+    para = sections.where(F.col("section_idx") == 1).select(
+        F.lit("paragraph_1").alias("selector"), "doc_id", "section_idx", "section_text"
+    )
+    rand = sections.where(
+        F.col("section_idx")
+        == F.pmod(hash31_col("doc_id", SEED + _SEL_RAND_OFF), F.col("n_sections"))
+    ).select(F.lit("random").alias("selector"), "doc_id", "section_idx", "section_text")
+    return role.unionByName(para).unionByName(rand)
+
+
 _AFFINE_A = 48271  # odd ⇒ bijection mod 2^k (Lehmer multiplier; small enough
 _AFFINE_B = 42     # that a*idx stays in int64 up to multi-billion-row corpora)
 

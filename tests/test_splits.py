@@ -71,3 +71,28 @@ def test_overrides_win(spark):
 def test_invalid_ratios_rejected(spark):
     with pytest.raises(ValueError):
         split_label_col("id", 42, (0.5, 0.2, 0.1))
+
+
+def test_file_split_store_roundtrip_and_guards(spark, tmp_path):
+    """FileSplitStore persistence (src/splits.rs:563-611): parquet
+    assignment table + meta guard — seed/ratio mismatch on open errors
+    instead of silently re-deriving."""
+    import pytest
+
+    from rust_triplets_spark.operators.splits import FileSplitStore
+
+    df = spark.createDataFrame(
+        [(str(i), "train" if i % 2 else "test") for i in range(20)], "id string, split string"
+    )
+    store = FileSplitStore(str(tmp_path / "store"), seed=42)
+    store.save(df)
+
+    loaded = FileSplitStore(str(tmp_path / "store"), seed=42).load(spark)
+    assert {(r["id"], r["split"]) for r in loaded.collect()} == {
+        (str(i), "train" if i % 2 else "test") for i in range(20)
+    }
+
+    with pytest.raises(ValueError, match="seed mismatch"):
+        FileSplitStore(str(tmp_path / "store"), seed=7).load(spark)
+    with pytest.raises(ValueError, match="ratio mismatch"):
+        FileSplitStore(str(tmp_path / "store"), seed=42, ratios=(0.5, 0.25, 0.25)).load(spark)

@@ -52,6 +52,7 @@ def read_file_records(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
         .option("pathGlobFilter", "*.txt")  # is_text_file (src/utils.rs:128-133)
         .load(cfg.root)
         .withColumn("__path", F.input_file_name())
+        .withColumn("__mtime", F.col("_metadata.file_modification_time"))
     )
     import re
 
@@ -80,8 +81,12 @@ def read_file_records(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
     return raw.select(
         F.concat(F.lit(f"{cfg.source_id}::"), rel).alias("id"),
         F.lit(cfg.source_id).alias("source"),
-        F.lit(None).cast("timestamp").alias("created_at"),
-        F.lit(None).cast("timestamp").alias("updated_at"),
+        # file_times (src/utils.rs:136-151): Spark's file source exposes
+        # modification time natively (`_metadata`); Linux has no portable
+        # birth time, so created_at falls back publication-dir date →
+        # modification time — same fallback order as the reference
+        F.coalesce(date.cast("timestamp"), F.col("__mtime")).alias("created_at"),
+        F.col("__mtime").alias("updated_at"),
         trust.cast("float").alias("trust"),
         taxonomy.alias("taxonomy"),
         F.array(

@@ -58,3 +58,46 @@ def test_cosine_topk_broadcasts_queries(spark):
     plan = _physical(DQ.QUERIES["cosine_topk"](spark, SF))
     # the query side is explicitly broadcast: corpus side streams
     assert "BroadcastExchange" in plan
+
+
+def test_new_round3_queries_avoid_cartesian_products(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    # derived_text_recipes legitimately cross-joins a 6-row broadcast
+    # recipe frame — everything else must stay equi-join
+    for q in ["temporal_offset_triplets", "denoise_gate3_waves",
+              "selector_text_samples", "folder_date_parsing"]:
+        plan = _physical(DQ.QUERIES[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_derived_recipes_cross_join_is_broadcast(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["derived_text_recipes"](spark, SF))
+    # the 6-row recipe frame is explicitly broadcast: the chunk side must
+    # NOT shuffle for the join
+    assert "BroadcastExchange" in plan
+
+
+def test_events_scan_prunes_columns(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["tumbling_window_counts"](spark, SF))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, "expected parquet scans"
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",") if c}
+        # ts normalization must not drag unused columns into the scan
+        assert names <= {"ts", "event_type", "value"}, names
+
+
+def test_folder_date_scan_prunes_to_orderdate(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["folder_date_parsing"](spark, SF))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",") if c}
+        assert names <= {"o_orderkey", "o_orderdate"}, names

@@ -82,6 +82,10 @@ def test_file_source_tree(spark):
         assert r["sections"][1]["text"] == "the body text of the article"
         assert "date=2024-01-05" in r["taxonomy"]
         assert "source_a" in r["taxonomy"]
+        # file_times: updated_at = FS modification time; created_at falls
+        # back publication-dir date → mtime
+        assert r["updated_at"] is not None
+        assert r["created_at"].date().isoformat() == "2024-01-05"
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -142,120 +142,162 @@ def denoise_gates12_sql(col: str, cfg: DenoiserConfig = DenoiserConfig()) -> str
 # the layer walk is exactly the reference's wave order.
 
 
+def _bind(arr_expr, fn):
+    """Bind an array expression as a lambda variable so ``fn`` can reference
+    it many times without Catalyst inlining (and re-evaluating) the whole
+    sub-expression at every use — the 1-element-array trick (see
+    dedup.shingle_fingerprints_col for the measured blowup this avoids)."""
+    return F.element_at(F.transform(F.array(arr_expr), fn), 1)
+
+
+def _wave_retained(eff: Column, budget: float) -> Column:
+    """Gate-3 wave expansion over one line, as a single column expression
+    (the closed form above): tokens, per-token digit/alpha counts, distance
+    to the nearest alpha-seed token, one fold over the distance layers to
+    find K, then the kept tokens re-joined. Empty result → empty string."""
+    INF = 1_000_000_000
+    toks_expr = F.filter(F.split(eff, "\\s+"), lambda t: t != F.lit(""))
+
+    def with_toks(tk):
+        cnts_expr = F.transform(
+            tk,
+            lambda t: F.struct(
+                F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double").alias("d"),
+                F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double").alias("a"),
+            ),
+        )
+
+        def with_cnts(cnts):
+            n = F.size(cnts)
+            seeds_expr = F.filter(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.element_at(cnts, i)["a"] > 0,
+            )
+
+            def with_seeds(seeds):
+                dist_expr = F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    lambda i: F.coalesce(
+                        F.array_min(F.transform(seeds, lambda s2: F.abs(s2 - i))),
+                        F.lit(INF),
+                    ),
+                )
+
+                def with_dist(dst):
+                    layers = F.array_sort(F.array_distinct(dst))
+
+                    def layer_sum(field, k):
+                        return F.aggregate(
+                            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                            F.lit(0.0),
+                            lambda acc, i: acc
+                            + F.when(
+                                (F.element_at(dst, i) == k) & (n > 0),
+                                F.element_at(cnts, i)[field],
+                            ).otherwise(F.lit(0.0)),
+                        )
+
+                    fold = F.aggregate(
+                        layers,
+                        F.struct(
+                            F.lit(0.0).alias("cd"),
+                            F.lit(0.0).alias("ca"),
+                            F.lit(INF).alias("kk"),
+                            F.lit(False).alias("stop"),
+                        ),
+                        lambda acc, k: F.when(acc["stop"], acc).otherwise(
+                            _fold_step(acc, k, layer_sum("d", k), layer_sum("a", k), budget)
+                        ),
+                        lambda acc: acc["kk"],
+                    )
+
+                    def with_kk(kkarr):
+                        kk = F.element_at(kkarr, 1)
+                        kept = F.filter(
+                            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                            lambda i: (n > 0) & (F.element_at(dst, i) <= kk),
+                        )
+                        return F.when(n == 0, F.lit("")).otherwise(
+                            F.array_join(
+                                F.transform(kept, lambda i: F.element_at(tk, i)), " "
+                            )
+                        )
+
+                    return _bind(F.array(fold), with_kk)
+
+                return _bind(dist_expr, with_dist)
+
+            return _bind(seeds_expr, with_seeds)
+
+        return _bind(cnts_expr, with_cnts)
+
+    return _bind(toks_expr, with_toks)
+
+
+def _fold_step(acc, k, ld, la, budget: float):
+    ncd = acc["cd"] + ld
+    nca = acc["ca"] + la
+    fail = (k >= 1) & (ncd / (ncd + nca) > F.lit(budget))
+    return F.when(
+        fail,
+        F.struct(
+            acc["cd"].alias("cd"), acc["ca"].alias("ca"),
+            (k - 1).alias("kk"), F.lit(True).alias("stop"),
+        ),
+    ).otherwise(
+        F.struct(
+            ncd.alias("cd"), nca.alias("ca"),
+            acc["kk"].alias("kk"), F.lit(False).alias("stop"),
+        )
+    )
+
+
+def denoise_doc_col(col, cfg: DenoiserConfig = DenoiserConfig()) -> Column:
+    """The ENTIRE three-gate denoiser — wave expansion included — as one
+    column expression: lines → per-line gates → reassembly, all row-local.
+    No explode, no window, no join, no shuffle: the ideal narrow-map shape
+    at corpus scale (an earlier explode+window formulation was measured
+    ~2x slower at sf0.1 and cost five shuffles). NULL when every line
+    drops."""
+    if not cfg.enabled:
+        return F.col(col) if isinstance(col, str) else col
+    budget = float(cfg.max_digit_ratio)
+
+    def per_line(line):
+        if cfg.strip_markdown:
+            is_sep = line.rlike(SEPARATOR_RE)
+            eff = F.when(line.rlike(TABLE_LINE_RE), _strip_pipes(line)).otherwise(line)
+        else:
+            is_sep = F.lit(False)
+            eff = line
+
+        def with_eff(effb):
+            e = F.element_at(effb, 1)
+            d = F.length(F.regexp_replace(e, "[^0-9]", "")).cast("double")
+            a = F.length(F.regexp_replace(e, "[^A-Za-z]", "")).cast("double")
+            retained = _wave_retained(e, budget)
+            return (
+                F.when(a == 0, F.lit(None).cast("string"))
+                .when(d / (d + a) <= budget, e)
+                .otherwise(F.when(retained != "", retained))
+            )
+
+        return F.when(is_sep, F.lit(None).cast("string")).otherwise(
+            _bind(F.array(eff), with_eff)
+        )
+
+    cleaned = F.filter(F.transform(_lines(col), per_line), lambda x: x.isNotNull())
+    return F.when(F.size(cleaned) > 0, F.array_join(cleaned, "\n"))
+
+
 def denoise_full(df: DataFrame, id_col: str, text_col: str,
                  cfg: DenoiserConfig = DenoiserConfig()) -> DataFrame:
     """All three gates with EXACT gate-3 wave-expansion semantics, fully
-    native (codegen-able; the Pandas-UDF path below remains as the
-    cross-check). Returns (id, text_clean); NULL when every line drops."""
-    from pyspark.sql import Window
-
-    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    if not cfg.enabled:
-        return ids.select("id", F.col("__text").alias("text_clean"))
-
-    lines = ids.select(
-        "id", F.posexplode(_lines("__text")).alias("lineno", "line")
+    native (the Pandas-UDF path below remains as the cross-check).
+    Returns (id, text_clean); NULL when every line drops."""
+    return df.select(
+        F.col(id_col).alias("id"), denoise_doc_col(text_col, cfg).alias("text_clean")
     )
-    if cfg.strip_markdown:
-        eff = F.when(
-            F.col("line").rlike(TABLE_LINE_RE), _strip_pipes(F.col("line"))
-        ).otherwise(F.col("line"))
-        lines = lines.where(~F.col("line").rlike(SEPARATOR_RE)).withColumn("eff", eff)
-    else:
-        lines = lines.withColumn("eff", F.col("line"))
-
-    from rust_triplets_spark.functions.caching import cache_scoped
-
-    d = F.length(F.regexp_replace("eff", "[^0-9]", "")).cast("double")
-    a = F.length(F.regexp_replace("eff", "[^A-Za-z]", "")).cast("double")
-    # g2 feeds both the easy branch and the whole gate-3 token pipeline —
-    # cache it (eagerly: the branches run inside one action) so the line
-    # explode + regex counting runs once, not once per branch
-    g2 = cache_scoped(
-        lines.select("id", "lineno", "eff", d.alias("__d"), a.alias("__a")).where(
-            a > 0
-        ),
-        "denoiser.g2", eager=True,
-    )
-    budget = float(cfg.max_digit_ratio)
-    ratio = F.col("__d") / (F.col("__d") + F.col("__a"))
-    easy = g2.where(ratio <= budget).select("id", "lineno", F.col("eff").alias("out_line"))
-    hard = g2.where(ratio > budget)
-
-    toks = hard.select(
-        "id", "lineno",
-        F.posexplode(
-            F.filter(F.split("eff", "\\s+"), lambda t: t != F.lit(""))
-        ).alias("pos", "tok"),
-    ).select(
-        "id", "lineno", "pos", "tok",
-        F.length(F.regexp_replace("tok", "[^0-9]", "")).cast("double").alias("td"),
-        F.length(F.regexp_replace("tok", "[^A-Za-z]", "")).cast("double").alias("ta"),
-    )
-    INF = 1_000_000_000
-    wl = Window.partitionBy("id", "lineno").orderBy("pos")
-    seed_pos = F.when(F.col("ta") > 0, F.col("pos"))
-    prev_seed = F.last(seed_pos, ignorenulls=True).over(
-        wl.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    next_seed = F.first(seed_pos, ignorenulls=True).over(
-        wl.rowsBetween(0, Window.unboundedFollowing)
-    )
-    dist = F.least(
-        F.coalesce(F.col("pos") - prev_seed, F.lit(INF)),
-        F.coalesce(next_seed - F.col("pos"), F.lit(INF)),
-    )
-    # consumed by the layer aggregation AND the retained-token join
-    with_dist = cache_scoped(
-        toks.withColumn("dist", dist), "denoiser.dists", eager=True
-    )
-
-    layers = with_dist.groupBy("id", "lineno", "dist").agg(
-        F.sum("td").alias("ld"), F.sum("ta").alias("la")
-    )
-    wcum = Window.partitionBy("id", "lineno").orderBy("dist").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = layers.withColumn("cd", F.sum("ld").over(wcum)).withColumn(
-        "ca", F.sum("la").over(wcum)
-    )
-    fail_at = F.when(
-        (F.col("dist") >= 1)
-        & (F.col("cd") / (F.col("cd") + F.col("ca")) > budget),
-        F.col("dist"),
-    )
-    kmax = cum.groupBy("id", "lineno").agg(
-        (F.coalesce(F.min(fail_at) - 1, F.lit(INF))).alias("kk")
-    )
-    retained = (
-        with_dist.join(kmax, ["id", "lineno"])
-        .where(F.col("dist") <= F.col("kk"))
-        .groupBy("id", "lineno")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).alias("out_line")
-        )
-    )
-
-    docs = (
-        easy.unionByName(retained)
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("lineno", "out_line"))),
-                    lambda x: x["out_line"],
-                ),
-                "\n",
-            ).alias("text_clean")
-        )
-    )
-    return ids.join(docs, "id", "left").select("id", "text_clean")
 
 
 def denoise_full_sql(table: str, id_sql: str, text_sql: str,

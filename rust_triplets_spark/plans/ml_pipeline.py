@@ -15,14 +15,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.operators.chunking import ChunkingStrategy, chunk_sections
-from rust_triplets_spark.operators.denoiser import DenoiserConfig, denoise_udf
+from rust_triplets_spark.operators.denoiser import DenoiserConfig, denoise_doc_col
 from rust_triplets_spark.operators.splits import split_label_col
 
 
 class DenoiserTransformer(Transformer):
     """Full three-gate denoiser (wave expansion included) on a text column;
     rows whose text denoises to nothing are DROPPED (section-drop
-    semantics, preprocessor/mod.rs:51-58)."""
+    semantics, preprocessor/mod.rs:51-58). Runs as the native closed-form
+    column expression — no Python UDF in the pipeline's hot path."""
 
     @keyword_only
     def __init__(self, inputCol: str = "text", outputCol: str = "text",
@@ -32,7 +33,7 @@ class DenoiserTransformer(Transformer):
         self._cfg = DenoiserConfig(True, maxDigitRatio, stripMarkdown)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        out = df.withColumn(self._out, denoise_udf(self._cfg)(F.col(self._in)))
+        out = df.withColumn(self._out, denoise_doc_col(self._in, self._cfg))
         return out.where(F.col(self._out).isNotNull())
 
 

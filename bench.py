@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "denoise_gate3_waves",
     "derived_text_recipes",
     "folder_date_parsing",
+    "corpus_clean",
+    "selector_text_samples",
 ]
 
 

@@ -645,6 +645,46 @@ def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_clean",
+    f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {TX.lang_id_sql('text')} AS pred_lang,
+         {TX.quality_score_sql('text')} AS quality,
+         {TX.normalize_inline_whitespace_sql('text')} AS norm
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.6),
+rep AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+  FROM kept GROUP BY norm
+)
+SELECT r.doc_id, r.n_dups, k.pred_lang, k.quality
+FROM rep r JOIN kept k ON k.doc_id = r.doc_id
+""",
+)
+def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus cleaning pipeline a 100 TB user runs
+    end-to-end: language-ID gate → quality gate → exact dedup (min-id
+    representative). One narrow scoring pass, one dedup shuffle, one
+    broadcast-able join back for the representative's attributes."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.lang_id_col("text").alias("pred_lang"),
+        TX.quality_score_col("text").alias("quality"),
+        TX.normalize_inline_whitespace_col("text").alias("norm"),
+    )
+    kept = scored.where((F.col("pred_lang") == "en") & (F.col("quality") >= 0.6))
+    rep = kept.groupBy("norm").agg(
+        F.min("doc_id").cast("long").alias("doc_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+    return rep.join(kept.drop("norm"), "doc_id", "inner").select(
+        "doc_id", "n_dups", "pred_lang", "quality"
+    )
+
+
+@_register(
     "doc_fingerprint",
     f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {TX.fingerprint_sql('text')} AS fingerprint FROM documents",
 )

@@ -276,3 +276,91 @@ def ann_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("qid", F.col("rank").cast("long").alias("rank"), "nid", "cos_sim")
     )
+
+
+def ann_ivf_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 2, seed: int = 7000, max_iter: int = 10,
+) -> DataFrame:
+    """IVF ANN: a k-means coarse quantizer (MLlib, trained once) splits the
+    corpus into cells; each query probes its ``nprobe`` nearest centroids
+    and runs the exact cosine kernel within those cells only — join cost
+    ~ corpus x (nprobe / n_centroids) x avg cell, the classic IVF
+    trade-off next to the hyperplane-LSH path (:func:`ann_bucketed_topk`).
+
+    Scale notes: the trained centroid table is tiny (n_centroids x dim) and
+    ships as a literal expression — probe selection is row-local, the only
+    shuffle is the (cell) equi-join; with ``nprobe == n_centroids`` results
+    equal the brute-force baseline exactly (pytest-pinned). Iterative
+    training is why this operator has no SQL oracle twin (rows-only check).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__arr"),
+    )
+    train = base.withColumn("features", array_to_vector("__arr"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    assigned = model.transform(train).select(
+        "id", "__arr", F.col("prediction").cast("int").alias("cell")
+    )
+
+    # centroid table as a literal array of structs: probe ranking is pure
+    # row-local arithmetic, no join against a centroid frame
+    centers = [
+        F.struct(
+            F.lit(ci).cast("int").alias("cell"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+        )
+        for ci, c in enumerate(model.clusterCenters())
+    ]
+
+    def d2(q, c):
+        return F.aggregate(
+            F.zip_with(q, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = base.select(
+        F.col("id").alias("qid"),
+        F.col("__arr").alias("__qv"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.array(*centers),
+                            lambda c: F.struct(
+                                d2(F.col("__arr"), c["cvec"]).alias("d2"),
+                                c["cell"].alias("cell"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["cell"],
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("cell"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+    cos = dot(F.col("__qv"), F.col("__arr")) / (
+        F.sqrt(dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(dot(F.col("__arr"), F.col("__arr")))
+    )
+    scored = cand.withColumn("cos_sim", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"),
+                F.col("id").alias("nid"), "cos_sim")
+    )

@@ -1795,6 +1795,20 @@ def ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_ivf_topk")  # no oracle: iterative k-means training is not
+# SQL-expressible (rows-only driver check); exactness vs brute force is
+# pytest-pinned at nprobe == n_centroids
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: MLlib k-means coarse quantizer + nprobe-cell
+    exact cosine search (operators/similarity.ann_ivf_topk)."""
+    from rust_triplets_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=3, n_centroids=8, nprobe=2,
+    )
+
+
 @_register(
     "embedding_neardup_pairs",
     embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding",

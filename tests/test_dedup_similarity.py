@@ -102,3 +102,39 @@ def test_ann_bucketed_topk_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.8, recall
+
+
+def test_ivf_ann_full_probe_matches_brute_force(spark):
+    """With nprobe == n_centroids every cell is searched: the IVF ranking
+    must equal the exact brute-force neighbor order per query."""
+    from rust_triplets_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4)
+    exact = cosine_topk(emb, "vec_id", "embedding", k=3)
+    got = {(r["qid"], r["rank"]): r["nid"] for r in ivf.collect()}
+    want = {(r["qid"], r["rank"]): r["nid"] for r in exact.collect()}
+    assert got == want
+
+
+def test_ivf_ann_neighbors_come_from_probed_cells(spark):
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from rust_triplets_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=4, seed=7000, maxIter=10).fit(train)
+    cells = {r["id"]: r["prediction"] for r in model.transform(train).collect()}
+
+    out = ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=1).collect()
+    assert out, "ivf should return neighbors"
+    # nprobe=1: every neighbor must live in the query's own nearest cell,
+    # which for a corpus vector is its assigned cell
+    for r in out:
+        assert cells[r["nid"]] == cells[r["qid"]]

@@ -190,6 +190,31 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "split_with_overrides",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 37 = 0 THEN 'holdout'
+            ELSE {split_label_sql('doc_id', SEED)} END AS split
+FROM documents
+""",
+)
+def split_with_overrides_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitStore upsert semantics (src/splits.rs:122-131): explicit
+    assignments win over the derivation. The override table (every 37th
+    doc forced to 'holdout') goes through the real ``with_split`` override
+    join — the oracle states the same upsert as a CASE."""
+    from rust_triplets_spark.operators.splits import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    overrides = (
+        docs.where(F.col("doc_id") % 37 == 0)
+        .select(F.col("doc_id").alias("id"), F.lit("holdout").alias("split"))
+    )
+    out = with_split(docs, "doc_id", SEED, overrides=overrides)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+@_register(
     "split_ratio_counts",
     f"""
 SELECT {split_label_sql('o_orderkey', SEED)} AS split,

@@ -84,10 +84,15 @@ def year_folder_date_col(year_str, folder) -> Column:
     )
 
 
+_YEAR_DIGITS_RE = "^[0-9]{1,10}$"  # mirrors Spark try_to_number('9999999999'):
+# digits only, no sign, no surrounding whitespace (try_cast alone would trim
+# and accept '+2026' — chrono's str::parse does not)
+
+
 def year_folder_date_sql(year_sql: str, folder_sql: str) -> str:
     y = f"CAST({year_sql} AS VARCHAR)"
     s = f"replace(trim(split_part({folder_sql}, '--', 1)), '_', '-')"
-    return f"""CASE WHEN try_cast({y} AS BIGINT) IS NOT NULL THEN
+    return f"""CASE WHEN regexp_matches({y}, '{_YEAR_DIGITS_RE}') THEN
     coalesce(
       {folder_date_sql(f"trim(split_part({folder_sql}, '--', 1))")},
       CAST(try_strptime(
@@ -133,6 +138,7 @@ def month_range_date_sql(year_sql: str, folder_sql: str) -> str:
     mo = f"""CASE substr({last_tok}, 1, 3)
       {whens}
     END"""
-    y = f"try_cast({year_sql} AS BIGINT)"
-    return f"""CASE WHEN {y} IS NOT NULL AND ({mo}) IS NOT NULL
+    ys = f"CAST({year_sql} AS VARCHAR)"
+    y = f"try_cast({ys} AS BIGINT)"
+    return f"""CASE WHEN regexp_matches({ys}, '{_YEAR_DIGITS_RE}') AND ({mo}) IS NOT NULL
     THEN CAST(try_strptime({y} || '-' || ({mo}) || '-1', '%Y-%m-%d') AS DATE) END"""

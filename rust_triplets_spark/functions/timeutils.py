@@ -7,11 +7,13 @@ engine may assume a physical type: every consumer goes through
 :func:`ensure_epoch_us`, which branches on the *resolved* Spark dtype and
 yields BIGINT epoch **microseconds** — exact integer math from there on.
 
-The timestamp branch is built from date/time parts, so it is independent of
+The NTZ branch is built from date/time parts, so it is independent of
 ``spark.sql.session.timeZone`` and bit-identical to DuckDB's ``epoch_us()``
 on the same NTZ values (the property the correctness oracle relies on).
 ``unix_micros(cast(ts as timestamp))`` would NOT be: the NTZ→TZ cast
-reinterprets the wall-clock in session time.
+reinterprets the wall-clock in session time. Tz-aware ``timestamp``
+columns are already instants, so for THEM ``unix_micros`` is the exact
+(and session-tz-independent) extraction and the parts path is the trap.
 """
 
 from __future__ import annotations
@@ -52,7 +54,12 @@ def ensure_epoch_us(df: DataFrame, col: str = "ts", int_unit: str = "ns") -> Dat
     """Normalize ``df[col]`` to BIGINT epoch microseconds, branching on the
     RESOLVED dtype (never the assumed physical parquet type):
 
-    - ``timestamp`` / ``timestamp_ntz`` → parts-based extraction (tz-free);
+    - ``timestamp_ntz`` → parts-based extraction (wall-clock, tz-free);
+    - ``timestamp`` (tz-aware instant) → ``unix_micros`` — exact for
+      instants regardless of ``spark.sql.session.timeZone``. The
+      parts-based path would be WRONG here: the parts are rendered in
+      session time, so a non-UTC session would shift every epoch by the
+      session offset (and disagree with DuckDB's ``epoch_us``);
     - integer → interpreted per ``int_unit`` (``"ns"`` by default, the
       contract of ``spark.sql.legacy.parquet.nanosAsLong`` reads).
 
@@ -61,6 +68,8 @@ def ensure_epoch_us(df: DataFrame, col: str = "ts", int_unit: str = "ns") -> Dat
     dtype = dict(df.dtypes).get(col)
     if dtype is None:
         raise ValueError(f"column {col!r} not found; have {df.columns}")
+    if dtype == "timestamp":
+        return df.withColumn(col, F.unix_micros(F.col(col)))
     if dtype.startswith("timestamp"):
         return df.withColumn(col, epoch_micros_col(col))
     if dtype in ("bigint", "int", "long"):

@@ -54,13 +54,29 @@ def _c(x) -> Column:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Group by normalized text; keep the minimum id as representative.
-    Returns (rep_id, n_dups) per distinct text (n_dups = group size)."""
+    """Group by the (hash31, length) FINGERPRINT of the normalized text;
+    keep the minimum id as representative. Returns (rep_id, n_dups) per
+    distinct fingerprint (n_dups = group size).
+
+    Scale shape: the shuffle key is a fixed-width (int64, int64) pair, not
+    the normalized document itself — at corpus scale, shuffling whole
+    documents as grouping keys dominates the job. Collision caveat: two
+    different texts collide only when BOTH the 31-bit content hash and the
+    character length match (~n²/2³¹ expected collisions within one length
+    class); a exactness-critical pipeline can re-verify within fingerprint
+    groups, but as the first dedup pass the fingerprint is the standard
+    trade (and both engines compute the SAME fingerprint, so cross-engine
+    parity is unaffected)."""
     norm = normalize_inline_whitespace_col(text_col)
     return (
-        df.groupBy(norm.alias("__norm"))
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            hash31_str_col(norm).alias("__h"),
+            F.length(norm).cast("long").alias("__len"),
+        )
+        .groupBy("__h", "__len")
         .agg(
-            F.min(F.col(id_col)).cast("long").alias("rep_id"),
+            F.min(F.col("__id")).alias("rep_id"),
             F.count("*").cast("long").alias("n_dups"),
         )
         .select("rep_id", "n_dups")
@@ -68,10 +84,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup_sql(table: str, id_sql: str, text_sql: str) -> str:
+    norm = normalize_inline_whitespace_sql(text_sql)
     return f"""
 SELECT CAST(min({id_sql}) AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM {table}
-GROUP BY {normalize_inline_whitespace_sql(text_sql)}
+GROUP BY {hash31_str_sql(norm)}, length({norm})
 """
 
 

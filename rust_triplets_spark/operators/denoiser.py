@@ -40,10 +40,18 @@ class DenoiserConfig:
     strip_markdown: bool = True
 
 
-# Regexes shared by both engines (RE2-safe, ASCII classes).
+# Regexes shared by both engines (Java regex and DuckDB RE2 both support
+# the \p{L} Unicode letter class). Alpha counting MUST be Unicode — the
+# reference counts via Rust's is_alphabetic() and the Python twin via
+# str.isalpha(); an ASCII [A-Za-z] class would drop whole non-Latin lines
+# (Cyrillic, CJK, accented) that the reference keeps. Digits stay [0-9]
+# (the reference counts is_ascii_digit only).
 SEPARATOR_RE = "^[ \\t]*\\|[-|: \\t]*$"
 TABLE_LINE_RE = "^[ \\t]*\\|.*\\|"  # trimmed starts with | and has >= 2 pipes
-HAS_ALPHA_RE = "[A-Za-z]"
+HAS_ALPHA_RE = "\\p{L}"
+NON_ALPHA_RE = "[^\\p{L}]"
+WS_SPLIT_RE = "[\\s\\p{Z}\\x{85}]+"  # Unicode whitespace, approximating Rust
+# split_whitespace / Python str.split(): ASCII \s + Z-category separators + NEL
 
 
 LINE_SPLIT_RE = "\\r\\n|\\r|\\n"  # regex split avoids engine-specific
@@ -85,7 +93,7 @@ def denoise_gates12_col(col, cfg: DenoiserConfig = DenoiserConfig()) -> Column:
 
     def keep(eff: Column) -> Column:
         digits = F.length(F.regexp_replace(eff, "[^0-9]", "")).cast("double")
-        alpha = F.length(F.regexp_replace(eff, "[^A-Za-z]", "")).cast("double")
+        alpha = F.length(F.regexp_replace(eff, NON_ALPHA_RE, "")).cast("double")
         ratio_ok = digits / (digits + alpha) <= F.lit(cfg.max_digit_ratio)
         return eff.isNotNull() & eff.rlike(HAS_ALPHA_RE) & ratio_ok
 
@@ -107,7 +115,7 @@ def denoise_gates12_sql(col: str, cfg: DenoiserConfig = DenoiserConfig()) -> str
         else "l"
     )
     digits = f"CAST(length(regexp_replace(({eff}), '[^0-9]', '', 'g')) AS DOUBLE)"
-    alpha = f"CAST(length(regexp_replace(({eff}), '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    alpha = f"CAST(length(regexp_replace(({eff}), '{NON_ALPHA_RE}', '', 'g')) AS DOUBLE)"
     sep = (
         f"NOT regexp_matches(l, '{SEPARATOR_RE}') AND "
         if cfg.strip_markdown
@@ -156,14 +164,14 @@ def _wave_retained(eff: Column, budget: float) -> Column:
     to the nearest alpha-seed token, one fold over the distance layers to
     find K, then the kept tokens re-joined. Empty result → empty string."""
     INF = 1_000_000_000
-    toks_expr = F.filter(F.split(eff, "\\s+"), lambda t: t != F.lit(""))
+    toks_expr = F.filter(F.split(eff, WS_SPLIT_RE), lambda t: t != F.lit(""))
 
     def with_toks(tk):
         cnts_expr = F.transform(
             tk,
             lambda t: F.struct(
                 F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double").alias("d"),
-                F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double").alias("a"),
+                F.length(F.regexp_replace(t, NON_ALPHA_RE, "")).cast("double").alias("a"),
             ),
         )
 
@@ -274,7 +282,7 @@ def denoise_doc_col(col, cfg: DenoiserConfig = DenoiserConfig()) -> Column:
         def with_eff(effb):
             e = F.element_at(effb, 1)
             d = F.length(F.regexp_replace(e, "[^0-9]", "")).cast("double")
-            a = F.length(F.regexp_replace(e, "[^A-Za-z]", "")).cast("double")
+            a = F.length(F.regexp_replace(e, NON_ALPHA_RE, "")).cast("double")
             retained = _wave_retained(e, budget)
             return (
                 F.when(a == 0, F.lit(None).cast("string"))
@@ -331,18 +339,18 @@ lines AS (
 g2 AS (
   SELECT id, lineno, eff,
          CAST(length(regexp_replace(eff, '[^0-9]', '', 'g')) AS DOUBLE) AS d,
-         CAST(length(regexp_replace(eff, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS a
+         CAST(length(regexp_replace(eff, '{NON_ALPHA_RE}', '', 'g')) AS DOUBLE) AS a
   FROM lines
-  WHERE length(regexp_replace(eff, '[^A-Za-z]', '', 'g')) > 0
+  WHERE length(regexp_replace(eff, '{NON_ALPHA_RE}', '', 'g')) > 0
 ),
 easy AS (SELECT id, lineno, eff AS out_line FROM g2 WHERE d / (d + a) <= {budget!r}),
 hard AS (SELECT id, lineno, eff FROM g2 WHERE d / (d + a) > {budget!r}),
 toks AS (
   SELECT id, lineno, CAST(u.i - 1 AS BIGINT) AS pos, tarr[u.i] AS tok,
          CAST(length(regexp_replace(tarr[u.i], '[^0-9]', '', 'g')) AS DOUBLE) AS td,
-         CAST(length(regexp_replace(tarr[u.i], '[^A-Za-z]', '', 'g')) AS DOUBLE) AS ta
+         CAST(length(regexp_replace(tarr[u.i], '{NON_ALPHA_RE}', '', 'g')) AS DOUBLE) AS ta
   FROM (SELECT id, lineno,
-               list_filter(string_split_regex(eff, '\\s+'), x -> x <> '') AS tarr
+               list_filter(string_split_regex(eff, '{WS_SPLIT_RE}'), x -> x <> '') AS tarr
         FROM hard),
        UNNEST(range(1, len(tarr) + 1)) AS u(i)
 ),

@@ -35,20 +35,30 @@ def cosine_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    queries: DataFrame | None = None,
+    queries: DataFrame,
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` defaults to ``df`` itself (all-pairs); self-matches are
-    excluded. Scale shape: the query side is broadcast (queries ≪ corpus),
-    the corpus side streams — one pass, partial top-k per partition via the
-    row_number window on (query, cos)."""
+    ``queries`` is REQUIRED and must be small relative to the corpus:
+    the query side is broadcast (queries ≪ corpus), the corpus side
+    streams — one pass, partial top-k per partition via the row_number
+    window on (query, cos). Self-matches are excluded.
+
+    Passing the whole corpus as ``queries`` would broadcast the full
+    corpus to every executor and score all pairs — a scale trap. For
+    corpus-wide neighbor search use :func:`ann_bucketed_topk` (LSH) or
+    :func:`ann_ivf_topk` (IVF), which bound the join to Σ bucket²."""
+    if queries is None:
+        raise ValueError(
+            "cosine_topk requires an explicit small `queries` frame; for "
+            "corpus-wide all-pairs search use ann_bucketed_topk or "
+            "ann_ivf_topk (broadcasting the whole corpus is a scale trap)"
+        )
     base = df.select(
         F.col(id_col).cast("long").alias("nid"), _quantize(F.col(vec_col)).alias("__nv")
     ).withColumn("__nn", _dot(F.col("__nv"), F.col("__nv")))
-    qs = queries if queries is not None else df
-    qdf = qs.select(
+    qdf = queries.select(
         F.col(id_col).cast("long").alias("qid"), _quantize(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _dot(F.col("__qv"), F.col("__qv")))
 
@@ -281,6 +291,7 @@ def ann_bucketed_topk(
 def ann_ivf_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     n_centroids: int = 16, nprobe: int = 2, seed: int = 7000, max_iter: int = 10,
+    fit_sample_target: int = 100_000,
 ) -> DataFrame:
     """IVF ANN: a k-means coarse quantizer (MLlib, trained once) splits the
     corpus into cells; each query probes its ``nprobe`` nearest centroids
@@ -288,21 +299,36 @@ def ann_ivf_topk(
     ~ corpus x (nprobe / n_centroids) x avg cell, the classic IVF
     trade-off next to the hyperplane-LSH path (:func:`ann_bucketed_topk`).
 
+    The coarse quantizer is fit on a DETERMINISTIC hash sample of at most
+    ~``fit_sample_target`` rows (``hash31(id) % step == 0`` — id-stable and
+    partition-layout-independent, unlike ``df.sample``): centroid quality
+    saturates far below corpus size, and a full-corpus k-means fit per call
+    would be the dominant cost at 100 TB. Corpora at/below the target fit
+    on every row, so small-scale results are unchanged.
+
     Scale notes: the trained centroid table is tiny (n_centroids x dim) and
     ships as a literal expression — probe selection is row-local, the only
     shuffle is the (cell) equi-join; with ``nprobe == n_centroids`` results
     equal the brute-force baseline exactly (pytest-pinned). Iterative
-    training is why this operator has no SQL oracle twin (rows-only check).
-    """
+    training is why THIS variant has no SQL oracle twin; the driver-checked
+    oracle query uses :func:`ivf_seeded_topk` (zero-iteration quantizer,
+    same search kernel)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from rust_triplets_spark.functions.hashing import hash31_col
 
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("__arr"),
     )
     train = base.withColumn("features", array_to_vector("__arr"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    fit_df = train
+    rows = train.count()
+    if rows > fit_sample_target:
+        step = rows // fit_sample_target + 1
+        fit_df = train.where(F.pmod(hash31_col(F.col("id"), seed), F.lit(step)) == 0)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_df)
     assigned = model.transform(train).select(
         "id", "__arr", F.col("prediction").cast("int").alias("cell")
     )
@@ -364,3 +390,130 @@ def ann_ivf_topk(
         .select("qid", F.col("rank").cast("long").alias("rank"),
                 F.col("id").alias("nid"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a SEEDED coarse quantizer — the oracle-checkable variant
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 7000
+
+
+def ivf_seeded_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 2, seed: int = IVF_SEED,
+) -> DataFrame:
+    """IVF ANN with a hash-seeded coarse quantizer: the centroids are the
+    ``n_centroids`` corpus vectors with the smallest ``hash31(id, seed)``
+    (k-means with zero Lloyd iterations — pure random init), every vector
+    is assigned to its nearest centroid by EXACT integer squared distance
+    over the quantized embeddings, each query probes its ``nprobe``
+    nearest cells, and the exact integer-cosine kernel runs within those
+    cells. Identical expression trees on both engines ⇒ hash-matchable —
+    the property the MLlib-trained :func:`ann_ivf_topk` can't offer.
+
+    Scale shape: the centroid frame is ``n_centroids`` rows (broadcast);
+    distance scoring is a narrow map over corpus × n_centroids; the only
+    wide exchanges are the per-id argmin window and the (cell) equi-join —
+    Σ cell² candidate cost, never corpus²."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    # centroid pick: orderBy().limit() plans as a distributed TakeOrdered
+    # (per-partition top-n + merge) — NOT a global row_number window, which
+    # would funnel the whole corpus through one partition. The row_number
+    # that assigns cell ids runs on the already-limited n_centroids rows.
+    picked = (
+        base.select("id", "__v", _ivf_pick_key(seed).alias("__pk"))
+        .orderBy(F.col("__pk").asc(), F.col("id").asc())
+        .limit(n_centroids)
+    )
+    cent = picked.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("__pk").asc(), F.col("id").asc()))
+        .cast("long")
+        .alias("cell"),
+        F.col("__v").alias("__cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__cr",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
+            ),
+        )
+    )
+    assigned = ranked.where(F.col("__cr") == 1).select("id", "__v", "__n", "cell")
+    probes = ranked.where(F.col("__cr") <= nprobe).select(
+        F.col("id").alias("qid"), F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"), "cell",
+    )
+    cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__n").cast("double"))
+    )
+    scored = cand.withColumn("__dot", _dot(F.col("__qv"), F.col("__v"))).withColumn(
+        "cos_sim", cos
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"),
+                F.col("id").alias("nid"), "cos_sim")
+    )
+
+
+def _ivf_pick_key(seed: int):
+    from rust_triplets_spark.functions.hashing import hash31_col
+
+    return hash31_col(F.col("id"), seed)
+
+
+def ivf_seeded_topk_sql(
+    table: str, id_sql: str, vec_sql: str, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 2, seed: int = IVF_SEED,
+) -> str:
+    """DuckDB twin of :func:`ivf_seeded_topk` — same seeded centroid pick,
+    same integer distances, same tie-breaks."""
+    from rust_triplets_spark.functions.hashing import hash31_sql
+
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table}
+), n AS MATERIALIZED (
+  SELECT id, v,
+         CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS BIGINT) AS nn
+  FROM b
+), cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY {hash31_sql('id', seed)}, id) AS BIGINT) AS cell,
+         v AS cv
+  FROM b QUALIFY cell <= {n_centroids}
+), ranked AS MATERIALIZED (
+  SELECT n.id, n.v, n.nn, c.cell,
+         row_number() OVER (
+           PARTITION BY n.id
+           ORDER BY CAST(list_sum(list_transform(range(1, len(n.v) + 1),
+                         i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) AS BIGINT), c.cell
+         ) AS cr
+  FROM n, cent c
+), assigned AS (SELECT id, v, nn, cell FROM ranked WHERE cr = 1),
+probes AS (SELECT id AS qid, v AS qv, nn AS qn, cell FROM ranked WHERE cr <= {nprobe}),
+scored AS (
+  SELECT p.qid, a.id AS nid,
+         CAST(CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.nn AS DOUBLE))) AS cos_sim
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.qid
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM scored)
+WHERE rank <= {k}
+"""

@@ -54,6 +54,9 @@ from rust_triplets_spark.operators.splits import split_label_col, split_label_sq
 CHUNK_SEED_OFF = 404  # chunk-order rotation
 SWAP_SEED_OFF = 505  # anchor/positive swap coin
 TRUST_SEED = 7  # synthetic per-record trust for the driver tables
+SEL_ROLE_OFF = 909  # Role selector rotation (matches selector_text_samples)
+SEL_RAND_OFF = 910  # Random selector pick
+SEL_SIDE_SALT = {"anchor": 0, "positive": 1, "negative": 2}  # decorrelate sides
 
 STRATEGY_REASON = {  # src/constants.rs:98-103
     "wrong_article": "wrong_article",
@@ -63,15 +66,52 @@ STRATEGY_REASON = {  # src/constants.rs:98-103
 
 
 @dataclass(frozen=True)
+class Selector:
+    """Mirrors the reference's ``Selector`` enum (src/config.rs:200-215):
+    ``Role(Anchor|Context)`` / ``Paragraph(n)`` / ``Random``.
+    ``TemporalOffset(days)`` has its own dedicated assembly path
+    (:func:`assemble_temporal_triplets`, built on the as-of join)."""
+
+    kind: str  # 'role' | 'paragraph' | 'random'
+    role: str | None = None  # for kind='role': 'anchor' | 'context'
+    index: int | None = None  # for kind='paragraph'
+
+    def __post_init__(self):
+        if self.kind not in ("role", "paragraph", "random"):
+            raise ValueError(f"unknown selector kind {self.kind!r}")
+        if self.kind == "role" and self.role not in ("anchor", "context"):
+            raise ValueError("Role selector requires role='anchor'|'context'")
+        if self.kind == "paragraph" and (self.index is None or self.index < 0):
+            raise ValueError("Paragraph selector requires index >= 0")
+
+
+def Role(role: str) -> Selector:  # noqa: N802 — mirrors the enum variant
+    return Selector("role", role=role)
+
+
+def Paragraph(index: int) -> Selector:  # noqa: N802
+    return Selector("paragraph", index=index)
+
+
+RANDOM = Selector("random")
+
+
+@dataclass(frozen=True)
 class TripletRecipe:
-    """Mirrors src/config.rs:146-198 (selector semantics reduced to the
-    window-chunk pair used by the auto long-section recipe)."""
+    """Mirrors src/config.rs:146-198. When the per-side selectors are left
+    ``None`` the recipe runs the window-chunk pair over one-section records
+    (the auto long-section recipe shape, :func:`assemble_triplets`); set
+    anchor/positive_selector/negative_selector to route the recipe through
+    multi-section selector assembly (:func:`assemble_selector_triplets`)."""
 
     name: str
     negative_strategy: str = "wrong_article"
     weight: float = 1.0
     instruction: str | None = None
     allow_same_anchor_positive: bool = False
+    anchor: Selector | None = None
+    positive_selector: Selector | None = None
+    negative_selector: Selector | None = None
 
 
 @dataclass(frozen=True)
@@ -238,7 +278,13 @@ def assemble_triplets(
         (F.col("negative_text") != F.col("anchor_text"))
         & (F.col("negative_text") != F.col("positive_text"))
     )
-    return out.dropDuplicates(["anchor_id", "negative_id"])
+    # the reference's (a,p,n) record-id dedup (src/sampler/mod.rs:2604-2611)
+    # is structurally satisfied here: every join stage is 1:1 per record_id
+    # (anchor rn=1, positive rn=2, one negative pick), so each anchor_id
+    # appears exactly once. No dropDuplicates — the SQL twin has none, and a
+    # dedup over a nondeterministic pick would silently diverge the engines
+    # if a stage ever became multi-row (both sides now emit the same rows).
+    return out
 
 
 def assemble_triplets_sql(
@@ -483,7 +529,11 @@ def assemble_temporal_triplets(
         (F.col("negative_text") != F.col("anchor_text"))
         & (F.col("negative_text") != F.col("positive_text"))
     )
-    return out.dropDuplicates(["anchor_id", "negative_id"])
+    # no dropDuplicates: every stage (rep chunk rn=1, as-of neighbor,
+    # negative pick) is 1:1 per record_id, and the SQL twin carries no
+    # dedup — keeping the two plans literally equivalent (see
+    # assemble_triplets) instead of masking a future multi-row divergence.
+    return out
 
 
 def assemble_temporal_triplets_sql(
@@ -635,4 +685,287 @@ SELECT recipe, anchor_id, anchor_key, anchor_text,
        negative_key AS other_key, negative_text AS other_text,
        'negative' AS label, '{reason}' AS reason, weight, split
 FROM trip
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-side selector assembly over multi-section records
+# (Selector execution: src/sampler/mod.rs:1694-1751; recipe surface
+# src/config.rs:146-215)
+# ---------------------------------------------------------------------------
+
+def _select_section(base: DataFrame, selector: Selector, side: str, seed: int) -> DataFrame:
+    """One section per record according to ``selector`` — the reference's
+    ``select_chunk`` reduced to this engine's determinism spec (stateless
+    seeded hashes instead of rotation cursors / RNG streams):
+
+    - ``Role(r)``: among the record's sections with role ``r``, start at a
+      deterministic hashed offset (select_by_role's hashed start,
+      src/sampler/mod.rs:1735-1742) — here: rank 1 in the per-record
+      seeded hash order;
+    - ``Paragraph(n)``: section ``n``; records lacking it produce no row
+      (the sparse-section skip is *per recipe*, src/sampler/mod.rs:1699);
+    - ``Random``: seeded uniform pick over all of the record's sections.
+
+    Sides are decorrelated via a per-side salt so e.g. a Random positive
+    and a Random negative don't co-pick. Returns
+    (record_id, section_idx, sel_key, sel_text) — ``sel_key`` is the chunk
+    key of the whole-section window chunk (src/sampler/mod.rs:3080-3089).
+    """
+    salt = SEL_SIDE_SALT[side]
+    if selector.kind == "role":
+        key = mix31_col(
+            [F.col("__idf"), F.col("section_idx"), F.lit(salt)], seed + SEL_ROLE_OFF
+        )
+        w = Window.partitionBy("record_id").orderBy(key.asc(), F.col("section_idx").asc())
+        picked = (
+            base.where(F.col("role") == selector.role)
+            .withColumn("__srn", F.row_number().over(w))
+            .where(F.col("__srn") == 1)
+        )
+    elif selector.kind == "paragraph":
+        picked = base.where(F.col("section_idx") == selector.index)
+    else:  # random
+        picked = base.where(
+            F.col("section_idx")
+            == F.pmod(
+                mix31_col([F.col("__idf"), F.lit(salt)], seed + SEL_RAND_OFF),
+                F.col("n_sections"),
+            )
+        )
+    return picked.select(
+        "record_id", "section_idx", "source", "split", "trust", "__idf",
+        F.concat(
+            F.col("record_id").cast("string"), F.lit("|"),
+            F.col("section_idx").cast("string"), F.lit("|w|0"),
+        ).alias("sel_key"),
+        F.col("text").alias("sel_text"),
+    )
+
+
+def _select_section_sql(selector: Selector, side: str, seed: int) -> str:
+    """DuckDB twin of :func:`_select_section` over the ``sec`` CTE."""
+    salt = SEL_SIDE_SALT[side]
+    key_cols = "record_id, section_idx, source, split, trust, idf"
+    sel = (
+        "CAST(record_id AS VARCHAR) || '|' || CAST(section_idx AS VARCHAR) || '|w|0'"
+        " AS sel_key, text AS sel_text"
+    )
+    if selector.kind == "role":
+        order = mix31_sql(["idf", "section_idx", str(salt)], seed + SEL_ROLE_OFF)
+        return (
+            f"SELECT {key_cols}, {sel} FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY record_id "
+            f"ORDER BY {order}, section_idx) AS srn "
+            f"FROM sec WHERE role = '{selector.role}') WHERE srn = 1"
+        )
+    if selector.kind == "paragraph":
+        return (
+            f"SELECT {key_cols}, {sel} FROM sec "
+            f"WHERE section_idx = {selector.index}"
+        )
+    pick = mix31_sql(["idf", str(salt)], seed + SEL_RAND_OFF)
+    return f"SELECT {key_cols}, {sel} FROM sec WHERE section_idx = ({pick} % n_sections)"
+
+
+def assemble_selector_triplets(
+    sections: DataFrame,
+    recipe: TripletRecipe,
+    seed: int = 42,
+    variant: int = 0,
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    floor: float = 0.1,
+) -> DataFrame:
+    """Triplet assembly driven by the recipe's PER-SIDE selectors over a
+    multi-section corpus (the reference's primary configuration surface:
+    ``TripletRecipe{anchor, positive_selector, negative_selector}``,
+    src/config.rs:146-215; execution src/sampler/mod.rs:1694-1751).
+
+    ``sections`` must carry (record_id, section_idx, role, text, source) —
+    one row per record section, the normalized ``RecordSection`` layout
+    (src/data.rs:109-118). Flow: anchor/positive sections selected from the
+    SAME record by their selectors; the negative RECORD comes from the
+    negative strategy (same-source pool + same-split fallback tiers, split
+    isolation enforced by :func:`negative_pick`); the negative CHUNK is the
+    negative selector applied to that record. 50% deterministic swap,
+    whole-section chunk weights (win_index 0 ⇒ proximity 1), degenerate
+    rejection — identical contract to :func:`assemble_triplets`.
+
+    A ``Paragraph(n)`` side on a record with fewer sections drops that
+    record *for this recipe only* (inner-join semantics — the reference's
+    sparse-section skip). Scale: two narrow window ranks + the O(n)
+    negative pick + 1:1 equi-joins, everything partitioned by record/split.
+    """
+    anchor_sel = recipe.anchor or RANDOM
+    positive_sel = recipe.positive_selector or RANDOM
+    negative_sel = recipe.negative_selector or RANDOM
+
+    idf = F.col("record_id").cast("long")
+    base = sections.select(
+        F.col("record_id"),
+        F.col("section_idx").cast("long").alias("section_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("source"),
+        _trust_col(idf).cast("double").alias("trust"),
+        split_label_col("record_id", seed, ratios).alias("split"),
+        idf.alias("__idf"),
+    ).withColumn(
+        "n_sections", F.count("*").over(Window.partitionBy("record_id"))
+    )
+    base = cache_scoped(base, "triplets.selector.sections")
+
+    a = _select_section(base, anchor_sel, "anchor", seed).select(
+        "record_id", "source", "split", "trust", "__idf",
+        F.col("sel_key").alias("anchor_key"),
+        F.col("sel_text").alias("anchor_text"),
+    )
+    p = _select_section(base, positive_sel, "positive", seed).select(
+        "record_id",
+        F.col("sel_key").alias("positive_key"),
+        F.col("sel_text").alias("positive_text"),
+    )
+    pair = a.join(p, "record_id", "inner")
+
+    # negative pool = every record with at least one section (the strategy
+    # draws from the whole split-scoped pool regardless of selector
+    # satisfiability; an unsatisfiable negative selector drops the triplet,
+    # mirroring the reference's None-propagating select_chunk)
+    pool = base.groupBy("record_id").agg(
+        F.min("source").alias("source"), F.min("split").alias("split")
+    ).select(F.col("record_id").alias("id"), "source", "split")
+    neg = negative_pick(
+        pool, "id", "source", "split", recipe.negative_strategy,
+        date_col=None, seed=seed, variant=variant, id_is_string=False,
+    )
+    nsel = _select_section(base, negative_sel, "negative", seed).select(
+        F.col("record_id").alias("negative_id"),
+        F.col("sel_key").alias("negative_key"),
+        F.col("sel_text").alias("negative_text"),
+        F.col("trust").alias("__n_trust"),
+    )
+    trip = (
+        pair.join(neg.withColumnRenamed("id", "record_id"), "record_id", "inner")
+        .join(nsel, "negative_id", "inner")
+    )
+
+    swap_coin = F.pmod(
+        mix31_col([F.col("__idf"), F.lit(variant)], seed + SWAP_SEED_OFF), F.lit(2)
+    )
+    trip = trip.withColumn("swapped", (swap_coin == 0).cast("long"))
+
+    # whole-section window chunks: win_index 0 on both sides ⇒ base weight
+    # 1/(0+1) = 1 and proximity 1 (src/sampler/mod.rs:106-122)
+    trust_c = F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0)))
+    n_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__n_trust"), F.lit(1.0)))
+    aw = F.greatest(F.lit(floor), trust_c)
+    pw = F.greatest(F.lit(floor), trust_c)
+    nw = F.greatest(F.lit(floor), n_trust_c)
+    weight = F.lit(float(recipe.weight)) * ((aw + pw + nw) / F.lit(3.0))
+
+    out = trip.select(
+        F.lit(recipe.name).alias("recipe"),
+        F.col("record_id").alias("anchor_id"),
+        F.when(F.col("swapped") == 1, F.col("positive_key")).otherwise(F.col("anchor_key")).alias("anchor_key"),
+        F.when(F.col("swapped") == 1, F.col("positive_text")).otherwise(F.col("anchor_text")).alias("anchor_text"),
+        F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(F.col("positive_key")).alias("positive_key"),
+        F.when(F.col("swapped") == 1, F.col("anchor_text")).otherwise(F.col("positive_text")).alias("positive_text"),
+        F.col("negative_id"),
+        F.col("negative_key"),
+        F.col("negative_text"),
+        weight.alias("weight"),
+        F.col("swapped"),
+        F.col("tier"),
+        F.lit(recipe.instruction).cast("string").alias("instruction"),
+        F.col("split"),
+    )
+    if not recipe.allow_same_anchor_positive:
+        out = out.where(F.col("anchor_text") != F.col("positive_text"))
+    return out.where(
+        (F.col("negative_text") != F.col("anchor_text"))
+        & (F.col("negative_text") != F.col("positive_text"))
+    )
+
+
+def assemble_selector_triplets_sql(
+    sections_sql: str,
+    recipe: TripletRecipe,
+    seed: int = 42,
+    variant: int = 0,
+    ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    floor: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`assemble_selector_triplets`. ``sections_sql``
+    must yield (record_id BIGINT, section_idx BIGINT, role, text, source)."""
+    anchor_sel = recipe.anchor or RANDOM
+    positive_sel = recipe.positive_selector or RANDOM
+    negative_sel = recipe.negative_selector or RANDOM
+
+    split_expr = split_label_sql("record_id", seed, ratios)
+    trust_expr = _trust_sql("CAST(record_id AS BIGINT)")
+    neg_sql = negative_pick_sql(
+        "sel_pool", "id", "source", "split", recipe.negative_strategy,
+        seed=seed, variant=variant, id_is_string=False,
+    )
+    swap_coin = f"({mix31_sql(['a.idf', str(variant)], seed + SWAP_SEED_OFF)} % 2)"
+    fl = f"{float(floor)!r}"
+    trust_c = "greatest(0.0, least(a.trust, 1.0))"
+    n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
+    aw = f"greatest({fl}, {trust_c})"
+    pw = f"greatest({fl}, {trust_c})"
+    nw = f"greatest({fl}, {n_trust_c})"
+    weight = f"({float(recipe.weight)!r} * ((({aw}) + ({pw}) + ({nw})) / 3.0))"
+    degenerate = (
+        "" if recipe.allow_same_anchor_positive
+        else "AND a.anchor_text <> p.positive_text "
+    )
+    instruction = f"'{recipe.instruction}'" if recipe.instruction else "CAST(NULL AS VARCHAR)"
+    return f"""
+WITH sections0 AS MATERIALIZED ({sections_sql}),
+sec AS MATERIALIZED (
+  SELECT record_id, section_idx, role, text, source,
+         {trust_expr} AS trust, {split_expr} AS split,
+         CAST(record_id AS BIGINT) AS idf,
+         count(*) OVER (PARTITION BY record_id) AS n_sections
+  FROM sections0
+),
+a_sel AS MATERIALIZED (
+  SELECT record_id, source, split, trust, idf,
+         sel_key AS anchor_key, sel_text AS anchor_text
+  FROM ({_select_section_sql(anchor_sel, 'anchor', seed)})
+),
+p_sel AS MATERIALIZED (
+  SELECT record_id, sel_key AS positive_key, sel_text AS positive_text
+  FROM ({_select_section_sql(positive_sel, 'positive', seed)})
+),
+sel_pool AS MATERIALIZED (
+  SELECT record_id AS id, min(source) AS source, min(split) AS split
+  FROM sec GROUP BY 1
+),
+neg AS MATERIALIZED ({neg_sql}),
+n_sel AS MATERIALIZED (
+  SELECT record_id AS negative_id, sel_key AS negative_key,
+         sel_text AS negative_text, trust
+  FROM ({_select_section_sql(negative_sel, 'negative', seed)})
+)
+SELECT '{recipe.name}' AS recipe,
+       a.record_id AS anchor_id,
+       CASE WHEN {swap_coin} = 0 THEN p.positive_key ELSE a.anchor_key END AS anchor_key,
+       CASE WHEN {swap_coin} = 0 THEN p.positive_text ELSE a.anchor_text END AS anchor_text,
+       CASE WHEN {swap_coin} = 0 THEN a.anchor_key ELSE p.positive_key END AS positive_key,
+       CASE WHEN {swap_coin} = 0 THEN a.anchor_text ELSE p.positive_text END AS positive_text,
+       n.negative_id,
+       nc.negative_key,
+       nc.negative_text,
+       {weight} AS weight,
+       CAST(CASE WHEN {swap_coin} = 0 THEN 1 ELSE 0 END AS BIGINT) AS swapped,
+       n.tier,
+       {instruction} AS instruction,
+       a.split
+FROM a_sel a
+JOIN p_sel p USING (record_id)
+JOIN neg n ON n.id = a.record_id
+JOIN n_sel nc ON nc.negative_id = n.negative_id
+WHERE nc.negative_text <> a.anchor_text AND nc.negative_text <> p.positive_text
+{degenerate}
 """

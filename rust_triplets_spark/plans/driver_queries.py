@@ -42,9 +42,13 @@ from rust_triplets_spark.operators.mixing import (
 from rust_triplets_spark.operators.negatives import negative_pick, negative_pick_sql
 from rust_triplets_spark.operators.splits import split_label_col, split_label_sql
 from rust_triplets_spark.operators.triplets import (
+    RANDOM,
+    Role,
     TripletRecipe,
     _trust_col,
     _trust_sql,
+    assemble_selector_triplets,
+    assemble_selector_triplets_sql,
     assemble_triplets,
     assemble_triplets_sql,
     pairs_from_triplets,
@@ -83,19 +87,22 @@ def _parquet_rows(path: str) -> int | None:
     return None if n < 0 else n
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = True) -> DataFrame:
     """Read a driver table. The synthetic sf* files are single-row-group
     parquet, so Spark's file splitting yields ONE scan partition no matter
     the core count; ``spark.rust_triplets.scanPartitions`` (set by bench.py)
     opts into a round-robin repartition so per-row compute parallelizes on
-    local[N]. Gated on the footer row count: dimension tables (region,
-    nation, …) stay un-shuffled — a 6-row exchange buys nothing. Results
+    local[N]. Gated two ways: on the footer row count — dimension tables
+    (region, nation, …) stay un-shuffled, a 6-row exchange buys nothing —
+    and on ``heavy``: straight scan→filter→agg queries (one partial-agg
+    pass, no per-row heavy compute) pass ``heavy=False`` because inserting
+    an exchange ahead of a map-side combine only adds a shuffle. Results
     are partitioning-independent; real corpora arrive as many files/row
     groups and don't need this."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     n = int(spark.conf.get("spark.rust_triplets.scanPartitions", "0"))
-    if n > 0:
+    if heavy and n > 0:
         rows = _parquet_rows(path)
         if rows is None or rows >= 8 * n:
             df = df.repartition(n)
@@ -120,7 +127,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", heavy=False)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -287,7 +294,9 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     .replace("SELECT CAST(sl.i", "SELECT CAST(sl.i", 1),
 )
 def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # heavy=False: one hash + two window passes — the epoch-order sort
+    # re-shuffles by (source) anyway, a pre-repartition is a wasted exchange
+    docs = _t(spark, sf_dir, "documents", heavy=False)
     out = epoch_order(docs, "doc_id", "source", epoch=1, seed=SEED, id_is_string=False)
     return out.select(
         F.col("position").cast("long").alias("position"),
@@ -320,7 +329,8 @@ FROM ({weighted_interleave_sql('(SELECT doc_id, source FROM documents)', 'doc_id
 """,
 )
 def source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # heavy=False: the interleave re-partitions by source immediately
+    docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "source")
     out = weighted_interleave(docs, "source", _MIX_WEIGHTS, "doc_id", SEED, id_is_string=False)
     return out.select(
         F.col("position").cast("long").alias("position"),
@@ -608,7 +618,12 @@ from rust_triplets_spark.operators.dedup import (  # noqa: E402
 from rust_triplets_spark.operators.denoiser import (  # noqa: E402
     DenoiserConfig, denoise_full_sql, denoise_gates12_col, denoise_gates12_sql,
 )
-from rust_triplets_spark.operators.similarity import cosine_topk, cosine_topk_sql  # noqa: E402
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_sql,
+    ivf_seeded_topk,
+    ivf_seeded_topk_sql,
+)
 from rust_triplets_spark.streaming.windows import (  # noqa: E402
     sessionize, sessionize_sql, tumbling_agg, tumbling_agg_sql,
 )
@@ -1606,6 +1621,81 @@ def selector_text_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role.unionByName(para).unionByName(rand)
 
 
+# ---------------------------------------------------------------------------
+# per-side selector TRIPLET assembly (src/config.rs:146-215; execution
+# src/sampler/mod.rs:1694-1751) — Role(Anchor) anchor / Role(Context)
+# positive / Random negative chunk + WrongArticle negative record, over the
+# same multi-section (sentences-as-sections) corpus as selector_text_samples
+# ---------------------------------------------------------------------------
+
+_SELECTOR_RECIPE = TripletRecipe(
+    name="role_anchor_ctx_wrong_article",
+    negative_strategy="wrong_article",
+    weight=1.0,
+    instruction="Match the title to a body passage from the same document.",
+    anchor=Role("anchor"),
+    positive_selector=Role("context"),
+    negative_selector=RANDOM,
+)
+
+_SELECTOR_SECTIONS_SQL = f"""
+WITH s_aug AS (SELECT doc_id, source, {_SENT_AUG_SQL} AS t FROM documents),
+s_sents AS (SELECT doc_id, source, {TX.sentences_native_sql('t')} AS l FROM s_aug)
+SELECT CAST(doc_id AS BIGINT) AS record_id,
+       CAST(u.i - 1 AS BIGINT) AS section_idx,
+       CASE WHEN u.i = 1 THEN 'anchor' ELSE 'context' END AS role,
+       l[u.i] AS text, source
+FROM s_sents, UNNEST(range(1, len(l) + 1)) AS u(i)
+"""
+
+
+def _selector_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentences-as-sections corpus with FileSource-style roles: the first
+    section is the Anchor (title analog, file_source.rs:330-335), the rest
+    are Context."""
+    aug = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("record_id"),
+        F.col("source"),
+        _sent_aug_col().alias("t"),
+    )
+    return aug.select(
+        "record_id", "source",
+        F.posexplode(TX.sentences_native_col("t")).alias("__p", "text"),
+    ).select(
+        "record_id",
+        F.col("__p").cast("long").alias("section_idx"),
+        F.when(F.col("__p") == 0, F.lit("anchor")).otherwise(F.lit("context")).alias("role"),
+        "text", "source",
+    )
+
+
+@_register(
+    "selector_triplets",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
+       negative_key, negative_text, weight, swapped, tier, instruction, split
+FROM ({assemble_selector_triplets_sql(_SELECTOR_SECTIONS_SQL, _SELECTOR_RECIPE, seed=SEED)})
+""",
+)
+def selector_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-side recipe selectors wired into triplet
+    assembly: anchor = Role(Anchor), positive = Role(Context) on the same
+    record, negative record via WrongArticle (+ same-split fallback
+    tiers), negative chunk via Random on the negative record."""
+    out = assemble_selector_triplets(
+        _selector_sections(spark, sf_dir), _SELECTOR_RECIPE, seed=SEED
+    )
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "negative_key", "negative_text", "weight", "swapped", "tier",
+        "instruction", "split",
+    )
+
+
 _AFFINE_A = 48271  # odd ⇒ bijection mod 2^k (Lehmer multiplier; small enough
 _AFFINE_B = 42     # that a*idx stays in int64 up to multi-billion-row corpora)
 
@@ -1820,15 +1910,20 @@ def ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ann_ivf_topk")  # no oracle: iterative k-means training is not
-# SQL-expressible (rows-only driver check); exactness vs brute force is
-# pytest-pinned at nprobe == n_centroids
+@_register(
+    "ann_ivf_topk",
+    ivf_seeded_topk_sql("embeddings", "vec_id", "embedding", k=3, n_centroids=8, nprobe=2),
+)
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: MLlib k-means coarse quantizer + nprobe-cell
-    exact cosine search (operators/similarity.ann_ivf_topk)."""
-    from rust_triplets_spark.operators.similarity import ann_ivf_topk
-
-    return ann_ivf_topk(
+    """IVF ANN scale path, hash-exact flavor: seeded coarse quantizer
+    (zero-iteration k-means — centroids are the n_centroids smallest
+    hash31(id) corpus vectors), integer-exact cell assignment + nprobe
+    probing + in-cell cosine top-k (operators/similarity.ivf_seeded_topk).
+    The MLlib-TRAINED quantizer variant (ann_ivf_topk, sample-based fit) is
+    pytest-pinned against brute force at nprobe == n_centroids; this query
+    pins the identical search kernel against a DuckDB twin, so the
+    correctness row is hash-exact rather than rows-only."""
+    return ivf_seeded_topk(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=3, n_centroids=8, nprobe=2,
     )

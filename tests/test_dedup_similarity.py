@@ -94,7 +94,8 @@ def test_ann_bucketed_topk_recall_on_clustered_data(spark):
             vid += 1
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     exact = {
-        (r["qid"], r["nid"]) for r in cosine_topk(df, "vec_id", "embedding", k=1).collect()
+        (r["qid"], r["nid"])
+        for r in cosine_topk(df, "vec_id", "embedding", queries=df, k=1).collect()
     }
     approx = {
         (r["qid"], r["nid"])
@@ -111,7 +112,7 @@ def test_ivf_ann_full_probe_matches_brute_force(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     ivf = ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4)
-    exact = cosine_topk(emb, "vec_id", "embedding", k=3)
+    exact = cosine_topk(emb, "vec_id", "embedding", queries=emb, k=3)
     got = {(r["qid"], r["rank"]): r["nid"] for r in ivf.collect()}
     want = {(r["qid"], r["rank"]): r["nid"] for r in exact.collect()}
     assert got == want
@@ -138,3 +139,85 @@ def test_ivf_ann_neighbors_come_from_probed_cells(spark):
     # which for a corpus vector is its assigned cell
     for r in out:
         assert cells[r["nid"]] == cells[r["qid"]]
+
+
+def test_cosine_topk_requires_explicit_queries(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="explicit"):
+        cosine_topk(df, "vec_id", "embedding", queries=None)
+
+
+def test_exact_dedup_shuffle_key_is_fingerprint_not_text(spark):
+    """The dedup exchange must hash-partition on the (hash31, length)
+    fingerprint — never on the normalized document string (at 100 TB a
+    string shuffle key IS the job cost)."""
+    import re
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = exact_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected a shuffle exchange in the dedup plan"
+    for k in keys:
+        assert "__norm" not in k and "text" not in k, k
+        assert "__h#" in k and "__len#" in k, k
+
+
+def test_ivf_seeded_full_probe_matches_brute_force(spark):
+    from rust_triplets_spark.operators.similarity import ivf_seeded_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = ivf_seeded_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4)
+    exact = cosine_topk(emb, "vec_id", "embedding", queries=emb, k=3)
+    got = {(r["qid"], r["rank"]): r["nid"] for r in ivf.collect()}
+    want = {(r["qid"], r["rank"]): r["nid"] for r in exact.collect()}
+    assert got == want
+
+
+def test_ivf_seeded_matches_duckdb_twin(spark):
+    """Hash-exactness of the seeded-quantizer IVF: same rows, same ranks,
+    same cosine bits as the DuckDB twin (the driver's correctness gate)."""
+    import duckdb
+
+    from rust_triplets_spark.operators.similarity import ivf_seeded_topk, ivf_seeded_topk_sql
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    got = {
+        (r["qid"], r["rank"]): (r["nid"], r["cos_sim"])
+        for r in ivf_seeded_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    want = {
+        (qid, rank): (nid, cos)
+        for qid, rank, nid, cos in con.execute(
+            ivf_seeded_topk_sql("embeddings", "vec_id", "embedding", k=3, n_centroids=4, nprobe=2)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ivf_kmeans_sample_fit_still_searches_whole_corpus(spark):
+    """With the coarse quantizer fit on a hash sample (fit_sample_target
+    below corpus size), every corpus vector is still assigned and
+    searchable: each query returns a full top-k and repeated runs on the
+    same input agree (the hash sample is id-stable — df.sample would not
+    be)."""
+    from collections import Counter
+
+    from rust_triplets_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    a = ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4,
+                     fit_sample_target=100).collect()
+    per_q = Counter(r["qid"] for r in a)
+    assert len(per_q) == n  # every vector queries
+    assert all(v == 3 for v in per_q.values())  # full top-k from probed cells
+    b = ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4,
+                     fit_sample_target=100).collect()
+    assert {(r["qid"], r["rank"], r["nid"]) for r in a} == {
+        (r["qid"], r["rank"], r["nid"]) for r in b
+    }

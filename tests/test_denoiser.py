@@ -120,3 +120,46 @@ def test_native_denoise_full_matches_pandas_udf_path(spark):
     }
     nat_out = {r["id"]: r["text_clean"] for r in denoise_full(df, "id", "t").collect()}
     assert nat_out == udf_out
+
+
+NON_ASCII_CASES = [
+    # gate 2 must keep lines whose only letters are non-Latin (the
+    # reference counts Unicode is_alphabetic, not [A-Za-z])
+    "Привет мир 123",
+    "München straße 42 99999 00000 11111",
+    "日本語テキスト 12345",
+    "café résumé 1 2 3 4 5 6 7 8 9 10 11 12 13 14",
+    "42 524 ここ 10788 143",
+    "№ 123 456",  # № is not a letter: line should drop
+    "一 1 2 3",  # NBSP / EM-space token separators
+]
+
+
+def test_native_denoiser_matches_python_twin_on_non_ascii(spark):
+    """ADVICE r3: the native path must count alpha via Unicode letter
+    classes (\\p{L}) like the Rust reference's is_alphabetic() and the
+    Python twin's str.isalpha() — not ASCII [A-Za-z]."""
+    from rust_triplets_spark.operators.denoiser import denoise_full, denoise_text_py
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NON_ASCII_CASES)], "id long, t string"
+    )
+    got = {r["id"]: r["text_clean"] for r in denoise_full(df, "id", "t").collect()}
+    for i, t in enumerate(NON_ASCII_CASES):
+        assert got[i] == denoise_text_py(t), f"case {i}: {t!r}"
+
+
+def test_native_denoiser_matches_duckdb_twin_on_non_ascii(spark):
+    import duckdb
+
+    from rust_triplets_spark.operators.denoiser import denoise_full, denoise_full_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NON_ASCII_CASES)], "id long, t string"
+    )
+    got = {r["id"]: r["text_clean"] for r in denoise_full(df, "id", "t").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cases (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO cases VALUES (?, ?)", list(enumerate(NON_ASCII_CASES)))
+    want = dict(con.execute(denoise_full_sql("cases", "id", "t")).fetchall())
+    assert got == want

@@ -180,3 +180,103 @@ def test_derive_text_recipes_expansion():
         ("r1_anchor", 0.75, None), ("r1_positive", 0.75, None), ("r1_negative", 0.75, None),
         ("r2_anchor", 2.0, None), ("r2_positive", 2.0, None), ("r2_negative", 2.0, None),
     ]
+
+
+@pytest.fixture(scope="module")
+def sectioned_corpus(spark):
+    """Multi-section records: section 0 = anchor role (title analog),
+    1..n = context; record i has (i % 4) + 1 sections."""
+    rows = []
+    for i in range(80):
+        n = (i % 4) + 1
+        for s in range(n):
+            rows.append(
+                (i, s, "anchor" if s == 0 else "context",
+                 f"record {i} section {s} body text", f"src{i % 3}")
+            )
+    return spark.createDataFrame(
+        rows, "record_id long, section_idx long, role string, text string, source string"
+    )
+
+
+def test_selector_triplets_negative_is_different_record(spark, sectioned_corpus):
+    """invariants.rs:409-427 — the negative chunk must come from a record
+    other than the anchor's, and split isolation must hold."""
+    from rust_triplets_spark.operators.triplets import (
+        RANDOM, Role, assemble_selector_triplets,
+    )
+
+    recipe = TripletRecipe(
+        name="r", negative_strategy="wrong_article",
+        anchor=Role("anchor"), positive_selector=Role("context"),
+        negative_selector=RANDOM,
+    )
+    out = assemble_selector_triplets(sectioned_corpus, recipe, seed=42).collect()
+    assert out, "expected triplets from the sectioned corpus"
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]
+        assert r["anchor_text"] != r["negative_text"]
+        assert r["positive_text"] != r["negative_text"]
+
+
+def test_selector_triplets_split_isolation(spark, sectioned_corpus):
+    from rust_triplets_spark.operators.triplets import (
+        RANDOM, Role, assemble_selector_triplets,
+    )
+    from rust_triplets_spark.operators.splits import split_label_col
+
+    recipe = TripletRecipe(
+        name="r", anchor=Role("anchor"), positive_selector=RANDOM,
+        negative_selector=RANDOM,
+    )
+    out = assemble_selector_triplets(sectioned_corpus, recipe, seed=42)
+    neg_split = out.withColumn(
+        "neg_split", split_label_col("negative_id", 42)
+    )
+    assert neg_split.where(F.col("neg_split") != F.col("split")).count() == 0
+
+
+def test_selector_paragraph_sparse_skips_record_for_recipe_only(spark, sectioned_corpus):
+    """Paragraph(2) requires >= 3 sections: records with fewer must be
+    absent as anchors for THIS recipe (src/sampler/mod.rs:1699), while a
+    Paragraph(0) recipe still serves every record."""
+    from rust_triplets_spark.operators.triplets import (
+        Paragraph, RANDOM, assemble_selector_triplets,
+    )
+
+    sparse = TripletRecipe(
+        name="p2", anchor=Paragraph(2), positive_selector=Paragraph(0),
+        negative_selector=RANDOM, allow_same_anchor_positive=False,
+    )
+    out = assemble_selector_triplets(sectioned_corpus, sparse, seed=42)
+    n_sections = {r["record_id"]: r["n"] for r in sectioned_corpus.groupBy(
+        "record_id").agg(F.count("*").alias("n")).collect()}
+    anchors = {r["anchor_id"] for r in out.select("anchor_id").collect()}
+    assert anchors, "some records have >= 3 sections"
+    for a in anchors:
+        assert n_sections[a] >= 3
+    dense = TripletRecipe(
+        name="p0", anchor=Paragraph(0), positive_selector=RANDOM,
+        negative_selector=RANDOM, allow_same_anchor_positive=True,
+    )
+    dense_out = assemble_selector_triplets(sectioned_corpus, dense, seed=42)
+    # every record can anchor (subject only to negative-degeneracy filters)
+    assert dense_out.select("anchor_id").distinct().count() > len(anchors)
+
+
+def test_selector_role_rotation_is_deterministic(spark, sectioned_corpus):
+    from rust_triplets_spark.operators.triplets import (
+        RANDOM, Role, assemble_selector_triplets,
+    )
+
+    recipe = TripletRecipe(
+        name="r", anchor=Role("context"), positive_selector=Role("context"),
+        negative_selector=RANDOM, allow_same_anchor_positive=False,
+    )
+    a = assemble_selector_triplets(sectioned_corpus, recipe, seed=42).collect()
+    b = assemble_selector_triplets(sectioned_corpus, recipe, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # anchor and positive Role('context') picks are side-decorrelated: with
+    # multiple context sections they must not always coincide
+    multi = [r for r in a if r["anchor_key"] != r["positive_key"]]
+    assert multi, "decorrelated sides should pick different sections somewhere"

@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "folder_date_parsing",
     "corpus_clean",
     "selector_text_samples",
+    # round 4 additions
+    "selector_triplets",
+    "recipe_auto_injection",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
 ]
 
 

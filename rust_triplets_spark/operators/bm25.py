@@ -285,3 +285,161 @@ FROM (
 )
 WHERE rank = pick
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental per-source index maintenance (bm25_backend.rs:343-390: the
+# reference rebuilds only the refreshed sources' in-memory indexes and
+# keeps the rest; here the index is three source-partitioned frames, so a
+# refresh is an anti-filter + union per frame — the non-refreshed
+# remainder is never re-analyzed)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class Bm25Index:
+    """Materialized BM25 index state, everything partitioned by ``source``:
+
+    - ``postings``: (source, term, did, dl, tf[, split]) inverted lists;
+    - ``doclens``: (source, did, dl[, split]) — kept separately so docs
+      whose analyzed text is empty still count toward N/avgdl;
+    - ``qterms``: (source, qid, term[, split]) — each doc's first
+      ``BM25_QUERY_TOKEN_LIMIT`` distinct terms (the anchor-query side).
+
+    Frames may be freshly-built DataFrames or reads of persisted parquet
+    (``spark.read.parquet`` on a dir written with ``partitionBy(source)``)
+    — refresh and scoring only rely on the schemas above.
+    """
+
+    postings: DataFrame
+    doclens: DataFrame
+    qterms: DataFrame
+    split_isolated: bool = False
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    split_col: str | None = None,
+) -> Bm25Index:
+    """Analyze ``docs`` once and materialize the three index frames."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("did"),
+        F.col(source_col).alias("source"),
+        *([F.col(split_col).alias("split")] if split_col else []),
+        analyze_col(text_col).alias("__terms"),
+    )
+    base = cache_scoped(base, "bm25.index.base")
+    split_cols = ["split"] if split_col else []
+    postings = (
+        base.select(
+            "did", "source", *split_cols,
+            F.size("__terms").cast("long").alias("dl"),
+            F.explode("__terms").alias("term"),
+        )
+        .groupBy("source", "term", "did", "dl", *split_cols)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doclens = base.select(
+        "source", "did", F.size("__terms").cast("long").alias("dl"), *split_cols
+    )
+    qterms = base.select(
+        F.col("source"),
+        F.col("did").alias("qid"),
+        *split_cols,
+        F.explode(
+            F.array_distinct(F.slice("__terms", 1, BM25_QUERY_TOKEN_LIMIT))
+        ).alias("term"),
+    )
+    return Bm25Index(postings, doclens, qterms, split_isolated=bool(split_col))
+
+
+def refresh_bm25_index(
+    index: Bm25Index,
+    refreshed_docs: DataFrame,
+    refreshed_sources: list[str],
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    split_col: str | None = None,
+) -> Bm25Index:
+    """Rebuild ONLY ``refreshed_sources`` from ``refreshed_docs`` and union
+    with the untouched remainder of ``index`` — the reference's per-source
+    incremental maintenance. The remainder frames are filtered, never
+    re-analyzed; at scale (index persisted partitioned-by-source) the
+    source filter is partition pruning, so refresh cost is proportional to
+    the refreshed sources only."""
+    if bool(split_col) != index.split_isolated:
+        raise ValueError("split_col must match how the index was built")
+    fresh = build_bm25_index(
+        refreshed_docs.where(F.col(source_col).isin(refreshed_sources)),
+        id_col, source_col, text_col, split_col,
+    )
+    keep = ~F.col("source").isin(refreshed_sources)
+    return Bm25Index(
+        index.postings.where(keep).unionByName(fresh.postings),
+        index.doclens.where(keep).unionByName(fresh.doclens),
+        index.qterms.where(keep).unionByName(fresh.qterms),
+        split_isolated=index.split_isolated,
+    )
+
+
+def bm25_topk_from_index(index: Bm25Index, k: int = BM25_SEARCH_TOP_K) -> DataFrame:
+    """Top-k BM25 candidates per query doc served FROM the maintained
+    index — same stats, same stop-term pruning, same rounding, and
+    therefore bit-identical scores to :func:`bm25_topk` over the
+    equivalent corpus (pytest-pinned)."""
+    split = index.split_isolated
+    src_stats = index.doclens.groupBy("source").agg(
+        F.count("*").cast("long").alias("N"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    df_stats = index.postings.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    q_terms = (
+        index.qterms.join(df_stats, ["source", "term"], "inner")
+        .join(F.broadcast(src_stats), "source")
+        .where(
+            F.col("df").cast("double")
+            <= F.lit(STOP_TERM_DF_RATIO) * F.col("N").cast("double")
+        )
+    )
+    idf = F.log(
+        (F.col("N").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    q_terms = q_terms.withColumn("__idf", idf)
+    if split:
+        q_terms = q_terms.withColumnRenamed("split", "qsplit")
+        postings = index.postings.withColumnRenamed("split", "__psplit")
+    else:
+        postings = index.postings
+    joined = q_terms.join(postings, ["source", "term"], "inner")
+    if split:
+        joined = joined.where(F.col("qsplit") == F.col("__psplit"))
+    tf_part = (
+        F.col("tf").cast("double") * F.lit(K1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scores = (
+        joined.withColumn("__s", F.col("__idf") * tf_part)
+        .groupBy("qid", "did")
+        .agg(F.sum("__s").alias("score"))
+        .where(F.col("qid") != F.col("did"))
+    )
+    score_q = F.round(F.col("score"), 9)
+    w = Window.partitionBy("qid").orderBy(score_q.desc(), F.col("did").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"), "did",
+                score_q.alias("score_q"))
+    )

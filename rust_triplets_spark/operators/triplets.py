@@ -969,3 +969,102 @@ JOIN n_sel nc ON nc.negative_id = n.negative_id
 WHERE nc.negative_text <> a.anchor_text AND nc.negative_text <> p.positive_text
 {degenerate}
 """
+
+
+# ---------------------------------------------------------------------------
+# Stage A: source-level auto-injection of the long-section recipe
+# (resolve_source_triplet_plan, src/sampler/mod.rs:715-728; eligibility
+# src/sampler/mod.rs:660-679; long-section discovery :1801-1812)
+# ---------------------------------------------------------------------------
+
+AUTO_RECIPE_NAME = "auto_injected_long_section_chunk_pair_wrong_article"  # src/constants.rs:104-109
+
+
+def auto_chunk_pair_recipe() -> TripletRecipe:
+    """The auto-injected recipe itself (source_chunk_pair_recipe,
+    src/sampler/mod.rs:690-702): Context/Context/Context + WrongArticle."""
+    return TripletRecipe(
+        name=AUTO_RECIPE_NAME,
+        negative_strategy="wrong_article",
+        weight=1.0,
+        anchor=Role("context"),
+        positive_selector=Role("context"),
+        negative_selector=Role("context"),
+    )
+
+
+def resolve_source_recipe_plans(
+    records: DataFrame,
+    source_col: str,
+    text_col: str,
+    configured_names: list[str],
+    max_window_tokens: int,
+) -> DataFrame:
+    """Per-source effective triplet-recipe plan with auto-injection: start
+    from the configured pool; when the source has at least one record whose
+    section exceeds ``max_window_tokens`` (long-section discovery,
+    src/sampler/mod.rs:1801-1812/:1825), the window is non-zero, and the
+    pool does not already carry the auto recipe, append
+    ``auto_injected_long_section_chunk_pair_wrong_article``.
+
+    Returns (source, plan_pos, recipe_name, auto_injected) — one row per
+    plan slot per source. Scale: one partial-aggregable groupBy(source) +
+    a row-local array explode; the plan frame is |sources| × |plan| rows.
+    """
+    from rust_triplets_spark.functions.text import token_count_col
+
+    eligible = max_window_tokens > 0 and AUTO_RECIPE_NAME not in configured_names
+    srcs = records.groupBy(F.col(source_col).alias("source")).agg(
+        F.max(
+            (token_count_col(text_col) > max_window_tokens).cast("int")
+        ).alias("__long")
+    )
+    names_arr = F.array(*[F.lit(n) for n in configured_names])
+    if eligible:
+        plan = F.when(
+            F.col("__long") == 1,
+            F.concat(names_arr, F.array(F.lit(AUTO_RECIPE_NAME))),
+        ).otherwise(names_arr)
+    else:
+        plan = names_arr
+    return srcs.select(
+        "source", F.posexplode(plan).alias("__p", "recipe_name")
+    ).select(
+        "source",
+        F.col("__p").cast("long").alias("plan_pos"),
+        "recipe_name",
+        (F.col("recipe_name") == AUTO_RECIPE_NAME).cast("long").alias("auto_injected"),
+    )
+
+
+def resolve_source_recipe_plans_sql(
+    table: str,
+    source_sql: str,
+    text_sql: str,
+    configured_names: list[str],
+    max_window_tokens: int,
+) -> str:
+    """DuckDB twin of :func:`resolve_source_recipe_plans`."""
+    from rust_triplets_spark.functions.text import token_count_sql
+
+    eligible = max_window_tokens > 0 and AUTO_RECIPE_NAME not in configured_names
+    names = ", ".join(f"'{n}'" for n in configured_names)
+    if eligible:
+        plan = (
+            f"CASE WHEN lng = 1 THEN [{names}, '{AUTO_RECIPE_NAME}'] "
+            f"ELSE [{names}] END"
+        )
+    else:
+        plan = f"[{names}]"
+    return f"""
+WITH srcs AS (
+  SELECT {source_sql} AS source,
+         max(CASE WHEN {token_count_sql(text_sql)} > {max_window_tokens}
+                  THEN 1 ELSE 0 END) AS lng
+  FROM {table} GROUP BY 1
+),
+plans AS (SELECT source, {plan} AS plan FROM srcs)
+SELECT source, CAST(u.i - 1 AS BIGINT) AS plan_pos, plan[u.i] AS recipe_name,
+       CAST(CASE WHEN plan[u.i] = '{AUTO_RECIPE_NAME}' THEN 1 ELSE 0 END AS BIGINT) AS auto_injected
+FROM plans, UNNEST(range(1, len(plan) + 1)) AS u(i)
+"""

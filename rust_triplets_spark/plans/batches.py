@@ -127,3 +127,133 @@ def batch_iterator(
         if stats is not None:
             stats.errors += 1
         raise
+
+
+class BatchPrefetcher:
+    """Background thread + bounded queue around a batch iterator — the
+    reference's ``BatchPrefetcher`` (src/sampler/mod.rs:159-248: producer
+    thread, ``sync_channel(capacity)``, queued/produced/errors counters).
+    The producer drives the underlying (Spark) iterator AHEAD of the
+    training loop so batch materialization overlaps consumption; the
+    bounded queue applies backpressure once ``capacity`` batches are
+    waiting.
+
+    Iterate it like the wrapped iterator (`for idx, pdf in prefetcher:`).
+    Producer exceptions are recorded (``stats.errors``) and re-raised at
+    the consumer's next pull — same contract as the reference's
+    ``Result`` forwarding. ``close()`` shuts the producer down promptly
+    even when it is blocked on a full queue, and is idempotent;
+    context-manager use closes automatically."""
+
+    _DONE = object()
+
+    def __init__(self, iterator, capacity: int = 2, stats=None):
+        import queue as _queue
+        import threading
+
+        from rust_triplets_spark.plans.telemetry import PrefetcherStats
+
+        self.stats = stats if stats is not None else PrefetcherStats()
+        self._queue = _queue.Queue(maxsize=max(1, capacity))
+        self._stop = threading.Event()
+        self._closed = False
+
+        def _run():
+            try:
+                for item in iterator:
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(item, timeout=0.05)
+                            break
+                        except _queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+                    self.stats.queued += 1
+                    self.stats.produced += 1
+            except BaseException as exc:  # noqa: BLE001 — forwarded to consumer
+                self.stats.errors += 1
+                self._put_best_effort(exc)
+                return
+            self._put_best_effort(self._DONE)
+
+        self._thread = threading.Thread(target=_run, name="batch-prefetcher", daemon=True)
+        self._thread.start()
+
+    def _put_best_effort(self, item) -> None:
+        import queue as _queue
+
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.05)
+                return
+            except _queue.Full:
+                continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._closed:
+            raise StopIteration
+        item = self._queue.get()
+        if item is self._DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        self.stats.queued = max(0, self.stats.queued - 1)
+        return item
+
+    def queue_len(self) -> int:
+        return self.stats.queued
+
+    def produced_count(self) -> int:
+        return self.stats.produced
+
+    def error_count(self) -> int:
+        return self.stats.errors
+
+    def close(self) -> None:
+        """Stop the producer and join its thread (Drop impl parity)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._stop.set()
+        # unblock a producer stuck on put() by draining whatever is queued
+        import queue as _queue
+
+        while True:
+            try:
+                self._queue.get_nowait()
+            except _queue.Empty:
+                break
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def prefetched_batch_iterator(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    checkpoint: Checkpoint,
+    batch_size: int = 128,
+    capacity: int = 2,
+    label: str | None = None,
+    id_is_string: bool = True,
+    checkpoint_path: str | None = None,
+    stats=None,
+) -> "BatchPrefetcher":
+    """:func:`batch_iterator` wrapped in a :class:`BatchPrefetcher` — the
+    assembled-batch pipeline with background prefetch, ready for a
+    training loop."""
+    it = batch_iterator(
+        df, id_col, source_col, checkpoint, batch_size, label,
+        id_is_string, checkpoint_path, stats=None,
+    )
+    return BatchPrefetcher(it, capacity=capacity, stats=stats)

@@ -94,3 +94,44 @@ def read_file_records(spark: SparkSession, cfg: FileSourceConfig) -> DataFrame:
             make_section("context", F.col("value")),
         ).alias("sections"),
     ).where(F.length(F.trim(F.col("value"))) > 0)
+
+
+def default_title_context_triplet_recipes(include_date_aware: bool = False):
+    """Source-declared default recipe lanes for title/body file corpora
+    (``default_title_context_triplet_recipes``, file_source.rs:156-210),
+    now expressible side-for-side because :class:`TripletRecipe` carries
+    per-side selectors: anchor = Role(Anchor) (the filename-stem title),
+    positive = Role(Context) (the body), negatives drawn from Context or
+    Anchor sections of a wrong-article / wrong-publication-date record.
+    The weight rebalance between the date-aware and plain modes matches
+    the reference (0.30/0.10/0.35/0.25 vs 0.75/0.25)."""
+    from rust_triplets_spark.operators.triplets import Role, TripletRecipe
+
+    recipes = []
+    if include_date_aware:
+        recipes.append(TripletRecipe(
+            name="title_context_wrong_date",
+            negative_strategy="wrong_publication_date", weight=0.30,
+            anchor=Role("anchor"), positive_selector=Role("context"),
+            negative_selector=Role("context"),
+        ))
+        recipes.append(TripletRecipe(
+            name="title_anchor_wrong_date",
+            negative_strategy="wrong_publication_date", weight=0.10,
+            anchor=Role("anchor"), positive_selector=Role("context"),
+            negative_selector=Role("anchor"),
+        ))
+    recipes.append(TripletRecipe(
+        name="title_context_wrong_article",
+        negative_strategy="wrong_article",
+        weight=0.35 if include_date_aware else 0.75,
+        anchor=Role("anchor"), positive_selector=Role("context"),
+        negative_selector=Role("context"),
+    ))
+    recipes.append(TripletRecipe(
+        name="title_anchor_wrong_article",
+        negative_strategy="wrong_article", weight=0.25,
+        anchor=Role("anchor"), positive_selector=Role("context"),
+        negative_selector=Role("anchor"),
+    ))
+    return recipes

@@ -155,3 +155,93 @@ def read_hf_records(spark: SparkSession, cfg: HfSourceConfig) -> DataFrame:
         F.array(F.lit(cfg.source_id)).alias("taxonomy"),
         F.array(*sections).alias("sections"),
     )
+
+
+# ---------------------------------------------------------------------------
+# live snapshot path (the reference's manifest-fetch + shard-download core,
+# huggingface_source.rs:905+, reduced to public HTTP APIs + stdlib): the
+# datasets-server parquet manifest lists ready-made parquet shards per
+# (config, split); we download them once into a local snapshot dir and let
+# Spark's parquet reader take over. Gated: callers opt in via the
+# RUST_TRIPLETS_LIVE_HF env var (the reference gates its live tests with
+# TRIPLETS_SKIP_LIVE_TESTS, tests/hf_live.rs) — everything below degrades
+# to a clear error offline, never a hang.
+# ---------------------------------------------------------------------------
+
+HF_MANIFEST_URL = "https://datasets-server.huggingface.co/parquet?dataset={dataset}"
+LIVE_HF_ENV = "RUST_TRIPLETS_LIVE_HF"
+
+
+def select_manifest_shards(manifest: dict, cfg: HfSourceConfig) -> list[str]:
+    """Pick the shard URLs matching ``cfg`` from a datasets-server parquet
+    manifest (the JSON shape of ``/parquet?dataset=…``: a ``parquet_files``
+    list of ``{config, split, url, …}``). Config/split default to the
+    manifest's first config and to ``train`` (huggingface_source.rs default
+    split handling). Deterministic: URLs sorted."""
+    files = manifest.get("parquet_files") or []
+    if not files:
+        return []
+    config = cfg.config or sorted({f["config"] for f in files})[0]
+    split = cfg.split or "train"
+    return sorted(
+        f["url"] for f in files if f["config"] == config and f["split"] == split
+    )
+
+
+def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60.0) -> str:
+    """Download the dataset's parquet shards into
+    ``{cache_dir}/{source_id}/`` (skipping shards already present — the
+    reference's lazy shard cache) and return that directory. Uses only
+    stdlib HTTP; ``HF_TOKEN`` is honored for gated datasets. Requires the
+    ``RUST_TRIPLETS_LIVE_HF`` opt-in so nothing in the engine reaches the
+    network implicitly."""
+    import json
+    import os
+    import urllib.request
+
+    if not os.environ.get(LIVE_HF_ENV):
+        raise RuntimeError(
+            f"live HF snapshotting is opt-in: set {LIVE_HF_ENV}=1 "
+            "(or point cfg.path at an existing parquet snapshot)"
+        )
+
+    def _open(url: str):
+        req = urllib.request.Request(url)
+        token = os.environ.get("HF_TOKEN")
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    with _open(HF_MANIFEST_URL.format(dataset=cfg.dataset)) as resp:
+        manifest = json.load(resp)
+    urls = select_manifest_shards(manifest, cfg)
+    if not urls:
+        raise ValueError(
+            f"no parquet shards for {cfg.dataset} config={cfg.config} split={cfg.split}"
+        )
+    dest_dir = os.path.join(cache_dir, cfg.source_id)
+    os.makedirs(dest_dir, exist_ok=True)
+    for i, url in enumerate(urls):
+        dest = os.path.join(dest_dir, f"shard-{i:05d}.parquet")
+        if os.path.exists(dest) and os.path.getsize(dest) > 0:
+            continue  # lazy shard cache hit
+        tmp = dest + ".tmp"
+        with _open(url) as resp, open(tmp, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, dest)  # publish complete shards only
+    return dest_dir
+
+
+def read_hf_records_live(
+    spark: SparkSession, cfg: HfSourceConfig, cache_dir: str
+) -> DataFrame:
+    """End-to-end live path: snapshot (or reuse) the parquet shards, then
+    apply the standard column-mapping read (:func:`read_hf_records`)."""
+    from dataclasses import replace
+
+    path = cfg.path or snapshot_hf_dataset(cfg, cache_dir)
+    return read_hf_records(spark, replace(cfg, path=path))

@@ -84,3 +84,63 @@ def test_kvp_deterministic(spark):
     assert sorted((r["doc_id"], r["kvp_prefix"]) for r in a.collect()) == sorted(
         (r["doc_id"], r["kvp_prefix"]) for r in b.collect()
     )
+
+
+def _corpus_rows(version: int):
+    """3 sources x 8 docs; version 1 rewrites src1's texts only."""
+    rows = []
+    for i in range(24):
+        src = f"src{i % 3}"
+        words = [f"w{i % 7}{j}" for j in range(6)] + [f"shared{j}" for j in range(3)]
+        if version == 1 and src == "src1":
+            words = [f"v2tok{i}{j}" for j in range(5)] + ["shared0"]
+        rows.append((i, src, " ".join(words)))
+    return rows
+
+
+def test_incremental_refresh_equals_full_rebuild(spark):
+    """bm25_backend.rs:343-390: after refreshing ONE source, scores served
+    from the incrementally-maintained index must equal a full rebuild over
+    the new corpus — bit-exact (same rounding)."""
+    from rust_triplets_spark.operators.bm25 import (
+        bm25_topk_from_index, build_bm25_index, refresh_bm25_index,
+    )
+
+    schema = "id long, source string, text string"
+    old = spark.createDataFrame(_corpus_rows(0), schema)
+    new = spark.createDataFrame(_corpus_rows(1), schema)
+
+    idx = build_bm25_index(old, "id", "source", "text")
+    refreshed = refresh_bm25_index(idx, new, ["src1"], "id", "source", "text")
+    got = {
+        (r["qid"], r["rank"]): (r["did"], r["score_q"])
+        for r in bm25_topk_from_index(refreshed, k=5).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): (r["did"], r["score_q"])
+        for r in bm25_topk_from_index(build_bm25_index(new, "id", "source", "text"), k=5).collect()
+    }
+    assert got == want and got
+
+
+def test_index_serving_matches_direct_bm25_topk(spark):
+    """The index-served path and the one-shot bm25_topk are the same math:
+    identical (qid, rank, did, score_q) rows, split isolation included."""
+    from rust_triplets_spark.operators.bm25 import (
+        bm25_topk_from_index, build_bm25_index,
+    )
+    from rust_triplets_spark.operators.splits import split_label_col
+
+    docs = spark.createDataFrame(_corpus_rows(0), "id long, source string, text string")
+    docs = docs.withColumn("split", split_label_col("id", 42))
+    direct = {
+        (r["qid"], r["rank"]): (r["did"], r["score_q"])
+        for r in bm25_topk(docs, "id", "source", "text", "split", k=4).collect()
+    }
+    served = {
+        (r["qid"], r["rank"]): (r["did"], r["score_q"])
+        for r in bm25_topk_from_index(
+            build_bm25_index(docs, "id", "source", "text", "split"), k=4
+        ).collect()
+    }
+    assert served == direct and served

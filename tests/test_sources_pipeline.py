@@ -181,3 +181,111 @@ def test_batch_iterator_resumes(spark):
             Checkpoint.load(p, expect_seed=7)  # seed guard (splits.rs:563-611)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hf_manifest_shard_selection_is_deterministic():
+    """Offline twin of the live manifest walk: config defaults to the
+    first config, split to 'train', URLs sorted."""
+    from rust_triplets_spark.sources.hf_source import (
+        HfSourceConfig, select_manifest_shards,
+    )
+
+    manifest = {
+        "parquet_files": [
+            {"config": "plain", "split": "train", "url": "https://x/b.parquet"},
+            {"config": "plain", "split": "train", "url": "https://x/a.parquet"},
+            {"config": "plain", "split": "test", "url": "https://x/t.parquet"},
+            {"config": "zother", "split": "train", "url": "https://x/z.parquet"},
+        ]
+    }
+    cfg = HfSourceConfig(dataset="org/ds")
+    assert select_manifest_shards(manifest, cfg) == [
+        "https://x/a.parquet", "https://x/b.parquet",
+    ]
+    cfg2 = HfSourceConfig(dataset="org/ds", config="zother")
+    assert select_manifest_shards(manifest, cfg2) == ["https://x/z.parquet"]
+    assert select_manifest_shards({}, cfg) == []
+
+
+def test_hf_snapshot_requires_live_opt_in(tmp_path, monkeypatch):
+    """Without the env opt-in the live path must refuse — the engine never
+    reaches the network implicitly."""
+    import pytest
+
+    from rust_triplets_spark.sources.hf_source import (
+        HfSourceConfig, LIVE_HF_ENV, snapshot_hf_dataset,
+    )
+
+    monkeypatch.delenv(LIVE_HF_ENV, raising=False)
+    with pytest.raises(RuntimeError, match="opt-in"):
+        snapshot_hf_dataset(HfSourceConfig(dataset="org/ds"), str(tmp_path))
+
+
+def test_hf_live_snapshot_integration(spark, tmp_path):
+    """LIVE test — runs only with RUST_TRIPLETS_LIVE_HF=1 and network
+    access (the reference gates its live suite with TRIPLETS_SKIP_LIVE_TESTS,
+    tests/hf_live.rs); skipped-green offline."""
+    import os
+
+    import pytest
+
+    from rust_triplets_spark.sources.hf_source import (
+        LIVE_HF_ENV, parse_source_line, read_hf_records_live,
+    )
+
+    if not os.environ.get(LIVE_HF_ENV):
+        pytest.skip(f"set {LIVE_HF_ENV}=1 to run the live HF snapshot test")
+    cfg = parse_source_line("hf://hf-internal-testing/fixtures_ade20k text=file")
+    out = read_hf_records_live(spark, cfg, str(tmp_path))
+    assert out.count() >= 0 and "sections" in out.columns
+
+
+def test_hf_live_read_reuses_existing_snapshot(spark, tmp_path):
+    """cfg.path short-circuits the network entirely — the offline-friendly
+    half of the live path."""
+    from rust_triplets_spark.sources.hf_source import (
+        HfSourceConfig, read_hf_records_live,
+    )
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [("q1", "a1"), ("q2", "a2"), ("", "a3")], "question string, answer string"
+    ).write.parquet(snap)
+    cfg = HfSourceConfig(
+        dataset="org/ds", path=snap,
+        anchor_candidates=("question",), positive_candidates=("answer",),
+    )
+    out = read_hf_records_live(spark, cfg, cache_dir=str(tmp_path / "unused"))
+    assert out.count() == 2  # empty-anchor row dropped
+    assert {r["source"] for r in out.select("source").collect()} == {"hf_org_ds"}
+
+
+def test_file_source_default_lanes_run_through_selector_assembly(spark):
+    """The file-source recipe lanes (file_source.rs:156-210) must execute
+    end-to-end through selector assembly over a title/body corpus."""
+    from rust_triplets_spark.operators.triplets import assemble_selector_triplets
+    from rust_triplets_spark.sources.file_source import (
+        default_title_context_triplet_recipes,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, 0, "anchor", f"title of doc {i}", f"src{i % 2}"))
+        rows.append((i, 1, "context", f"body text for document {i} words", f"src{i % 2}"))
+    sections = spark.createDataFrame(
+        rows, "record_id long, section_idx long, role string, text string, source string"
+    )
+    lanes = default_title_context_triplet_recipes(include_date_aware=False)
+    assert abs(sum(r.weight for r in lanes) - 1.0) < 1e-9
+    for lane in lanes:
+        out = assemble_selector_triplets(sections, lane, seed=42)
+        rows_out = out.collect()
+        assert rows_out, lane.name
+        for r in rows_out:
+            assert r["recipe"] == lane.name
+            assert r["negative_id"] != r["anchor_id"]
+        # negative_selector=Role('anchor') lanes draw negatives from titles
+        if lane.name == "title_anchor_wrong_article":
+            assert all(r["negative_text"].startswith("title") for r in rows_out)
+        if lane.name == "title_context_wrong_article":
+            assert all(r["negative_text"].startswith("body") for r in rows_out)

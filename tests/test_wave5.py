@@ -100,7 +100,7 @@ def test_bucketed_ann_subset_of_bucket_and_agrees_with_brute_force(spark):
         assert buckets[r["qid"]] == buckets[r["nid"]]
     # and within a bucket the ranking equals the exact brute-force ranking
     n = emb.count()
-    exact = cosine_topk(emb, "vec_id", "embedding", k=n).collect()
+    exact = cosine_topk(emb, "vec_id", "embedding", queries=emb, k=n).collect()
     exact_order = {}
     for r in sorted(exact, key=lambda r: (r["qid"], r["rank"])):
         exact_order.setdefault(r["qid"], []).append(r["nid"])

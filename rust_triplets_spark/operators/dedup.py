@@ -467,3 +467,95 @@ SELECT i.a, i.b, i.inter,
 FROM inter i JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
 WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-duplicate candidate PAIRS into CLUSTERS: connected
+    components with the minimum member id as the canonical representative —
+    the step that turns pairwise dedup output into per-document keep/drop
+    decisions. Returns (id, rep, cluster_size) for EVERY input document
+    (singletons are their own cluster of 1).
+
+    ``pairs`` defaults to :func:`minhash_lsh_pairs`. Components are found
+    by iterative min-label propagation over the undirected edge set, with
+    one pointer-jumping step per round (``rep ← rep[rep]``) so chains
+    collapse in O(log diameter) rounds, not O(diameter); each round is two
+    equi-joins + a groupBy, each iteration's result is localCheckpoint-ed
+    (plan truncation — iterative lineage otherwise grows superlinearly),
+    and the loop stops at the monotone fixpoint (sum of labels stops
+    decreasing — one tiny aggregate per round). The fixpoint is the unique
+    per-component minimum, so the result is iteration-order independent
+    and matches the oracle's recursive-CTE closure exactly.
+    """
+    edges = (
+        pairs if pairs is not None else minhash_lsh_pairs(df, id_col, text_col)
+    ).select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+    nodes = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    und = und.localCheckpoint(eager=True)
+
+    labels = nodes.select("id", F.col("id").alias("rep")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("rep")).collect()[0][0] or 0
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("rep").alias("__nrep"))
+            .withColumnRenamed("a", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("rep"), F.coalesce(F.col("__nrep"), F.col("rep"))).alias("rep")
+        )
+        # pointer jumping: rep ← rep's own label
+        jumped = stepped.alias("l").join(
+            stepped.select(F.col("id").alias("rep"), F.col("rep").alias("__rr")).alias("r"),
+            "rep", "left",
+        ).select("id", F.least(F.col("rep"), F.coalesce(F.col("__rr"), F.col("rep"))).alias("rep"))
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("rep")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    size = F.count("*").over(Window.partitionBy("rep"))
+    return labels.select(
+        "id", "rep", size.cast("long").alias("cluster_size")
+    )
+
+
+def neardup_clusters_sql(
+    table: str, id_sql: str, text_sql: str,
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> str:
+    """DuckDB twin of :func:`neardup_clusters` over the same MinHash-LSH
+    pairs: transitive closure via a recursive CTE (UNION dedup bounds the
+    walk), then rep = min reachable id — the same unique fixpoint the
+    Spark propagation converges to."""
+    pairs_sql = minhash_lsh_pairs_sql(table, id_sql, text_sql, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH RECURSIVE nd_edges AS MATERIALIZED ({pairs_sql}),
+nd_und AS MATERIALIZED (
+  SELECT a, b FROM nd_edges UNION ALL SELECT b, a FROM nd_edges
+),
+nd_nodes AS MATERIALIZED (SELECT DISTINCT CAST({id_sql} AS BIGINT) AS id FROM {table}),
+reach(id, r) AS (
+  SELECT id, id FROM nd_nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN nd_und e ON e.a = reach.r
+),
+labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+SELECT id, rep, CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+FROM labels
+"""

@@ -95,7 +95,9 @@ def denoise_gates12_col(col, cfg: DenoiserConfig = DenoiserConfig()) -> Column:
         digits = F.length(F.regexp_replace(eff, "[^0-9]", "")).cast("double")
         alpha = F.length(F.regexp_replace(eff, NON_ALPHA_RE, "")).cast("double")
         ratio_ok = digits / (digits + alpha) <= F.lit(cfg.max_digit_ratio)
-        return eff.isNotNull() & eff.rlike(HAS_ALPHA_RE) & ratio_ok
+        # gate 2 is (alpha > 0) — a separate HAS_ALPHA rlike would be a
+        # third regex pass per line for a predicate the count already holds
+        return eff.isNotNull() & (alpha > 0) & ratio_ok
 
     cleaned = F.filter(F.transform(lines, gate1), keep)
     out = F.array_join(cleaned, "\n")
@@ -122,7 +124,7 @@ def denoise_gates12_sql(col: str, cfg: DenoiserConfig = DenoiserConfig()) -> str
         else ""
     )
     keep = (
-        f"{sep}regexp_matches(({eff}), '{HAS_ALPHA_RE}') "
+        f"{sep}({alpha}) > 0 "
         f"AND {digits} / ({digits} + {alpha}) <= {cfg.max_digit_ratio!r}"
     )
     cleaned = f"list_transform(list_filter({lines}, l -> {keep}), l -> {eff})"

@@ -440,7 +440,14 @@ def ivf_seeded_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    ranked = (
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    # ranked feeds BOTH the cell assignment and the probe list, and each
+    # side of the candidate join would otherwise re-run the corpus ×
+    # n_centroids distance scoring (an interpreted higher-order kernel) —
+    # cache it once, filtered twice. Probes keep only (qid, cell) + the
+    # query vector; rows = corpus × nprobe, bounded.
+    ranked = cache_scoped(
         base.crossJoin(F.broadcast(cent))
         .withColumn("__d2", d2)
         .withColumn(
@@ -449,6 +456,11 @@ def ivf_seeded_topk(
                 Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
             ),
         )
+        .where(F.col("__cr") <= max(1, nprobe))
+        .select("id", "__v", "__n", "cell", "__cr"),
+        "similarity.ivf.ranked",
+        eager=True,  # both join sides must read materialized blocks — a
+        # lazy cache lets the self-join's concurrent scans double-compute
     )
     assigned = ranked.where(F.col("__cr") == 1).select("id", "__v", "__n", "cell")
     probes = ranked.where(F.col("__cr") <= nprobe).select(

@@ -810,9 +810,16 @@ def assemble_selector_triplets(
         _trust_col(idf).cast("double").alias("trust"),
         split_label_col("record_id", seed, ratios).alias("split"),
         idf.alias("__idf"),
-    ).withColumn(
-        "n_sections", F.count("*").over(Window.partitionBy("record_id"))
     )
+    # n_sections (a per-record window pass = one extra shuffle over the
+    # whole sections frame) feeds ONLY the Random selector's modulus —
+    # recipes without a Random side skip it entirely
+    if "random" in {anchor_sel.kind, positive_sel.kind, negative_sel.kind}:
+        base = base.withColumn(
+            "n_sections", F.count("*").over(Window.partitionBy("record_id"))
+        )
+    else:
+        base = base.withColumn("n_sections", F.lit(None).cast("long"))
     base = cache_scoped(base, "triplets.selector.sections")
 
     a = _select_section(base, anchor_sel, "anchor", seed).select(

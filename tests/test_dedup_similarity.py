@@ -221,3 +221,34 @@ def test_ivf_kmeans_sample_fit_still_searches_whole_corpus(spark):
     assert {(r["qid"], r["rank"], r["nid"]) for r in a} == {
         (r["qid"], r["rank"], r["nid"]) for r in b
     }
+
+
+def test_neardup_clusters_components_and_singletons(spark):
+    """Chained pairs must collapse into one cluster under the min-id rep
+    (transitive closure, not just direct pairs), singletons stay alone."""
+    from rust_triplets_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"  # chain 1-2-3; pair 5-6
+    )
+    out = {r["id"]: (r["rep"], r["cluster_size"])
+           for r in neardup_clusters(docs, "id", "text", pairs=pairs).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[5] == (5, 2) and out[6] == (5, 2)
+    for s in (0, 4, 7):
+        assert out[s] == (s, 1)
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    """Pointer jumping must collapse a long chain well inside max_iter
+    (O(log diameter)): a 40-link chain with max_iter=8 ≥ log2(40)."""
+    from rust_triplets_spark.operators.dedup import neardup_clusters
+
+    n = 41
+    docs = spark.createDataFrame([(i, "t") for i in range(n)], "id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    out = neardup_clusters(docs, "id", "text", pairs=pairs, max_iter=8).collect()
+    assert all(r["rep"] == 0 and r["cluster_size"] == n for r in out)

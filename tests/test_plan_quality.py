@@ -101,3 +101,23 @@ def test_folder_date_scan_prunes_to_orderdate(spark):
     for cols in scans:
         names = {c.split("#")[0] for c in cols.split(",") if c}
         assert names <= {"o_orderkey", "o_orderdate"}, names
+
+
+def test_round4_queries_avoid_cartesian_products(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    for q in ["selector_triplets", "recipe_auto_injection"]:
+        plan = _physical(DQ.QUERIES[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_ivf_centroid_fanout_is_broadcast(spark):
+    """The corpus x n_centroids distance scoring must broadcast the tiny
+    centroid frame (never shuffle or replicate the corpus side), and the
+    candidate join must be a (cell) equi-join."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["ann_ivf_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

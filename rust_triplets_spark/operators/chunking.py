@@ -175,12 +175,16 @@ def chunk_sql(
     strategy: ChunkingStrategy,
     extra_cols: dict[str, str] | None = None,
     where: str = "TRUE",
+    section_key_sql: str = "'0'",
 ) -> str:
     """DuckDB twin of :func:`chunk_sections` for a single-section-per-row
-    table (record_id from ``id_sql``, section_idx 0). Emits columns:
-    ``record_id, view_kind, win_index, overlap, span, chunk_text,
-    tokens_estimate, chunk_key`` (+ ``extra_cols`` {alias: expr} passthrough
-    columns, evaluated once against ``table``)."""
+    table (record_id from ``id_sql``; the chunk key's section part defaults
+    to the literal 0 — pass ``section_key_sql`` (evaluated against the
+    chunk rows, so name a passthrough ``extra_cols`` alias) for
+    multi-section inputs). Emits columns: ``record_id, view_kind,
+    win_index, overlap, span, chunk_text, tokens_estimate, chunk_key``
+    (+ ``extra_cols`` {alias: expr} passthrough columns, evaluated once
+    against ``table``)."""
     from rust_triplets_spark.functions.text import tokens_sql
 
     w = strategy.max_window_tokens
@@ -222,7 +226,7 @@ def chunk_sql(
     union = " UNION ALL ".join(f"({p})" for p in parts)
     return (
         f"WITH __base AS MATERIALIZED ({base}), __chunks AS MATERIALIZED ({union}) "
-        f"SELECT *, concat_ws('|', CAST(record_id AS VARCHAR), '0', "
+        f"SELECT *, concat_ws('|', CAST(record_id AS VARCHAR), {section_key_sql}, "
         f"CASE WHEN view_kind = 'window' THEN 'w|' || CAST(win_index AS VARCHAR) ELSE 's|head' END) AS chunk_key "
         f"FROM __chunks"
     )

@@ -56,6 +56,7 @@ SWAP_SEED_OFF = 505  # anchor/positive swap coin
 TRUST_SEED = 7  # synthetic per-record trust for the driver tables
 SEL_ROLE_OFF = 909  # Role selector rotation (matches selector_text_samples)
 SEL_RAND_OFF = 910  # Random selector pick
+SEL_CHUNK_OFF = 911  # chunk-pool rotation within the selected section
 SEL_SIDE_SALT = {"anchor": 0, "positive": 1, "negative": 2}  # decorrelate sides
 
 STRATEGY_REASON = {  # src/constants.rs:98-103
@@ -694,8 +695,15 @@ FROM trip
 # src/config.rs:146-215)
 # ---------------------------------------------------------------------------
 
-def _select_section(base: DataFrame, selector: Selector, side: str, seed: int) -> DataFrame:
-    """One section per record according to ``selector`` — the reference's
+def _select_section(
+    base: DataFrame,
+    selector: Selector,
+    side: str,
+    seed: int,
+    chunking: "ChunkingStrategy | None" = None,
+    variant: int = 0,
+) -> DataFrame:
+    """One chunk per record according to ``selector`` — the reference's
     ``select_chunk`` reduced to this engine's determinism spec (stateless
     seeded hashes instead of rotation cursors / RNG streams):
 
@@ -707,11 +715,20 @@ def _select_section(base: DataFrame, selector: Selector, side: str, seed: int) -
       (the sparse-section skip is *per recipe*, src/sampler/mod.rs:1699);
     - ``Random``: seeded uniform pick over all of the record's sections.
 
+    With ``chunking`` given, the selected section is then materialized
+    into its window-chunk pool and ONE window is picked in seeded hash
+    order rotated by ``variant`` — the stateless reduction of the
+    reference's ``materialize_chunks`` → ``next_chunk_from_pool`` cursor
+    (src/sampler/mod.rs:1698-1704, :1744-1751). Without it the whole
+    section is the chunk (the short-section case, where the pool has
+    exactly one window).
+
     Sides are decorrelated via a per-side salt so e.g. a Random positive
     and a Random negative don't co-pick. Returns
-    (record_id, section_idx, sel_key, sel_text) — ``sel_key`` is the chunk
-    key of the whole-section window chunk (src/sampler/mod.rs:3080-3089).
-    """
+    (record_id, section_idx, …, sel_key, sel_text, sel_win) — ``sel_key``
+    is the picked chunk's key (src/sampler/mod.rs:3080-3089), ``sel_win``
+    its window index (0 for whole-section chunks), which feeds the weight
+    model."""
     salt = SEL_SIDE_SALT[side]
     if selector.kind == "role":
         key = mix31_col(
@@ -733,39 +750,85 @@ def _select_section(base: DataFrame, selector: Selector, side: str, seed: int) -
                 F.col("n_sections"),
             )
         )
-    return picked.select(
-        "record_id", "section_idx", "source", "split", "trust", "__idf",
-        F.concat(
-            F.col("record_id").cast("string"), F.lit("|"),
-            F.col("section_idx").cast("string"), F.lit("|w|0"),
-        ).alias("sel_key"),
-        F.col("text").alias("sel_text"),
+    if chunking is None:
+        return picked.select(
+            "record_id", "section_idx", "source", "split", "trust", "__idf",
+            F.concat(
+                F.col("record_id").cast("string"), F.lit("|"),
+                F.col("section_idx").cast("string"), F.lit("|w|0"),
+            ).alias("sel_key"),
+            F.col("text").alias("sel_text"),
+            F.lit(0).cast("long").alias("sel_win"),
+        )
+    chunks = chunk_sections(
+        picked, chunking, text_col="text",
+        carry_cols=("record_id", "section_idx", "source", "split", "trust", "__idf"),
+    ).where(F.col("view_kind") == "window")
+    order = mix31_col(
+        [F.col("__idf"), F.col("win_index"), F.col("overlap"),
+         F.lit(salt), F.lit(variant)],
+        seed + SEL_CHUNK_OFF,
+    )
+    w2 = Window.partitionBy("record_id").orderBy(order.asc(), F.col("chunk_key").asc())
+    return (
+        chunks.withColumn("__crn", F.row_number().over(w2))
+        .where(F.col("__crn") == 1)
+        .select(
+            "record_id", "section_idx", "source", "split", "trust", "__idf",
+            F.col("chunk_key").alias("sel_key"),
+            F.col("chunk_text").alias("sel_text"),
+            F.col("win_index").cast("long").alias("sel_win"),
+        )
     )
 
 
-def _select_section_sql(selector: Selector, side: str, seed: int) -> str:
+def _select_section_sql(
+    selector: Selector,
+    side: str,
+    seed: int,
+    chunking: "ChunkingStrategy | None" = None,
+    variant: int = 0,
+) -> str:
     """DuckDB twin of :func:`_select_section` over the ``sec`` CTE."""
     salt = SEL_SIDE_SALT[side]
     key_cols = "record_id, section_idx, source, split, trust, idf"
-    sel = (
-        "CAST(record_id AS VARCHAR) || '|' || CAST(section_idx AS VARCHAR) || '|w|0'"
-        " AS sel_key, text AS sel_text"
-    )
     if selector.kind == "role":
         order = mix31_sql(["idf", "section_idx", str(salt)], seed + SEL_ROLE_OFF)
-        return (
-            f"SELECT {key_cols}, {sel} FROM ("
+        picked = (
+            f"SELECT * FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY record_id "
             f"ORDER BY {order}, section_idx) AS srn "
             f"FROM sec WHERE role = '{selector.role}') WHERE srn = 1"
         )
-    if selector.kind == "paragraph":
-        return (
-            f"SELECT {key_cols}, {sel} FROM sec "
-            f"WHERE section_idx = {selector.index}"
+    elif selector.kind == "paragraph":
+        picked = f"SELECT * FROM sec WHERE section_idx = {selector.index}"
+    else:
+        pick = mix31_sql(["idf", str(salt)], seed + SEL_RAND_OFF)
+        picked = f"SELECT * FROM sec WHERE section_idx = ({pick} % n_sections)"
+    if chunking is None:
+        sel = (
+            "CAST(record_id AS VARCHAR) || '|' || CAST(section_idx AS VARCHAR) || '|w|0'"
+            " AS sel_key, text AS sel_text, CAST(0 AS BIGINT) AS sel_win"
         )
-    pick = mix31_sql(["idf", str(salt)], seed + SEL_RAND_OFF)
-    return f"SELECT {key_cols}, {sel} FROM sec WHERE section_idx = ({pick} % n_sections)"
+        return f"SELECT {key_cols}, {sel} FROM ({picked})"
+    chunks = chunk_sql(
+        f"({picked})", "record_id", "text", chunking,
+        extra_cols={
+            "section_idx": "section_idx", "source": "source", "split": "split",
+            "trust": "trust", "idf": "idf",
+        },
+        section_key_sql="CAST(section_idx AS VARCHAR)",
+    )
+    order2 = mix31_sql(
+        ["idf", "win_index", "overlap", str(salt), str(variant)], seed + SEL_CHUNK_OFF
+    )
+    return (
+        f"SELECT {key_cols}, chunk_key AS sel_key, chunk_text AS sel_text, "
+        f"CAST(win_index AS BIGINT) AS sel_win FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY record_id "
+        f"ORDER BY {order2}, chunk_key) AS crn "
+        f"FROM ({chunks}) WHERE view_kind = 'window') WHERE crn = 1"
+    )
 
 
 def assemble_selector_triplets(
@@ -775,6 +838,7 @@ def assemble_selector_triplets(
     variant: int = 0,
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
     floor: float = 0.1,
+    chunking: "ChunkingStrategy | None" = None,
 ) -> DataFrame:
     """Triplet assembly driven by the recipe's PER-SIDE selectors over a
     multi-section corpus (the reference's primary configuration surface:
@@ -822,15 +886,17 @@ def assemble_selector_triplets(
         base = base.withColumn("n_sections", F.lit(None).cast("long"))
     base = cache_scoped(base, "triplets.selector.sections")
 
-    a = _select_section(base, anchor_sel, "anchor", seed).select(
+    a = _select_section(base, anchor_sel, "anchor", seed, chunking, variant).select(
         "record_id", "source", "split", "trust", "__idf",
         F.col("sel_key").alias("anchor_key"),
         F.col("sel_text").alias("anchor_text"),
+        F.col("sel_win").alias("__a_win"),
     )
-    p = _select_section(base, positive_sel, "positive", seed).select(
+    p = _select_section(base, positive_sel, "positive", seed, chunking, variant).select(
         "record_id",
         F.col("sel_key").alias("positive_key"),
         F.col("sel_text").alias("positive_text"),
+        F.col("sel_win").alias("__p_win"),
     )
     pair = a.join(p, "record_id", "inner")
 
@@ -845,7 +911,7 @@ def assemble_selector_triplets(
         pool, "id", "source", "split", recipe.negative_strategy,
         date_col=None, seed=seed, variant=variant, id_is_string=False,
     )
-    nsel = _select_section(base, negative_sel, "negative", seed).select(
+    nsel = _select_section(base, negative_sel, "negative", seed, chunking, variant).select(
         F.col("record_id").alias("negative_id"),
         F.col("sel_key").alias("negative_key"),
         F.col("sel_text").alias("negative_text"),
@@ -861,12 +927,18 @@ def assemble_selector_triplets(
     )
     trip = trip.withColumn("swapped", (swap_coin == 0).cast("long"))
 
-    # whole-section window chunks: win_index 0 on both sides ⇒ base weight
-    # 1/(0+1) = 1 and proximity 1 (src/sampler/mod.rs:106-122)
+    # full chunk-weight model (src/sampler/mod.rs:106-122): base weight
+    # 1/(win+1), proximity over window-index distance. Whole-section
+    # chunks have win 0 on both sides ⇒ base 1 and proximity 1, so the
+    # short-section case reduces to the trust-only weights exactly.
     trust_c = F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0)))
     n_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__n_trust"), F.lit(1.0)))
-    aw = F.greatest(F.lit(floor), trust_c)
-    pw = F.greatest(F.lit(floor), trust_c)
+    base_a = F.lit(1.0) / (F.col("__a_win").cast("double") + F.lit(1.0))
+    base_p = F.lit(1.0) / (F.col("__p_win").cast("double") + F.lit(1.0))
+    d = F.abs(F.col("__a_win") - F.col("__p_win")).cast("double")
+    prox = F.lit(1.0) - d / (d + F.lit(1.0))
+    aw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_a * trust_c) * prox)
+    pw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_p * trust_c) * prox)
     nw = F.greatest(F.lit(floor), n_trust_c)
     weight = F.lit(float(recipe.weight)) * ((aw + pw + nw) / F.lit(3.0))
 
@@ -901,6 +973,7 @@ def assemble_selector_triplets_sql(
     variant: int = 0,
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
     floor: float = 0.1,
+    chunking: "ChunkingStrategy | None" = None,
 ) -> str:
     """DuckDB twin of :func:`assemble_selector_triplets`. ``sections_sql``
     must yield (record_id BIGINT, section_idx BIGINT, role, text, source)."""
@@ -918,8 +991,12 @@ def assemble_selector_triplets_sql(
     fl = f"{float(floor)!r}"
     trust_c = "greatest(0.0, least(a.trust, 1.0))"
     n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
-    aw = f"greatest({fl}, {trust_c})"
-    pw = f"greatest({fl}, {trust_c})"
+    base_a = "(1.0 / (CAST(a.a_win AS DOUBLE) + 1.0))"
+    base_p = "(1.0 / (CAST(p.p_win AS DOUBLE) + 1.0))"
+    d = "CAST(abs(a.a_win - p.p_win) AS DOUBLE)"
+    prox = f"(1.0 - {d} / ({d} + 1.0))"
+    aw = f"greatest({fl}, greatest({fl}, {base_a} * {trust_c}) * {prox})"
+    pw = f"greatest({fl}, greatest({fl}, {base_p} * {trust_c}) * {prox})"
     nw = f"greatest({fl}, {n_trust_c})"
     weight = f"({float(recipe.weight)!r} * ((({aw}) + ({pw}) + ({nw})) / 3.0))"
     degenerate = (
@@ -938,12 +1015,13 @@ sec AS MATERIALIZED (
 ),
 a_sel AS MATERIALIZED (
   SELECT record_id, source, split, trust, idf,
-         sel_key AS anchor_key, sel_text AS anchor_text
-  FROM ({_select_section_sql(anchor_sel, 'anchor', seed)})
+         sel_key AS anchor_key, sel_text AS anchor_text, sel_win AS a_win
+  FROM ({_select_section_sql(anchor_sel, 'anchor', seed, chunking, variant)})
 ),
 p_sel AS MATERIALIZED (
-  SELECT record_id, sel_key AS positive_key, sel_text AS positive_text
-  FROM ({_select_section_sql(positive_sel, 'positive', seed)})
+  SELECT record_id, sel_key AS positive_key, sel_text AS positive_text,
+         sel_win AS p_win
+  FROM ({_select_section_sql(positive_sel, 'positive', seed, chunking, variant)})
 ),
 sel_pool AS MATERIALIZED (
   SELECT record_id AS id, min(source) AS source, min(split) AS split
@@ -953,7 +1031,7 @@ neg AS MATERIALIZED ({neg_sql}),
 n_sel AS MATERIALIZED (
   SELECT record_id AS negative_id, sel_key AS negative_key,
          sel_text AS negative_text, trust
-  FROM ({_select_section_sql(negative_sel, 'negative', seed)})
+  FROM ({_select_section_sql(negative_sel, 'negative', seed, chunking, variant)})
 )
 SELECT '{recipe.name}' AS recipe,
        a.record_id AS anchor_id,

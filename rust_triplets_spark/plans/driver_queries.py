@@ -2043,6 +2043,152 @@ def recipe_auto_injection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimCSE text-mode lane: same text feeds Anchor + Context sections, the
+# recipe allows identical anchor/positive (dropout-trick mode,
+# csv_source.rs:92-114 text mode; config.rs allow_same_anchor_positive)
+# ---------------------------------------------------------------------------
+
+_SIMCSE_RECIPE = TripletRecipe(
+    name="csv_simcse_dropout_pair",
+    negative_strategy="wrong_article",
+    weight=1.0,
+    allow_same_anchor_positive=True,
+    anchor=Role("anchor"),
+    positive_selector=Role("context"),
+    negative_selector=RANDOM,
+)
+
+_SIMCSE_SECTIONS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS record_id, CAST(0 AS BIGINT) AS section_idx,
+       'anchor' AS role, {TX.normalize_inline_whitespace_sql('text')} AS text, source
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT),
+       'context', {TX.normalize_inline_whitespace_sql('text')}, source
+FROM documents
+"""
+
+
+@_register(
+    "simcse_triplets",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
+       negative_key, negative_text, weight, swapped, tier, instruction, split
+FROM ({assemble_selector_triplets_sql(_SIMCSE_SECTIONS_SQL, _SIMCSE_RECIPE, seed=SEED)})
+""",
+)
+def simcse_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimCSE mode end-to-end: the same text occupies the anchor and the
+    positive slot (dropout provides the augmentation at training time);
+    negatives still must differ from both. Every record with a
+    wrong-article negative yields exactly one triplet."""
+    docs = _t(spark, sf_dir, "documents", heavy=False)
+    norm = TX.normalize_inline_whitespace_col("text")
+    one = docs.select(
+        F.col("doc_id").cast("long").alias("record_id"),
+        F.lit(0).cast("long").alias("section_idx"),
+        F.lit("anchor").alias("role"),
+        norm.alias("text"),
+        "source",
+    )
+    two = docs.select(
+        F.col("doc_id").cast("long").alias("record_id"),
+        F.lit(1).cast("long").alias("section_idx"),
+        F.lit("context").alias("role"),
+        norm.alias("text"),
+        "source",
+    )
+    out = assemble_selector_triplets(one.unionByName(two), _SIMCSE_RECIPE, seed=SEED)
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "negative_key", "negative_text", "weight", "swapped", "tier",
+        "instruction", "split",
+    )
+
+
+# ---------------------------------------------------------------------------
+# selector assembly over LONG sections: select_chunk's full pipeline —
+# section selection, then the window-chunk POOL of that section, then a
+# rotated chunk pick (materialize_chunks → next_chunk_from_pool,
+# src/sampler/mod.rs:1698-1704, :1744-1751)
+# ---------------------------------------------------------------------------
+
+_SEL_CHUNK_STRAT = ChunkingStrategy(
+    max_window_tokens=24, overlap_tokens=(4,), summary_fallback_tokens=12
+)
+_SEL_CHUNK_RECIPE = TripletRecipe(
+    name="long_section_selector_pair",
+    negative_strategy="wrong_article",
+    weight=1.0,
+    anchor=Role("anchor"),
+    positive_selector=Role("context"),
+    negative_selector=Role("context"),
+)
+
+# two LONG sections per record: the document text (anchor role) and its
+# word-reversed form (context role) — both far beyond the 24-token window,
+# so every selector lands on a multi-window chunk pool
+_SEL_CHUNK_SECTIONS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS record_id, CAST(0 AS BIGINT) AS section_idx,
+       'anchor' AS role, {TX.normalize_inline_whitespace_sql('text')} AS text, source
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT), 'context',
+       array_to_string(list_reverse({TX.tokens_sql(TX.normalize_inline_whitespace_sql('text'))}), ' '),
+       source
+FROM documents
+"""
+
+
+@_register(
+    "selector_chunk_triplets",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
+       negative_key, negative_text, weight, swapped, tier, instruction, split
+FROM ({assemble_selector_triplets_sql(_SEL_CHUNK_SECTIONS_SQL, _SEL_CHUNK_RECIPE,
+                                      seed=SEED, chunking=_SEL_CHUNK_STRAT)})
+""",
+)
+def selector_chunk_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector assembly where each selected section materializes a
+    multi-window chunk pool and the chunk pick rotates within it — window
+    indexes then drive the 1/(win+1) x proximity weight model."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = TX.normalize_inline_whitespace_col("text")
+    anchor = docs.select(
+        F.col("doc_id").cast("long").alias("record_id"),
+        F.lit(0).cast("long").alias("section_idx"),
+        F.lit("anchor").alias("role"),
+        norm.alias("text"),
+        "source",
+    )
+    ctx = docs.select(
+        F.col("doc_id").cast("long").alias("record_id"),
+        F.lit(1).cast("long").alias("section_idx"),
+        F.lit("context").alias("role"),
+        F.array_join(F.reverse(TX.tokens_col(norm)), " ").alias("text"),
+        "source",
+    )
+    out = assemble_selector_triplets(
+        anchor.unionByName(ctx), _SEL_CHUNK_RECIPE, seed=SEED,
+        chunking=_SEL_CHUNK_STRAT,
+    )
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "negative_key", "negative_text", "weight", "swapped", "tier",
+        "instruction", "split",
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clusters: connected components over MinHash-LSH pairs
 # ---------------------------------------------------------------------------
 
@@ -2075,6 +2221,8 @@ _CHECK_FIRST = [
     "selector_triplets",
     "recipe_auto_injection",
     "neardup_clusters",
+    "simcse_triplets",
+    "selector_chunk_triplets",
     # registered earlier but never driver-checked (r3 verdict)
     "ann_bucketed_topk",
     "ann_ivf_topk",

@@ -280,3 +280,41 @@ def test_selector_role_rotation_is_deterministic(spark, sectioned_corpus):
     # multiple context sections they must not always coincide
     multi = [r for r in a if r["anchor_key"] != r["positive_key"]]
     assert multi, "decorrelated sides should pick different sections somewhere"
+
+
+def test_selector_chunk_pool_rotates_with_variant(spark):
+    """With chunking, the selector picks from the selected section's
+    window-chunk POOL (materialize_chunks → next_chunk_from_pool) and the
+    pick rotates deterministically with variant."""
+    from rust_triplets_spark.operators.chunking import ChunkingStrategy
+    from rust_triplets_spark.operators.triplets import (
+        RANDOM, Role, assemble_selector_triplets,
+    )
+
+    rows = []
+    for i in range(30):
+        long_text = " ".join(f"w{i}x{j}" for j in range(60))
+        rows.append((i, 0, "anchor", long_text, f"src{i % 2}"))
+        rows.append((i, 1, "context", " ".join(f"c{i}y{j}" for j in range(60)), f"src{i % 2}"))
+    sections = spark.createDataFrame(
+        rows, "record_id long, section_idx long, role string, text string, source string"
+    )
+    strat = ChunkingStrategy(max_window_tokens=16, overlap_tokens=(4,),
+                             summary_fallback_tokens=8)
+    recipe = TripletRecipe(
+        name="r", anchor=Role("anchor"), positive_selector=Role("context"),
+        negative_selector=RANDOM,
+    )
+    v0 = assemble_selector_triplets(sections, recipe, seed=42, variant=0,
+                                    chunking=strat).collect()
+    v1 = assemble_selector_triplets(sections, recipe, seed=42, variant=1,
+                                    chunking=strat).collect()
+    assert v0 and v1
+    # picked chunks are true sub-windows (16 tokens of the 60-token section)
+    for r in v0:
+        assert len(r["anchor_text"].split()) <= 16
+        assert "|w|" in r["anchor_key"]
+    # rotation: at least some picks move to a different window chunk
+    k0 = {r["anchor_id"]: r["anchor_key"] for r in v0}
+    k1 = {r["anchor_id"]: r["anchor_key"] for r in v1}
+    assert any(k0[i] != k1.get(i) for i in k0)

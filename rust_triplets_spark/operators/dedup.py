@@ -559,3 +559,57 @@ labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
 SELECT id, rep, CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
 FROM labels
 """
+
+
+def exact_dedup_verified(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup with collision VERIFICATION: the fingerprint pass
+    (:func:`exact_dedup`'s (hash31, length) key) finds candidate groups,
+    then only rows whose fingerprint occurs more than once are re-compared
+    on the full normalized text. Semantically identical to grouping by the
+    text itself — but the full document string enters a shuffle ONLY for
+    the duplicate candidates (typically a small corpus fraction), never
+    for the singleton majority. Returns (rep_id, n_dups) per distinct
+    normalized text."""
+    norm = normalize_inline_whitespace_col(text_col)
+    fp = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        hash31_str_col(norm).alias("__h"),
+        F.length(norm).cast("long").alias("__len"),
+    )
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    fp = cache_scoped(fp, "dedup.exact_verified.fp")
+    dup_fps = (
+        fp.groupBy("__h", "__len").agg(F.count("*").alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("__h", "__len")
+    )
+    # candidates re-read WITH text (only these rows shuffle the string)
+    cand = (
+        df.select(
+            F.col(id_col).cast("long").alias("__id"), norm.alias("__norm")
+        )
+        .withColumn("__h", hash31_str_col(F.col("__norm")))
+        .withColumn("__len", F.length("__norm").cast("long"))
+        .join(dup_fps, ["__h", "__len"], "leftsemi")
+    )
+    dup_groups = (
+        cand.groupBy("__h", "__len", "__norm")
+        .agg(F.min("__id").alias("rep_id"), F.count("*").cast("long").alias("n_dups"))
+        .select("rep_id", "n_dups")
+    )
+    singles = (
+        fp.join(dup_fps, ["__h", "__len"], "left_anti")
+        .select(F.col("__id").alias("rep_id"), F.lit(1).cast("long").alias("n_dups"))
+    )
+    return dup_groups.unionByName(singles)
+
+
+def exact_dedup_verified_sql(table: str, id_sql: str, text_sql: str) -> str:
+    """DuckDB twin: grouping by the normalized text directly IS the
+    verified semantics."""
+    return f"""
+SELECT CAST(min({id_sql}) AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM {table}
+GROUP BY {normalize_inline_whitespace_sql(text_sql)}
+"""

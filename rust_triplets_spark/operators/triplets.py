@@ -69,21 +69,25 @@ STRATEGY_REASON = {  # src/constants.rs:98-103
 @dataclass(frozen=True)
 class Selector:
     """Mirrors the reference's ``Selector`` enum (src/config.rs:200-215):
-    ``Role(Anchor|Context)`` / ``Paragraph(n)`` / ``Random``.
-    ``TemporalOffset(days)`` has its own dedicated assembly path
-    (:func:`assemble_temporal_triplets`, built on the as-of join)."""
+    ``Role(Anchor|Context)`` / ``Paragraph(n)`` / ``Random`` /
+    ``TemporalOffset(days)`` (the as-of neighbor's Context pick; the
+    one-section corpus shortcut remains as
+    :func:`assemble_temporal_triplets`)."""
 
-    kind: str  # 'role' | 'paragraph' | 'random'
+    kind: str  # 'role' | 'paragraph' | 'random' | 'temporal'
     role: str | None = None  # for kind='role': 'anchor' | 'context'
     index: int | None = None  # for kind='paragraph'
+    days: int | None = None  # for kind='temporal'
 
     def __post_init__(self):
-        if self.kind not in ("role", "paragraph", "random"):
+        if self.kind not in ("role", "paragraph", "random", "temporal"):
             raise ValueError(f"unknown selector kind {self.kind!r}")
         if self.kind == "role" and self.role not in ("anchor", "context"):
             raise ValueError("Role selector requires role='anchor'|'context'")
         if self.kind == "paragraph" and (self.index is None or self.index < 0):
             raise ValueError("Paragraph selector requires index >= 0")
+        if self.kind == "temporal" and self.days is None:
+            raise ValueError("TemporalOffset selector requires days")
 
 
 def Role(role: str) -> Selector:  # noqa: N802 — mirrors the enum variant
@@ -92,6 +96,10 @@ def Role(role: str) -> Selector:  # noqa: N802 — mirrors the enum variant
 
 def Paragraph(index: int) -> Selector:  # noqa: N802
     return Selector("paragraph", index=index)
+
+
+def TemporalOffset(days: int) -> Selector:  # noqa: N802
+    return Selector("temporal", days=days)
 
 
 RANDOM = Selector("random")
@@ -730,6 +738,42 @@ def _select_section(
     its window index (0 for whole-section chunks), which feeds the weight
     model."""
     salt = SEL_SIDE_SALT[side]
+    if selector.kind == "temporal":
+        # select_temporal_neighbor (src/sampler/mod.rs:950-976) then the
+        # neighbor's Context pick (:1705-1706): as-of join over the
+        # per-record frame (same split enforced), Context selection runs
+        # on the NEIGHBOR's sections, the result stays keyed by the
+        # requesting record
+        if "__ts" not in base.columns:
+            raise ValueError(
+                "TemporalOffset selector requires a ts column in sections "
+                "(pass ts_col to assemble_selector_triplets)"
+            )
+        recs = base.groupBy("record_id").agg(
+            F.min("source").alias("source"), F.min("split").alias("split"),
+            F.min("trust").alias("trust"), F.min("__idf").alias("__idf"),
+            F.min("__ts").alias("__ts"),
+        )
+        from rust_triplets_spark.operators.asof import asof_nearest
+
+        nb = asof_nearest(
+            recs, "record_id", "__ts", "source", split_col="split",
+            offset_days=selector.days, ts_is_epoch=True,
+        ).select(F.col("id").alias("record_id"), "neighbor_id")
+        inner = _select_section(base, Role("context"), side, seed, chunking, variant)
+        return (
+            nb.join(recs.select("record_id", "source", "split", "trust", "__idf"),
+                    "record_id")
+            .join(
+                inner.select(
+                    F.col("record_id").alias("neighbor_id"),
+                    "section_idx", "sel_key", "sel_text", "sel_win",
+                ),
+                "neighbor_id",
+            )
+            .select("record_id", "section_idx", "source", "split", "trust",
+                    "__idf", "sel_key", "sel_text", "sel_win")
+        )
     if selector.kind == "role":
         key = mix31_col(
             [F.col("__idf"), F.col("section_idx"), F.lit(salt)], seed + SEL_ROLE_OFF
@@ -792,6 +836,26 @@ def _select_section_sql(
     """DuckDB twin of :func:`_select_section` over the ``sec`` CTE."""
     salt = SEL_SIDE_SALT[side]
     key_cols = "record_id, section_idx, source, split, trust, idf"
+    if selector.kind == "temporal":
+        from rust_triplets_spark.operators.asof import asof_nearest_sql
+
+        recs = (
+            "(SELECT record_id, min(source) AS source, min(split) AS split, "
+            "min(trust) AS trust, min(idf) AS idf, min(ts) AS ts "
+            "FROM sec GROUP BY record_id)"
+        )
+        asof = asof_nearest_sql(
+            recs, "record_id", "ts", "source", split_sql="split",
+            offset_days=selector.days, ts_is_epoch=True,
+        )
+        inner = _select_section_sql(Role("context"), side, seed, chunking, variant)
+        return (
+            f"SELECT nb.id AS record_id, x.section_idx, r.source, r.split, "
+            f"r.trust, r.idf, x.sel_key, x.sel_text, x.sel_win "
+            f"FROM ({asof}) nb "
+            f"JOIN {recs} r ON r.record_id = nb.id "
+            f"JOIN ({inner}) x ON x.record_id = nb.neighbor_id"
+        )
     if selector.kind == "role":
         order = mix31_sql(["idf", "section_idx", str(salt)], seed + SEL_ROLE_OFF)
         picked = (
@@ -839,6 +903,7 @@ def assemble_selector_triplets(
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
     floor: float = 0.1,
     chunking: "ChunkingStrategy | None" = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Triplet assembly driven by the recipe's PER-SIDE selectors over a
     multi-section corpus (the reference's primary configuration surface:
@@ -874,6 +939,8 @@ def assemble_selector_triplets(
         _trust_col(idf).cast("double").alias("trust"),
         split_label_col("record_id", seed, ratios).alias("split"),
         idf.alias("__idf"),
+        # ts (epoch seconds) feeds only TemporalOffset selectors
+        *([F.col(ts_col).cast("long").alias("__ts")] if ts_col else []),
     )
     # n_sections (a per-record window pass = one extra shuffle over the
     # whole sections frame) feeds ONLY the Random selector's modulus —
@@ -974,9 +1041,12 @@ def assemble_selector_triplets_sql(
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
     floor: float = 0.1,
     chunking: "ChunkingStrategy | None" = None,
+    has_ts: bool = False,
 ) -> str:
     """DuckDB twin of :func:`assemble_selector_triplets`. ``sections_sql``
-    must yield (record_id BIGINT, section_idx BIGINT, role, text, source)."""
+    must yield (record_id BIGINT, section_idx BIGINT, role, text, source)
+    — plus ``ts`` (BIGINT epoch seconds) when ``has_ts`` (TemporalOffset
+    selectors)."""
     anchor_sel = recipe.anchor or RANDOM
     positive_sel = recipe.positive_selector or RANDOM
     negative_sel = recipe.negative_selector or RANDOM
@@ -1010,7 +1080,7 @@ sec AS MATERIALIZED (
   SELECT record_id, section_idx, role, text, source,
          {trust_expr} AS trust, {split_expr} AS split,
          CAST(record_id AS BIGINT) AS idf,
-         count(*) OVER (PARTITION BY record_id) AS n_sections
+         count(*) OVER (PARTITION BY record_id) AS n_sections{', CAST(ts AS BIGINT) AS ts' if has_ts else ''}
   FROM sections0
 ),
 a_sel AS MATERIALIZED (

@@ -44,6 +44,7 @@ from rust_triplets_spark.operators.splits import split_label_col, split_label_sq
 from rust_triplets_spark.operators.triplets import (
     RANDOM,
     Role,
+    TemporalOffset,
     TripletRecipe,
     _trust_col,
     _trust_sql,
@@ -613,6 +614,7 @@ def temporal_offset_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from rust_triplets_spark.operators.dedup import (  # noqa: E402
     exact_dedup, exact_dedup_sql,
+    exact_dedup_verified, exact_dedup_verified_sql,
     minhash_lsh_pairs, minhash_lsh_pairs_sql,
     neardup_clusters_sql,
     ngram_jaccard_pairs, ngram_jaccard_pairs_sql,
@@ -2043,6 +2045,85 @@ def recipe_auto_injection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TemporalOffset selector INSIDE selector assembly (Selector enum complete:
+# src/config.rs:200-215 — positive = as-of neighbor's Context section)
+# ---------------------------------------------------------------------------
+
+_TEMP_SEL_RECIPE = TripletRecipe(
+    name="role_temporal_wrong_article",
+    negative_strategy="wrong_article",
+    weight=1.0,
+    anchor=Role("anchor"),
+    positive_selector=TemporalOffset(30),
+    negative_selector=RANDOM,
+)
+
+_TS_SYNTH_SQL = f"(1700000000 + ({hash31_sql('CAST(doc_id AS BIGINT)', 77)} % {365 * 86400}))"
+
+_TEMP_SEL_SECTIONS_SQL = f"""
+WITH t_aug AS (SELECT doc_id, source, {_SENT_AUG_SQL} AS t FROM documents),
+t_sents AS (SELECT doc_id, source, {TX.sentences_native_sql('t')} AS l FROM t_aug)
+SELECT CAST(doc_id AS BIGINT) AS record_id,
+       CAST(u.i - 1 AS BIGINT) AS section_idx,
+       CASE WHEN u.i = 1 THEN 'anchor' ELSE 'context' END AS role,
+       l[u.i] AS text, source,
+       CAST({_TS_SYNTH_SQL} AS BIGINT) AS ts
+FROM t_sents, UNNEST(range(1, len(l) + 1)) AS u(i)
+"""
+
+
+@_register(
+    "temporal_selector_triplets",
+    f"""
+SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
+       negative_key, negative_text, weight, swapped, tier, instruction, split
+FROM ({assemble_selector_triplets_sql(_TEMP_SEL_SECTIONS_SQL, _TEMP_SEL_RECIPE,
+                                      seed=SEED, has_ts=True)})
+""",
+)
+def temporal_selector_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive side = TemporalOffset(30): the nearest same-(source, split)
+    record to created_at + 30 days supplies a Context section — the
+    Selector enum's fourth variant running inside the unified selector
+    assembly (timestamps synthesized deterministically from doc_id so both
+    engines derive identical instants)."""
+    secs = _selector_sections(spark, sf_dir).withColumn(
+        "ts",
+        (F.lit(1700000000)
+         + F.pmod(hash31_col(F.col("record_id"), 77), F.lit(365 * 86400))).cast("long"),
+    )
+    out = assemble_selector_triplets(
+        secs, _TEMP_SEL_RECIPE, seed=SEED, ts_col="ts"
+    )
+    return out.select(
+        "recipe",
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "negative_key", "negative_text", "weight", "swapped", "tier",
+        "instruction", "split",
+    )
+
+
+# ---------------------------------------------------------------------------
+# collision-verified exact dedup (the string shuffles only for rows whose
+# (hash31, length) fingerprint collides)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dedup_verified",
+    exact_dedup_verified_sql("documents", "doc_id", "text"),
+)
+def exact_dedup_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-pass dedup + exact text verification restricted to
+    colliding fingerprints; the oracle groups by the full normalized text
+    directly — the two must agree row-for-row."""
+    return exact_dedup_verified(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # SimCSE text-mode lane: same text feeds Anchor + Context sections, the
 # recipe allows identical anchor/positive (dropout-trick mode,
 # csv_source.rs:92-114 text mode; config.rs allow_same_anchor_positive)
@@ -2223,6 +2304,8 @@ _CHECK_FIRST = [
     "neardup_clusters",
     "simcse_triplets",
     "selector_chunk_triplets",
+    "exact_dedup_verified",
+    "temporal_selector_triplets",
     # registered earlier but never driver-checked (r3 verdict)
     "ann_bucketed_topk",
     "ann_ivf_topk",

@@ -318,3 +318,40 @@ def test_selector_chunk_pool_rotates_with_variant(spark):
     k0 = {r["anchor_id"]: r["anchor_key"] for r in v0}
     k1 = {r["anchor_id"]: r["anchor_key"] for r in v1}
     assert any(k0[i] != k1.get(i) for i in k0)
+
+
+def test_temporal_selector_neighbor_is_other_record_same_split(spark, sectioned_corpus):
+    """TemporalOffset positive: comes from a DIFFERENT record of the same
+    (source, split), and from a Context section of that neighbor."""
+    from rust_triplets_spark.operators.triplets import (
+        RANDOM, Role, TemporalOffset, assemble_selector_triplets,
+    )
+    from rust_triplets_spark.operators.splits import split_label_col
+
+    secs = sectioned_corpus.withColumn(
+        "ts", (F.col("record_id") * 86400 + 1700000000).cast("long")
+    )
+    recipe = TripletRecipe(
+        name="r", anchor=Role("anchor"),
+        positive_selector=TemporalOffset(3), negative_selector=RANDOM,
+    )
+    out = assemble_selector_triplets(secs, recipe, seed=42, ts_col="ts")
+    rows = out.collect()
+    assert rows
+    # the 50% swap may exchange the two keys — the temporal side is the
+    # POSITIVE slot pre-swap, i.e. anchor_key when swapped == 1
+    for r in rows:
+        nkey = r["anchor_key"] if r["swapped"] == 1 else r["positive_key"]
+        neigh = int(nkey.split("|")[0])
+        assert neigh != r["anchor_id"]
+        # the neighbor's picked section is a context section (idx >= 1 in
+        # this corpus: section 0 is the anchor role)
+        assert int(nkey.split("|")[1]) >= 1
+    # split isolation of the temporal neighbor
+    nkey_col = F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(
+        F.col("positive_key")
+    )
+    neigh_split = out.withColumn(
+        "n_id", F.split(nkey_col, "\\|")[0].cast("long")
+    ).withColumn("n_split", split_label_col("n_id", 42))
+    assert neigh_split.where(F.col("n_split") != F.col("split")).count() == 0

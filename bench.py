@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "recipe_auto_injection",
     "ann_ivf_topk",
     "embedding_neardup_pairs",
+    "simcse_triplets",
+    "temporal_selector_triplets",
+    "selector_chunk_triplets",
+    "exact_dedup_verified",
+    "epoch_batch_plan",
 ]
 
 

@@ -4,7 +4,10 @@ src/sampler/mod.rs:2444-2626) re-expressed as one Catalyst-planned job:
 
 records → windows (chunker) → split column → distinct anchor/positive chunk
 pair per record → strategy negative (indexed-pool pick) → 50% deterministic
-anchor/positive swap → weight model → degenerate rejection → dedup.
+anchor/positive swap → weight model → degenerate rejection. The reference's
+(a,p,n) record-id dedup is structural here: every stage is 1:1 per record,
+so each anchor id appears exactly once (no dropDuplicates needed — and the
+SQL twins stay literally equivalent).
 
 Key mappings:
 

@@ -2045,6 +2045,50 @@ def recipe_auto_injection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# resumable epoch batching (§2.8): epoch order → contiguous batch windows,
+# resuming mid-epoch from a persisted step — per-batch stats oracle
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "epoch_batch_plan",
+    f"""
+WITH eo AS MATERIALIZED (
+  {epoch_order_sql('documents', 'doc_id', 'source', epoch=2, seed=SEED, id_is_string=False)}
+)
+SELECT CAST(position // 64 AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(position) AS BIGINT) AS min_position,
+       CAST(max(position) AS BIGINT) AS max_position,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM eo
+WHERE position // 64 >= 3
+GROUP BY 1
+""",
+)
+def epoch_batch_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.8 resume contract as a checkable query: epoch-2 order,
+    batch windows of 64, resumed from step 3 (batches 0-2 already
+    consumed) — exactly what batch_iterator feeds the training loop after
+    a checkpoint reload. The interleave guarantees multi-source batches,
+    so n_sources doubles as an oversampling check."""
+    from rust_triplets_spark.plans.batches import Checkpoint, epoch_batches
+
+    ck = Checkpoint(seed=SEED, epoch=2, step=3)
+    docs = _t(spark, sf_dir, "documents", heavy=False)
+    batched = epoch_batches(
+        docs, "doc_id", "source", ck.epoch, ck.seed, batch_size=64,
+        start_step=ck.step, id_is_string=False,
+    )
+    return batched.groupBy(F.col("batch_idx").cast("long").alias("batch_idx")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("position").cast("long").alias("min_position"),
+        F.max("position").cast("long").alias("max_position"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TemporalOffset selector INSIDE selector assembly (Selector enum complete:
 # src/config.rs:200-215 — positive = as-of neighbor's Context section)
 # ---------------------------------------------------------------------------
@@ -2306,6 +2350,7 @@ _CHECK_FIRST = [
     "selector_chunk_triplets",
     "exact_dedup_verified",
     "temporal_selector_triplets",
+    "epoch_batch_plan",
     # registered earlier but never driver-checked (r3 verdict)
     "ann_bucketed_topk",
     "ann_ivf_topk",

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "selector_chunk_triplets",
     "exact_dedup_verified",
     "epoch_batch_plan",
+    "sequence_packing",
+    "pack_bin_stats",
+    "decontamination",
 ]
 
 

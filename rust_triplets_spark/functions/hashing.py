@@ -107,6 +107,37 @@ def mix31_py(xs: list[int], seed: int = 42) -> int:
     return h
 
 
+def polymix31_col(xs: list, seed: int = 42) -> Column:
+    """Linear-size alternative to :func:`mix31_col` for MANY parts.
+
+    ``mix31`` re-hashes after every fold; hash31's xor-shift references its
+    argument twice, so the expression tree DOUBLES per part — fine for the
+    2-4-part shuffle keys it serves, a 2^n blow-up that stalls Catalyst
+    analysis for wide shingles (measured: n=13 never finished planning).
+    This variant folds a plain 31-ary polynomial (each part referenced
+    once, every intermediate < 2^63) and hashes ONCE at the end: tree size
+    O(n), still order-sensitive and avalanched by the final hash31. NOT
+    value-compatible with mix31 — callers pick one per key domain."""
+    acc = F.pmod(_as_long(xs[0]), F.lit(M31))
+    for x in xs[1:]:
+        acc = F.pmod(acc * F.lit(31) + F.pmod(_as_long(x), F.lit(M31)), F.lit(M31))
+    return hash31_col(acc, seed)
+
+
+def polymix31_sql(xs_sql: list[str], seed: int = 42) -> str:
+    acc = f"(((CAST({xs_sql[0]} AS BIGINT) % {M31}) + {M31}) % {M31})"
+    for x in xs_sql[1:]:
+        acc = f"(({acc} * 31 + ((CAST({x} AS BIGINT) % {M31}) + {M31}) % {M31}) % {M31})"
+    return hash31_sql(acc, seed)
+
+
+def polymix31_py(xs: list[int], seed: int = 42) -> int:
+    acc = ((xs[0] % M31) + M31) % M31
+    for x in xs[1:]:
+        acc = (acc * 31 + ((x % M31) + M31) % M31) % M31
+    return hash31_py(acc, seed)
+
+
 def mix31_step_col(h, x, seed: int = 42, i: int = 1) -> Column:
     """One fold step continuing from an ALREADY-HASHED prefix ``h``:
     ``mix31_step(hash31(a, seed), b, seed, 1) == mix31([a, b], seed)``.

@@ -146,6 +146,68 @@ def bucketed_position_numeric(
     return _rank_and_offset(with_b, key_col, tiebreak, parts, out_col, count_col)
 
 
+def bucketed_rank_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+    part_cols: Sequence[str] = (),
+    key_space: int = M31,
+    n_buckets: int = DEFAULT_BUCKETS,
+    pos_col: str = "position",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """0-based dense rank AND exclusive running sum of ``value_col`` over
+    the ``(key, *tiebreak)`` order within ``part_cols`` — the scalable twin
+    of the window pair::
+
+        row_number() OVER (PARTITION BY part ORDER BY key, tb) - 1
+        COALESCE(SUM(value) OVER (PARTITION BY part ORDER BY key, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+
+    executed with (partitions × n_buckets)-way parallelism: in-bucket rank
+    and in-bucket exclusive cumsum come from ONE window pass per bucket;
+    per-bucket row counts and value sums are aggregated from the ranked
+    frame (ReuseExchange — see module doc), prefix-summed on the tiny
+    (partitions × n_buckets) frame, and broadcast back as start offsets.
+    Both outputs ride the same exchange, aggregate, and join — rank+cumsum
+    together cost no more than either alone. ``key_col`` must be a
+    non-negative integer column < ``key_space``; ``value_col`` must be
+    integral (exact BIGINT arithmetic, same contract as the oracle)."""
+    bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
+    parts = list(part_cols)
+    with_b = df.withColumn("__bkt", (F.col(key_col) / F.lit(bsize)).cast("long"))
+    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
+        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    val = F.col(value_col).cast("long")
+    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1).withColumn(
+        "__ps",
+        F.coalesce(
+            F.sum(val).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    stats = ranked.groupBy(*parts, "__bkt").agg(
+        F.count("*").alias("__c"), F.sum(val).alias("__v")
+    )
+    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = stats.select(
+        *parts,
+        "__bkt",
+        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__cstart"),
+        F.coalesce(F.sum("__v").over(w_cum), F.lit(0)).alias("__vstart"),
+    )
+    return (
+        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
+        .withColumn(pos_col, (F.col("__cstart") + F.col("__r")).cast("long"))
+        .withColumn(prefix_col, (F.col("__vstart") + F.col("__ps")).cast("long"))
+        .drop("__bkt", "__r", "__ps", "__cstart", "__vstart")
+    )
+
+
 def group_count(
     df: DataFrame, part_cols: Sequence[str], out_col: str = "__cnt"
 ) -> DataFrame:

@@ -1,0 +1,171 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus
+and a held-out evaluation set.
+
+The standard pretraining hygiene step (GPT-3 / The Pile style): any
+training document sharing at least one 13-gram with a benchmark document
+is flagged as contaminated and dropped or audited. This engine expresses
+it as a fingerprint equi-join, structurally mirroring the MinHash shingle
+machinery (:mod:`rust_triplets_spark.operators.dedup`) but with a
+linear-size ``polymix31`` combiner (13-wide ``mix31`` trees are
+exponential — see :func:`ngram_fingerprints_col`): each side explodes to
+DISTINCT int64 13-gram fingerprints (tokens hashed once, shingles mixed
+row-locally — fixed-width join keys, never strings), the benchmark side is
+broadcast (real benchmark sets are MBs against a 100 TB corpus), and the
+per-document overlap aggregate only sees the sparse matched rows.
+
+Scale shape: one broadcast hash join on an int64 key + one partial-agg
+groupBy over matched rows only + one broadcast join back onto the corpus
+ids. The corpus never shuffles its text; the only wide exchange carries
+``(id, 2 longs)`` for documents that matched at all. A fingerprint
+collision maps both engines to the same collision, so the DuckDB twin
+hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    hash31_col,
+    hash31_sql,
+    hash31_str_col,
+    hash31_str_sql,
+    polymix31_col,
+    polymix31_sql,
+)
+from rust_triplets_spark.functions.text import tokens_col, tokens_sql
+
+NGRAM_N = 13  # the GPT-3/Pile convention
+DECONTAM_SEED = 1301
+
+
+def ngram_fingerprints_col(text_col, n: int, seed: int = DECONTAM_SEED) -> Column:
+    """DISTINCT int64 n-gram fingerprints as one row-local array
+    expression — the wide-``n`` sibling of
+    :func:`~rust_triplets_spark.operators.dedup.shingle_fingerprints_col`.
+    Same single-binding structure (token hashes bound once via the
+    1-element-array trick), but the n token hashes combine through
+    ``polymix31`` — dedup's ``mix31`` doubles its expression tree per part
+    (fine at its n=3, unplannable at n=13)."""
+    th_expr = F.transform(tokens_col(F.col(text_col) if isinstance(text_col, str) else text_col),
+                          lambda t: hash31_str_col(t, seed))
+
+    def shingles(th):
+        k = F.size(th) - (n - 1)
+        gen = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: polymix31_col([F.element_at(th, i + j) for j in range(n)], seed),
+        )
+        return F.when(k > 0, F.array_distinct(gen)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return F.flatten(F.transform(F.array(th_expr), shingles))
+
+
+def _with_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, seed: int = DECONTAM_SEED
+) -> DataFrame:
+    """(id, shingle) exploded form of :func:`ngram_fingerprints_col`."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(ngram_fingerprints_col(text_col, n, seed)).alias("shingle"),
+    )
+
+
+def _ngrams_sql(text_sql: str, n: int, seed: int = DECONTAM_SEED) -> str:
+    toks = tokens_sql(text_sql)
+    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
+    mix = polymix31_sql([f"(__th)[i + {j}]" for j in range(n)], seed)
+    return (
+        f"flatten(list_transform([{th}], __th -> "
+        f"list_distinct(CASE WHEN len(__th) - {n - 1} > 0 THEN "
+        f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix}) "
+        f"ELSE [] END)))"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evaldf: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = NGRAM_N,
+    seed: int = DECONTAM_SEED,
+) -> DataFrame:
+    """Per-training-document contamination report against ``evaldf``.
+
+    Returns one row per training document: ``(id, n_matched_ngrams,
+    n_eval_docs, contaminated)`` — how many distinct n-gram fingerprints
+    it shares with the eval set, how many distinct eval documents those
+    hits touch, and the ≥1-shared-n-gram flag. Documents shorter than
+    ``n`` tokens have no shingles and are trivially clean.
+    """
+    ev = (
+        _with_ngrams(evaldf, id_col, text_col, n, seed)
+        .withColumnRenamed("id", "eval_id")
+    )
+    tr = _with_ngrams(train, id_col, text_col, n, seed)
+    matched = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").alias("n_matched_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+    ids = train.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(F.broadcast(matched), "id", "left").select(
+        "id",
+        F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
+        F.coalesce("n_eval_docs", F.lit(0)).cast("long").alias("n_eval_docs"),
+        (F.coalesce("n_matched_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontaminate_sql(
+    train_sql: str,
+    eval_sql: str,
+    id_sql: str,
+    text_sql: str,
+    n: int = NGRAM_N,
+    seed: int = DECONTAM_SEED,
+) -> str:
+    """DuckDB twin of :func:`decontaminate`. ``train_sql`` / ``eval_sql``
+    are full SELECT statements producing the two corpora."""
+    sh = _ngrams_sql(text_sql, n, seed)
+    return f"""
+WITH tr AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
+  FROM ({train_sql}) t, UNNEST({sh}) AS s(shingle)
+), ev AS (
+  SELECT CAST({id_sql} AS BIGINT) AS eval_id, s.shingle
+  FROM ({eval_sql}) e, UNNEST({sh}) AS s(shingle)
+), matched AS (
+  SELECT tr.id,
+         count(DISTINCT tr.shingle) AS n_matched_ngrams,
+         count(DISTINCT ev.eval_id) AS n_eval_docs
+  FROM tr JOIN ev USING (shingle)
+  GROUP BY tr.id
+)
+SELECT CAST({id_sql} AS BIGINT) AS id,
+       CAST(COALESCE(m.n_matched_ngrams, 0) AS BIGINT) AS n_matched_ngrams,
+       CAST(COALESCE(m.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+       COALESCE(m.n_matched_ngrams, 0) > 0 AS contaminated
+FROM ({train_sql}) t LEFT JOIN matched m ON CAST({id_sql} AS BIGINT) = m.id
+"""
+
+
+def eval_holdout_pred_col(id_col: str, mod: int = 50, pick: int = 0,
+                          seed: int = NGRAM_N) -> Column:
+    """Deterministic pseudo-benchmark membership: ``hash31(id) % mod ==
+    pick``. Stands in for a real benchmark table in self-contained tests
+    and the driver query; production callers pass an actual eval corpus."""
+    return F.pmod(hash31_col(F.col(id_col).cast("long"), seed), F.lit(mod)) == F.lit(pick)
+
+
+def eval_holdout_pred_sql(id_sql: str, mod: int = 50, pick: int = 0,
+                          seed: int = NGRAM_N) -> str:
+    """DuckDB twin of :func:`eval_holdout_pred_col`."""
+    return f"({hash31_sql(f'CAST({id_sql} AS BIGINT)', seed)} % {mod}) = {pick}"

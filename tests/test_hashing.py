@@ -71,6 +71,38 @@ def test_mix31_three_way(spark, duck):
     assert got_duck == py
 
 
+def test_polymix31_three_way(spark, duck):
+    from rust_triplets_spark.functions.hashing import (
+        polymix31_col,
+        polymix31_py,
+        polymix31_sql,
+    )
+
+    rows = [(1, 2, 3), (42, 0, 7), (2**40, 5, 1)]
+    py = [polymix31_py(list(r), 42) for r in rows]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got_spark = [
+        r[0]
+        for r in df.select(
+            polymix31_col([F.col("a"), F.col("b"), F.col("c")], 42)
+        ).collect()
+    ]
+    got_duck = [
+        duck.execute(f"SELECT {polymix31_sql([str(a), str(b), str(c)], 42)}").fetchone()[0]
+        for a, b, c in rows
+    ]
+    assert got_spark == py
+    assert got_duck == py
+    # the reason it exists: a 13-part key stays linear-size (mix31 would
+    # build a ~2^13-node tree and stall Catalyst analysis)
+    wide = list(range(13))
+    assert len(polymix31_sql([str(v) for v in wide], 7)) < 5000
+    assert (
+        duck.execute(f"SELECT {polymix31_sql([str(v) for v in wide], 7)}").fetchone()[0]
+        == polymix31_py(wide, 7)
+    )
+
+
 def test_hash31_str_parity(duck):
     for s in STRS:
         got = duck.execute(

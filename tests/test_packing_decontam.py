@@ -1,0 +1,152 @@
+"""Invariants for sequence packing and benchmark decontamination — the
+training-batch construction and hygiene steps of the pipeline."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+BUDGET = 16
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        Row(doc_id=i, source=f"s{i % 2}",
+            text=" ".join(f"w{(i * 7 + j) % 11}" for j in range(3 + i % 9)))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _packed(toy_docs):
+    from rust_triplets_spark.operators.packing import pack_sequences
+
+    return pack_sequences(toy_docs, "doc_id", "text", "source", BUDGET)
+
+
+def test_packing_offsets_are_contiguous(toy_docs):
+    """start offsets in seq order exactly tile the token stream: each
+    document starts where the previous one ends — the defining property
+    of concatenation packing."""
+    rows = _packed(toy_docs).orderBy("source", "seq_idx").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) == 2
+    for src, items in by_src.items():
+        expect = 0
+        for i, r in enumerate(items):
+            assert r.seq_idx == i, (src, i, r)
+            assert r.start_tok == expect, (src, i, r)
+            assert r.bin_id == r.start_tok // BUDGET
+            assert r.crosses == ((r.start_tok + r.n_tok - 1) // BUDGET > r.bin_id)
+            expect += r.n_tok
+
+
+def test_packing_is_deterministic_and_seeded(toy_docs):
+    a = {(r.id, r.start_tok) for r in _packed(toy_docs).collect()}
+    b = {(r.id, r.start_tok) for r in _packed(toy_docs).collect()}
+    assert a == b
+    from rust_triplets_spark.operators.packing import pack_sequences
+
+    other = {
+        (r.id, r.start_tok)
+        for r in pack_sequences(
+            toy_docs, "doc_id", "text", "source", BUDGET, seed=7
+        ).collect()
+    }
+    assert a != other  # a different seed is a different order
+
+
+def test_packing_drops_empty_docs(spark):
+    from rust_triplets_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="a b c"), Row(doc_id=2, source="s", text="   ")]
+    )
+    out = pack_sequences(df, "doc_id", "text", "source", BUDGET).collect()
+    assert [r.id for r in out] == [1]
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "text", "source", 0)
+
+
+def test_bin_stats_fill_exact(toy_docs):
+    """Every bin except each source's tail is exactly full, no bin is
+    missing (contiguous ids from 0), and fills total the stream length."""
+    from rust_triplets_spark.operators.packing import pack_bin_stats
+
+    packed = _packed(toy_docs)
+    stats = pack_bin_stats(packed, BUDGET).collect()
+    stream_len = {
+        r.source: r.total
+        for r in packed.groupBy("source")
+        .agg(F.max(F.col("start_tok") + F.col("n_tok")).alias("total"))
+        .collect()
+    }
+    for src in stream_len:
+        bins = sorted((r for r in stats if r.source == src), key=lambda r: r.bin_id)
+        assert [r.bin_id for r in bins] == list(range(len(bins)))
+        assert sum(r.fill_tokens for r in bins) == stream_len[src]
+        for r in bins[:-1]:
+            assert r.fill_tokens == BUDGET
+        assert 0 < bins[-1].fill_tokens <= BUDGET
+        for r in bins:
+            assert r.n_docs_overlap >= r.n_docs_start
+            assert r.n_docs_overlap >= 1
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A train doc sharing a 13-gram with an eval doc is flagged; disjoint
+    docs are clean; short docs (< n tokens) are trivially clean."""
+    from rust_triplets_spark.operators.decontam import decontaminate
+
+    shared = " ".join(f"tok{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"lead in {shared} trailing words here"),
+            Row(doc_id=2, text=" ".join(f"other{i}" for i in range(20))),
+            Row(doc_id=3, text="too short"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text=f"benchmark prompt {shared} benchmark answer")]
+    )
+    out = {r.id: r for r in decontaminate(train, ev, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_matched_ngrams >= 1
+    assert out[1].n_eval_docs == 1
+    assert not out[2].contaminated and out[2].n_matched_ngrams == 0
+    assert not out[3].contaminated
+
+
+def test_decontamination_counts_distinct_eval_docs(spark):
+    from rust_triplets_spark.operators.decontam import decontaminate
+
+    shared = " ".join(f"tok{i}" for i in range(13))
+    train = spark.createDataFrame([Row(doc_id=1, text=f"{shared} tail")])
+    ev = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=f"{shared} v1"),
+            Row(doc_id=101, text=f"{shared} v2"),
+        ]
+    )
+    out = decontaminate(train, ev, "doc_id", "text").collect()[0]
+    assert out.n_eval_docs == 2
+
+
+def test_decontam_plan_broadcasts_eval_side(spark, toy_docs):
+    """The eval shingle frame must reach the join as a broadcast — the
+    corpus side never shuffles for the match."""
+    from rust_triplets_spark.operators.decontam import decontaminate
+
+    out = decontaminate(
+        toy_docs.where("doc_id % 10 <> 0"),
+        toy_docs.where("doc_id % 10 = 0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,206 @@
+"""IngestionManager — registry of sources unified into one canonical
+records frame (SURVEY §2.1; reference ``src/ingestion.rs:189-681``).
+
+The reference manages per-source buffers, a bounded LRU record cache, and
+thread-per-source refresh. On Spark the cache tier disappears — a source
+IS a lazy DataFrame and the cluster is the buffer — so the manager keeps
+exactly the responsibilities that still exist at 100 TB:
+
+- a **registry** of heterogeneous sources (csv / file-tree / in-memory /
+  HF parquet / raw parquet) resolved to canonical ``RECORD_SCHEMA``
+  frames, with ``record.source`` normalized to the registered id
+  (``src/ingestion.rs:643-655``);
+- **refresh** (all / subset / force) that materializes each source under
+  per-source telemetry (``SourceRefreshStats``, ``src/ingestion.rs:
+  204-217``) and bumps the refresh generation — Spark schedules the
+  per-source jobs in parallel natively (the ``thread::scope`` analog,
+  ``:462-506``);
+- **weight validation** with the reference's exact error semantics
+  (``src/ingestion.rs:407-425``): unknown source or negative weight →
+  ``InvalidWeightError``; unlisted sources default to 1.0; all-zero →
+  uniform fallback;
+- a **grouped refresh page** (``src/source/indexing/grouping.rs:27-140``):
+  a bounded page of records capped at ``ceil(limit / n_sources)`` per
+  source so no dominant source floods the page.
+
+Downstream stages (split/chunk/sample) consume ``records()`` /
+``sections()`` like any other frame; the BM25 incremental index consumes
+``last_refreshed_sources`` to rebuild only refreshed postings
+(operators/bm25.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import hash31_str_col
+from rust_triplets_spark.plans.telemetry import RefreshTelemetry
+from rust_triplets_spark.schema import explode_sections
+
+
+class InvalidWeightError(ValueError):
+    """Mirror of the reference's ``SamplerError::InvalidWeight``
+    (``src/ingestion.rs:407-425``)."""
+
+
+@dataclass
+class SourceSpec:
+    """One registered source: ``kind`` picks the reader, ``config`` is its
+    reader-specific config object (CsvSourceConfig / FileSourceConfig /
+    HfSourceConfig / a records list / a parquet path)."""
+
+    source_id: str
+    kind: str  # 'csv' | 'file' | 'memory' | 'hf' | 'parquet'
+    config: Any
+    weight: float = 1.0
+
+
+def _read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    if spec.kind == "csv":
+        from rust_triplets_spark.sources.csv_source import read_csv_records
+
+        return read_csv_records(spark, spec.config)
+    if spec.kind == "file":
+        from rust_triplets_spark.sources.file_source import read_file_records
+
+        return read_file_records(spark, spec.config)
+    if spec.kind == "memory":
+        from rust_triplets_spark.sources.in_memory import in_memory_records
+
+        return in_memory_records(spark, spec.source_id, spec.config)
+    if spec.kind == "hf":
+        from rust_triplets_spark.sources.hf_source import read_hf_records
+
+        return read_hf_records(spark, spec.config)
+    if spec.kind == "parquet":
+        return spark.read.parquet(spec.config)
+    raise ValueError(f"unknown source kind {spec.kind!r}")
+
+
+@dataclass
+class IngestionManager:
+    """Registry + refresh + unified view over heterogeneous sources."""
+
+    spark: SparkSession
+    telemetry: RefreshTelemetry = field(default_factory=RefreshTelemetry)
+    _specs: dict[str, SourceSpec] = field(default_factory=dict)
+    _frames: dict[str, DataFrame] = field(default_factory=dict)
+
+    # -- registry ----------------------------------------------------------
+
+    def register(self, spec: SourceSpec) -> "IngestionManager":
+        if spec.source_id in self._specs:
+            raise ValueError(f"source {spec.source_id!r} already registered")
+        self._specs[spec.source_id] = spec
+        return self
+
+    @property
+    def source_ids(self) -> list[str]:
+        return list(self._specs)
+
+    # -- resolution --------------------------------------------------------
+
+    def _frame(self, source_id: str) -> DataFrame:
+        if source_id not in self._frames:
+            spec = self._specs[source_id]
+            df = _read_source(self.spark, spec)
+            # record.source normalization (src/ingestion.rs:643-655): the
+            # registered id wins over whatever the reader emitted
+            self._frames[source_id] = df.withColumn("source", F.lit(source_id))
+        return self._frames[source_id]
+
+    def records(self, source_ids: list[str] | None = None) -> DataFrame:
+        """Union of the canonical records frames of ``source_ids`` (all
+        registered sources when None), ``source``-normalized."""
+        ids = self.source_ids if source_ids is None else list(source_ids)
+        unknown = [s for s in ids if s not in self._specs]
+        if unknown:
+            raise KeyError(f"unregistered sources: {unknown}")
+        if not ids:
+            raise ValueError("no sources registered")
+        out = self._frame(ids[0])
+        for s in ids[1:]:
+            out = out.unionByName(self._frame(s))
+        return out
+
+    def sections(self, source_ids: list[str] | None = None) -> DataFrame:
+        return explode_sections(self.records(source_ids))
+
+    # -- refresh -----------------------------------------------------------
+
+    def refresh(
+        self,
+        source_ids: list[str] | None = None,
+        force: bool = False,
+        action: Callable[[DataFrame], int] | None = None,
+    ) -> dict[str, int]:
+        """Materialize each source under telemetry; returns per-source row
+        counts. ``force`` drops the resolved frame first (re-reads the
+        underlying storage — the reference's force_refresh); ``action``
+        overrides the materializing action (default ``df.count()``).
+        Bumps ``source_refresh_generation`` once if anything refreshed and
+        records ``last_refreshed_sources`` — the signal the incremental
+        BM25 index consumes."""
+        ids = self.source_ids if source_ids is None else list(source_ids)
+        unknown = [s for s in ids if s not in self._specs]
+        if unknown:
+            raise KeyError(f"unregistered sources: {unknown}")
+        act = action or (lambda df: df.count())
+        counts: dict[str, int] = {}
+        for s in ids:
+            if force:
+                self._frames.pop(s, None)
+            df = self._frame(s)
+            counts[s] = int(self.telemetry.record_refresh(s, lambda: act(df)))
+        if ids:
+            self.telemetry.source_refresh_generation += 1
+            self.telemetry.last_refreshed_sources = list(ids)
+        return counts
+
+    def refresh_all(self, force: bool = False) -> dict[str, int]:
+        return self.refresh(None, force=force)
+
+    # -- weights (src/ingestion.rs:407-425) --------------------------------
+
+    def resolve_weights(
+        self, weights: dict[str, float] | None
+    ) -> dict[str, float]:
+        """Validated effective per-source weights: unknown source or
+        negative weight → :class:`InvalidWeightError`; unlisted sources
+        default 1.0; all-zero → uniform fallback."""
+        ids = self.source_ids
+        weights = dict(weights or {})
+        unknown = [s for s in weights if s not in self._specs]
+        if unknown:
+            raise InvalidWeightError(f"unknown sources in weights: {unknown}")
+        negative = {s: w for s, w in weights.items() if w < 0}
+        if negative:
+            raise InvalidWeightError(f"negative weights: {negative}")
+        eff = {s: float(weights.get(s, self._specs[s].weight)) for s in ids}
+        if sum(eff.values()) == 0.0:
+            eff = {s: 1.0 for s in ids}  # all-zero → uniform
+        return eff
+
+    # -- grouped refresh page (grouping.rs:27-140) -------------------------
+
+    def refresh_page(self, limit: int = 100, seed: int = 42) -> DataFrame:
+        """A bounded page of records for one refresh cycle, capped at
+        ``ceil(limit / n_sources)`` per source (deterministic seeded-hash
+        order within each source) so no dominant source floods the page."""
+        n = len(self._specs)
+        if n == 0:
+            raise ValueError("no sources registered")
+        cap = -(-limit // n)  # ceil
+        recs = self.records()
+        w = Window.partitionBy("source").orderBy(
+            hash31_str_col("id", seed).asc(), F.col("id").asc()
+        )
+        return (
+            recs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn")
+        )

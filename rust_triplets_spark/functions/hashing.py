@@ -161,15 +161,20 @@ def mix31_step_sql(h_sql: str, x_sql: str, seed: int = 42, i: int = 1) -> str:
 def strfold_col(s) -> Column:
     """Fold a string to BIGINT: ``h = (h*31 + codepoint) % M31``, init 0.
 
-    O(len^2) via per-char substring — use on *short* strings (ids, tokens,
-    shingles). For long text, hash tokens and :func:`mix31_col` the results.
-    """
+    O(len): ``split(s, '')`` yields the code-point array in one pass (no
+    trailing empty element; code-point safe — astral chars stay single
+    elements) and the fold visits each element once. The previous
+    per-char-``substring`` formulation was O(len²) — fine for ids and
+    tokens, a measured 10×+ regression once full documents went through it
+    (exact-dedup fingerprints). Values are IDENTICAL to the old form:
+    same codepoint sequence, same arithmetic; empty and NULL both fold to
+    0 via the guard."""
     if isinstance(s, str):
         s = F.col(s)
     folded = F.aggregate(
-        F.transform(F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, F.lit(1)))),
+        F.split(s, ""),
         F.lit(0).cast("long"),
-        lambda acc, c: F.pmod(acc * F.lit(31) + c, F.lit(M31)),
+        lambda acc, ch: F.pmod(acc * F.lit(31) + F.ascii(ch), F.lit(M31)),
     )
     return F.when(F.length(s) > 0, folded).otherwise(F.lit(0).cast("long"))
 

@@ -807,6 +807,11 @@ def _select_section(
             F.col("text").alias("sel_text"),
             F.lit(0).cast("long").alias("sel_win"),
         )
+    # per-side chunking of the PICKED sections beats a shared cached pool
+    # here, measured both ways at sf0.1: the three side-subtrees of the
+    # one output action overlap across cores (9.4 s), while a shared
+    # lazily-cached pool is the same (9.9 s) and an eagerly-materialized
+    # one serializes the chunker behind a persist barrier (15.5 s)
     chunks = chunk_sections(
         picked, chunking, text_col="text",
         carry_cols=("record_id", "section_idx", "source", "split", "trust", "__idf"),

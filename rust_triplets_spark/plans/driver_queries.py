@@ -24,7 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.functions import dates as DT
-from rust_triplets_spark.functions.hashing import M31, hash31_col, hash31_sql, mix31_col, mix31_sql
+from pyspark.sql import Window
+from rust_triplets_spark.functions.hashing import (
+    M31,
+    hash31_col,
+    hash31_sql,
+    hash31_str_col,
+    hash31_str_sql,
+    mix31_col,
+    mix31_sql,
+)
 from rust_triplets_spark.functions import text as TX
 from rust_triplets_spark.operators.asof import asof_nearest, asof_nearest_sql
 from rust_triplets_spark.operators.chunking import ChunkingStrategy, chunk_sections, chunk_sql, chunk_weight_col
@@ -696,35 +705,41 @@ WITH scored AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          {TX.lang_id_sql('text')} AS pred_lang,
          {TX.quality_score_sql('text')} AS quality,
-         {TX.normalize_inline_whitespace_sql('text')} AS norm
+         {hash31_str_sql(TX.normalize_inline_whitespace_sql('text'))} AS fp,
+         length({TX.normalize_inline_whitespace_sql('text')}) AS fplen
   FROM documents
 ),
 kept AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.6),
-rep AS (
-  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
-  FROM kept GROUP BY norm
+ranked AS (
+  SELECT doc_id, pred_lang, quality,
+         CAST(count(*) OVER (PARTITION BY fp, fplen) AS BIGINT) AS n_dups,
+         row_number() OVER (PARTITION BY fp, fplen ORDER BY doc_id) AS rn
+  FROM kept
 )
-SELECT r.doc_id, r.n_dups, k.pred_lang, k.quality
-FROM rep r JOIN kept k ON k.doc_id = r.doc_id
+SELECT doc_id, n_dups, pred_lang, quality FROM ranked WHERE rn = 1
 """,
 )
 def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus cleaning pipeline a 100 TB user runs
     end-to-end: language-ID gate → quality gate → exact dedup (min-id
-    representative). One narrow scoring pass, one dedup shuffle, one
-    broadcast-able join back for the representative's attributes."""
+    representative). ONE scoring pass and ONE shuffle: the dedup key is
+    the fixed-width (hash31, length) fingerprint (never the document
+    text — same contract and collision caveat as ``exact_dedup``), and
+    the representative's attributes ride the same window exchange instead
+    of a join back through a second scoring pass."""
     scored = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         TX.lang_id_col("text").alias("pred_lang"),
         TX.quality_score_col("text").alias("quality"),
-        TX.normalize_inline_whitespace_col("text").alias("norm"),
+        hash31_str_col(TX.normalize_inline_whitespace_col("text")).alias("fp"),
+        F.length(TX.normalize_inline_whitespace_col("text")).cast("long").alias("fplen"),
     )
     kept = scored.where((F.col("pred_lang") == "en") & (F.col("quality") >= 0.6))
-    rep = kept.groupBy("norm").agg(
-        F.min("doc_id").cast("long").alias("doc_id"),
-        F.count("*").cast("long").alias("n_dups"),
+    w = Window.partitionBy("fp", "fplen")
+    ranked = kept.withColumn("n_dups", F.count("*").over(w).cast("long")).withColumn(
+        "rn", F.row_number().over(w.orderBy("doc_id"))
     )
-    return rep.join(kept.drop("norm"), "doc_id", "inner").select(
+    return ranked.where(F.col("rn") == 1).select(
         "doc_id", "n_dups", "pred_lang", "quality"
     )
 

@@ -1,0 +1,111 @@
+"""Bounded rolling record window — the streaming analog of the
+reference's per-source LRU ``RecordCache`` (``src/ingestion.rs:137-186``:
+at most ``ingestion_max_records`` records per source, 0 ⇒ discard all,
+re-ingest refreshes recency).
+
+For finite batch corpora this tier is deliberately absent (SURVEY §2.9 —
+Spark holds the corpus as a DataFrame). For UNBOUNDED streaming ingestion
+the bounded-memory contract matters again, and the idiomatic Spark shape
+is keyed state: ``applyInPandasWithState`` per source, state = the
+recency-ordered id window, emitting an admission/refresh/eviction event
+per affected record so downstream consumers (telemetry, cache-aware
+samplers) see membership changes as a stream.
+
+Scale: state per key is O(max_records) ids (fixed strings), keyed by
+source — the same partitioning the ingest stream already has; no shuffle
+beyond the groupBy(source) the semantics require.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("action", T.StringType()),  # admitted|refreshed|evicted|discarded
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("ids", T.ArrayType(T.StringType())),  # recency order, MRU last
+])
+
+
+def make_rolling_window(max_records: int):
+    """Returns the ``(key, batches, state) -> rows`` function for
+    ``applyInPandasWithState``. LRU semantics exactly per
+    ``src/ingestion.rs:137-186``: admission appends, re-ingest moves to
+    the most-recent end (``refreshed``), overflow evicts from the
+    least-recent end, and ``max_records == 0`` discards every record
+    immediately (the reference's "0 ⇒ cache nothing")."""
+    if max_records < 0:
+        raise ValueError(f"max_records must be >= 0, got {max_records}")
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        if state.hasTimedOut:  # no timeout configured; defensive only
+            return
+        window: list[str] = list(state.get[0]) if state.exists else []
+        events: list[tuple] = []
+        for pdf in pdfs:
+            ordered = pdf.sort_values("seq") if "seq" in pdf.columns else pdf
+            for rid in ordered["record_id"]:
+                rid = str(rid)
+                if max_records == 0:
+                    events.append((source, rid, "discarded"))
+                    continue
+                if rid in window:
+                    window.remove(rid)
+                    window.append(rid)
+                    events.append((source, rid, "refreshed"))
+                    continue
+                window.append(rid)
+                events.append((source, rid, "admitted"))
+                if len(window) > max_records:
+                    evicted = window.pop(0)
+                    events.append((source, evicted, "evicted"))
+        if max_records > 0:
+            state.update((window,))
+        if events:
+            yield pd.DataFrame(events, columns=["source", "record_id", "action"])
+
+    return track
+
+
+def stream_rolling_window(
+    spark,
+    source_dir: str,
+    schema,
+    max_records: int,
+    source_col: str = "source",
+    id_col: str = "id",
+    seq_col: str | None = None,
+):
+    """File stream → per-source bounded LRU window event stream. ``seq_col``
+    (when present) fixes the in-batch admission order; otherwise batch
+    arrival order is used."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    cols = [
+        F.col(source_col).cast("string").alias("source"),
+        F.col(id_col).cast("string").alias("record_id"),
+    ]
+    if seq_col is not None:
+        cols.append(F.col(seq_col).cast("long").alias("seq"))
+    return (
+        raw.select(*cols)
+        .groupBy("source")
+        .applyInPandasWithState(
+            make_rolling_window(max_records),
+            outputStructType=EVENT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

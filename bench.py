@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",
+    "pii_scrub",
+    "repetition_signals",
 ]
 
 

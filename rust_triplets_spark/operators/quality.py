@@ -1,0 +1,161 @@
+"""Repetition quality signals — the Gopher/RefinedWeb filter family.
+
+Pretraining pipelines drop documents dominated by repetition; the classic
+signals (Rae et al. 2021 "Scaling Language Models" Table A1; reused by
+RefinedWeb/Dolma) are the fraction of duplicate lines and the fraction of
+tokens inside the most-frequent n-gram. This module computes, per doc:
+
+- ``uniq_token_frac`` — distinct tokens / tokens (row-local);
+- ``dup_line_frac``   — 1 − distinct lines / lines (row-local);
+- ``top{n}gram_frac`` — (count of the most frequent n-gram × n) / tokens,
+  for each requested n.
+
+The top-n-gram counts need per-(doc, gram) frequencies: explode to int64
+n-gram fingerprints (the decontam combiner — fixed-width shuffle rows,
+never gram strings), count per (doc, gram), take the per-doc max — two
+partial-aggregable groupBys keyed by doc id, linear at any corpus size.
+A fingerprint collision overcounts identically on both engines, so the
+DuckDB twin stays hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    hash31_str_col,
+    hash31_str_sql,
+    polymix31_col,
+    polymix31_sql,
+)
+from rust_triplets_spark.functions.text import tokens_col, tokens_sql
+
+REP_SEED = 2203
+
+
+def _gram_fps(text_col, n: int, seed: int):
+    """NON-distinct n-gram fingerprints (frequency counting needs every
+    occurrence — the dedup/decontam variants deliberately de-duplicate)."""
+    th_expr = F.transform(tokens_col(text_col), lambda t: hash31_str_col(t, seed))
+
+    def grams(th):
+        k = F.size(th) - (n - 1)
+        gen = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: polymix31_col([F.element_at(th, i + j) for j in range(n)], seed),
+        )
+        return F.when(k > 0, gen).otherwise(F.array().cast("array<bigint>"))
+
+    return F.flatten(F.transform(F.array(th_expr), grams))
+
+
+def _grams_sql(text_sql: str, n: int, seed: int) -> str:
+    toks = tokens_sql(text_sql)
+    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
+    mix = polymix31_sql([f"(__th)[i + {j}]" for j in range(n)], seed)
+    return (
+        f"flatten(list_transform([{th}], __th -> "
+        f"CASE WHEN len(__th) - {n - 1} > 0 THEN "
+        f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix}) "
+        f"ELSE [] END))"
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (2, 3),
+    seed: int = REP_SEED,
+) -> DataFrame:
+    """Per-document repetition signal frame:
+    ``(id, n_tok, uniq_token_frac, dup_line_frac, top{n}gram_frac…)``.
+    Documents with no tokens are dropped (no signal)."""
+    toks = tokens_col(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("__text"),
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+         ).alias("uniq_token_frac"),
+        F.when(
+            F.size(lines) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.size(lines).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+    ).where(F.col("n_tok") > 0)
+
+    out = base
+    for n in ns:
+        grams = out.select(
+            "id", F.explode(_gram_fps(F.col("__text"), n, seed)).alias("g")
+        )
+        top = (
+            grams.groupBy("id", "g").agg(F.count("*").alias("__c"))
+            .groupBy("id").agg(F.max("__c").alias("__top"))
+        )
+        # coalesce BEFORE least: both engines' least() ignores NULLs, so
+        # least(1.0, NULL) would silently return 1.0 for gram-less docs
+        out = out.join(top, "id", "left").withColumn(
+            f"top{n}gram_frac",
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                * n
+                / F.col("n_tok").cast("double"),
+            ),
+        ).drop("__top")
+    return out.drop("__text")
+
+
+def repetition_signals_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    ns: tuple[int, ...] = (2, 3),
+    seed: int = REP_SEED,
+) -> str:
+    """DuckDB twin of :func:`repetition_signals`."""
+    toks = tokens_sql(text_sql)
+    lines = (
+        f"list_filter(list_transform(string_split({text_sql}, chr(10)), "
+        f"l -> trim(l)), l -> length(l) > 0)"
+    )
+    gram_cols = []
+    gram_joins = []
+    for n in ns:
+        g = _grams_sql(text_sql, n, seed)
+        gram_joins.append(f"""
+t{n} AS (
+  SELECT id, max(c) AS top FROM (
+    SELECT CAST({id_sql} AS BIGINT) AS id, u.g, count(*) AS c
+    FROM {table}, UNNEST({g}) AS u(g)
+    GROUP BY 1, 2
+  ) GROUP BY id
+)""")
+        gram_cols.append(
+            f"least(1.0, CAST(COALESCE(t{n}.top, 0) AS DOUBLE) * {n} / base.n_tok)"
+            f" AS top{n}gram_frac"
+        )
+    joins = "".join(f" LEFT JOIN t{n} ON base.id = t{n}.id" for n in ns)
+    return f"""
+WITH base AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         CAST(len({toks}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}) AS uniq_token_frac,
+         CASE WHEN len({lines}) > 0
+              THEN 1.0 - CAST(len(list_distinct({lines})) AS DOUBLE) / len({lines})
+              ELSE 0.0 END AS dup_line_frac
+  FROM {table}
+  WHERE len({toks}) > 0
+),{','.join(gram_joins)}
+SELECT base.id, base.n_tok, base.uniq_token_frac, base.dup_line_frac,
+       {', '.join(gram_cols)}
+FROM base{joins}
+"""

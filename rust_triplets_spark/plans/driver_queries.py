@@ -2424,6 +2424,88 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction + per-type counts (C4/Dolma-style hygiene)
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.functions import pii as PII  # noqa: E402
+
+# the synthetic corpus is PII-free word salad, so a deterministic slice of
+# docs gets PII planted (same expression both engines) — the scrubber then
+# has real positives AND true negatives to prove on
+_PII_AUG_COL = lambda: F.when(  # noqa: E731
+    F.pmod(F.col("doc_id").cast("long"), F.lit(4)) == 0,
+    F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 010 "),
+        F.lpad(F.pmod(F.col("doc_id").cast("long"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" node 10.0."),
+        F.pmod(F.col("doc_id").cast("long"), F.lit(256)).cast("string"),
+        F.lit(".7 ssn 123-45-6789."),
+    ),
+).otherwise(F.col("text"))
+
+_PII_AUG_SQL = """CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0 THEN
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555 010 '
+       || lpad(CAST(CAST(doc_id AS BIGINT) % 10000 AS VARCHAR), 4, '0')
+       || ' node 10.0.' || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR)
+       || '.7 ssn 123-45-6789.'
+  ELSE text END"""
+
+
+@_register(
+    "pii_scrub",
+    f"""
+WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       {PII.pii_count_sql('t', 'email')} AS n_email,
+       {PII.pii_count_sql('t', 'phone')} AS n_phone,
+       {PII.pii_count_sql('t', 'ipv4')} AS n_ipv4,
+       {PII.pii_count_sql('t', 'ssn')} AS n_ssn,
+       {hash31_str_sql(PII.pii_scrub_sql('t'))} AS scrubbed_fp
+FROM aug
+""",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (functions/pii.py): per-type counts on the
+    original text + the fingerprint of the scrubbed text (hash-compared,
+    so the oracle proves the exact redacted bytes, not just counts).
+    Row-local regex expressions — zero shuffle."""
+    aug = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), _PII_AUG_COL().alias("t")
+    )
+    return aug.select(
+        "doc_id",
+        PII.pii_count_col("t", "email").alias("n_email"),
+        PII.pii_count_col("t", "phone").alias("n_phone"),
+        PII.pii_count_col("t", "ipv4").alias("n_ipv4"),
+        PII.pii_count_col("t", "ssn").alias("n_ssn"),
+        hash31_str_col(PII.pii_scrub_col("t")).alias("scrubbed_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals: Gopher/RefinedWeb quality filter family
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.quality import (  # noqa: E402
+    repetition_signals,
+    repetition_signals_sql,
+)
+
+
+@_register(
+    "repetition_signals",
+    repetition_signals_sql("documents", "doc_id", "text"),
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition filters (operators/quality.py): unique-token
+    fraction, duplicate-line fraction, top-2/3-gram token fractions — the
+    signals a Gopher-style quality gate thresholds on."""
+    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
 # re-ordered here: queries that have never had a CORRECTNESS row (or were
@@ -2436,6 +2518,8 @@ _CHECK_FIRST = [
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",
+    "pii_scrub",
+    "repetition_signals",
     "selector_triplets",
     "recipe_auto_injection",
     "neardup_clusters",

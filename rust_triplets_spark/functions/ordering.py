@@ -46,6 +46,8 @@ def _rank_and_offset(
     parts: list[str],
     out_col: str,
     count_col: str | None,
+    value_col: str | None = None,
+    prefix_col: str | None = None,
 ) -> DataFrame:
     """Shared tail of the bucketed-ranking plans: rank within
     (parts, __bkt), derive per-bucket counts from the RANKED frame (no new
@@ -56,28 +58,53 @@ def _rank_and_offset(
     ``count(*) OVER (PARTITION BY part)`` twin) — derived from the same
     tiny bucket-counts frame and shipped on the same broadcast join, so
     rank + count together cost one aggregate and one join, not two of each.
-    """
+
+    ``value_col``/``prefix_col``: additionally emit the exclusive running
+    sum of ``value_col`` over the same order — the in-bucket cumsum rides
+    the SAME window pass as the rank, the per-bucket value totals ride the
+    same aggregate, and the value start offsets ride the same broadcast
+    join, so rank + cumsum together cost no more than rank alone.
+    ``value_col`` must be integral (exact BIGINT arithmetic)."""
     w_in = Window.partitionBy(*parts, "__bkt").orderBy(
         F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
     )
     ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1)
-    counts = ranked.groupBy(*parts, "__bkt").agg(F.count("*").alias("__c"))
+    aggs = [F.count("*").alias("__c")]
+    if value_col is not None:
+        val = F.col(value_col).cast("long")
+        ranked = ranked.withColumn(
+            "__ps",
+            F.coalesce(
+                F.sum(val).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        aggs.append(F.sum(val).alias("__v"))
+    counts = ranked.groupBy(*parts, "__bkt").agg(*aggs)
     w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
     extra = []
     if count_col is not None:
-        extra = [F.sum("__c").over(Window.partitionBy(*parts)).alias(count_col)]
+        extra.append(F.sum("__c").over(Window.partitionBy(*parts)).alias(count_col))
+    if value_col is not None:
+        extra.append(F.coalesce(F.sum("__v").over(w_cum), F.lit(0)).alias("__vstart"))
     starts = counts.select(
         *parts, "__bkt",
         F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__start"),
         *extra,
     )
-    return (
+    out = (
         ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
         .withColumn(out_col, (F.col("__start") + F.col("__r")).cast("long"))
-        .drop("__bkt", "__r", "__start")
     )
+    drop = ["__bkt", "__r", "__start"]
+    if value_col is not None:
+        out = out.withColumn(
+            prefix_col or "prefix", (F.col("__vstart") + F.col("__ps")).cast("long")
+        )
+        drop += ["__ps", "__vstart"]
+    return out.drop(*drop)
 
 
 def bucketed_position(
@@ -165,46 +192,17 @@ def bucketed_rank_prefix_sum(
         COALESCE(SUM(value) OVER (PARTITION BY part ORDER BY key, tb
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
 
-    executed with (partitions × n_buckets)-way parallelism: in-bucket rank
-    and in-bucket exclusive cumsum come from ONE window pass per bucket;
-    per-bucket row counts and value sums are aggregated from the ranked
-    frame (ReuseExchange — see module doc), prefix-summed on the tiny
-    (partitions × n_buckets) frame, and broadcast back as start offsets.
-    Both outputs ride the same exchange, aggregate, and join — rank+cumsum
-    together cost no more than either alone. ``key_col`` must be a
-    non-negative integer column < ``key_space``; ``value_col`` must be
-    integral (exact BIGINT arithmetic, same contract as the oracle)."""
+    executed with (partitions × n_buckets)-way parallelism via the shared
+    :func:`_rank_and_offset` tail (the cumsum rides the rank's window
+    pass, aggregate, and broadcast join — see its doc). ``key_col`` must
+    be a non-negative integer column < ``key_space``; ``value_col`` must
+    be integral (exact BIGINT arithmetic, same contract as the oracle)."""
     bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
     parts = list(part_cols)
     with_b = df.withColumn("__bkt", (F.col(key_col) / F.lit(bsize)).cast("long"))
-    w_in = Window.partitionBy(*parts, "__bkt").orderBy(
-        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak]
-    )
-    val = F.col(value_col).cast("long")
-    ranked = with_b.withColumn("__r", F.row_number().over(w_in) - 1).withColumn(
-        "__ps",
-        F.coalesce(
-            F.sum(val).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("long"),
-        ),
-    )
-    stats = ranked.groupBy(*parts, "__bkt").agg(
-        F.count("*").alias("__c"), F.sum(val).alias("__v")
-    )
-    w_cum = Window.partitionBy(*parts).orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    starts = stats.select(
-        *parts,
-        "__bkt",
-        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__cstart"),
-        F.coalesce(F.sum("__v").over(w_cum), F.lit(0)).alias("__vstart"),
-    )
-    return (
-        ranked.join(F.broadcast(starts), [*parts, "__bkt"], "inner")
-        .withColumn(pos_col, (F.col("__cstart") + F.col("__r")).cast("long"))
-        .withColumn(prefix_col, (F.col("__vstart") + F.col("__ps")).cast("long"))
-        .drop("__bkt", "__r", "__ps", "__cstart", "__vstart")
+    return _rank_and_offset(
+        with_b, key_col, tiebreak, parts, pos_col, None,
+        value_col=value_col, prefix_col=prefix_col,
     )
 
 

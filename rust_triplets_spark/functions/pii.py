@@ -7,12 +7,16 @@ with stable placeholder tokens so downstream dedup/fingerprints stay
 deterministic, and report per-document counts for auditing.
 
 Engine notes: the patterns are written in the common subset of Java
-regex (Spark) and RE2 (DuckDB) — no lookaround, no backreferences,
-ASCII word boundaries only — so the SAME pattern string drives both the
-operator and its oracle twin. Counts are taken on the ORIGINAL text per
-type; replacement is sequential in a fixed order (email → ssn → phone →
-ip) so overlapping matches resolve identically on both engines. All
-row-local column expressions — zero shuffle, linear scan.
+regex (Spark) and RE2 (DuckDB) — no lookaround, no backreferences, and
+NO ``\\b``: word boundaries are a genuine engine divergence (Java's
+``\\b`` is Unicode-aware even though its ``\\w`` is ASCII; RE2's is
+ASCII), measured as Spark keeping ``é123-45-6789`` while DuckDB scrubs
+it. Boundary-free matching makes the engines agree exactly and errs
+toward OVER-redaction — the safe failure mode for a PII pass. Counts
+are taken on the ORIGINAL text per type; replacement is sequential in a
+fixed order (email → ssn → phone → ip) so overlapping matches resolve
+identically on both engines. All row-local column expressions — zero
+shuffle, linear scan.
 """
 
 from __future__ import annotations
@@ -23,13 +27,13 @@ from pyspark.sql import functions as F
 # ordered: (name, pattern, replacement)
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     (
         "phone",
-        r"\b\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\b",
+        r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
         "<PHONE>",
     ),
-    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ipv4", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
 ]
 
 

@@ -26,42 +26,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rust_triplets_spark.functions.hashing import (
-    hash31_col,
-    hash31_sql,
-    hash31_str_col,
-    hash31_str_sql,
-    polymix31_col,
-    polymix31_sql,
-)
-from rust_triplets_spark.functions.text import tokens_col, tokens_sql
+from rust_triplets_spark.functions.hashing import hash31_col, hash31_sql
 
 NGRAM_N = 13  # the GPT-3/Pile convention
 DECONTAM_SEED = 1301
 
 
 def ngram_fingerprints_col(text_col, n: int, seed: int = DECONTAM_SEED) -> Column:
-    """DISTINCT int64 n-gram fingerprints as one row-local array
-    expression — the wide-``n`` sibling of
-    :func:`~rust_triplets_spark.operators.dedup.shingle_fingerprints_col`.
-    Same single-binding structure (token hashes bound once via the
-    1-element-array trick), but the n token hashes combine through
-    ``polymix31`` — dedup's ``mix31`` doubles its expression tree per part
-    (fine at its n=3, unplannable at n=13)."""
-    th_expr = F.transform(tokens_col(F.col(text_col) if isinstance(text_col, str) else text_col),
-                          lambda t: hash31_str_col(t, seed))
+    """DISTINCT polymix31 n-gram fingerprints — the shared machinery of
+    :func:`~rust_triplets_spark.operators.dedup.ngram_fingerprint_array_col`
+    with the wide-``n`` combiner (mix31's tree doubles per part; at n=13 it
+    never finishes planning)."""
+    from rust_triplets_spark.operators.dedup import ngram_fingerprint_array_col
 
-    def shingles(th):
-        k = F.size(th) - (n - 1)
-        gen = F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: polymix31_col([F.element_at(th, i + j) for j in range(n)], seed),
-        )
-        return F.when(k > 0, F.array_distinct(gen)).otherwise(
-            F.array().cast("array<bigint>")
-        )
-
-    return F.flatten(F.transform(F.array(th_expr), shingles))
+    return ngram_fingerprint_array_col(text_col, n, seed, "polymix31", distinct=True)
 
 
 def _with_ngrams(
@@ -75,15 +53,9 @@ def _with_ngrams(
 
 
 def _ngrams_sql(text_sql: str, n: int, seed: int = DECONTAM_SEED) -> str:
-    toks = tokens_sql(text_sql)
-    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
-    mix = polymix31_sql([f"(__th)[i + {j}]" for j in range(n)], seed)
-    return (
-        f"flatten(list_transform([{th}], __th -> "
-        f"list_distinct(CASE WHEN len(__th) - {n - 1} > 0 THEN "
-        f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix}) "
-        f"ELSE [] END)))"
-    )
+    from rust_triplets_spark.operators.dedup import ngram_fingerprint_array_sql
+
+    return ngram_fingerprint_array_sql(text_sql, n, seed, "polymix31", distinct=True)
 
 
 def decontaminate(

@@ -96,16 +96,24 @@ GROUP BY {hash31_str_sql(norm)}, length({norm})
 # shingles
 # ---------------------------------------------------------------------------
 
-def shingle_fingerprints_col(text_col, n: int, seed: int = MINHASH_SEED) -> Column:
-    """DISTINCT int64 shingle fingerprints of ``text_col`` as one row-local
-    array expression — no explode, no window, no shuffle. A shingle is the
+def ngram_fingerprint_array_col(
+    text_col, n: int, seed: int, combiner: str = "mix31", distinct: bool = True
+) -> Column:
+    """int64 n-gram fingerprints of ``text_col`` as one row-local array
+    expression — no explode, no window, no shuffle. An n-gram is the
     FINGERPRINT of n consecutive tokens: each token is hashed exactly once,
-    a shingle mixes its n token hashes. Skipping the string materialization
-    (concat + re-hash per shingle) keeps downstream explode rows and
-    shuffle keys fixed-width integers — the difference between shuffling
-    ~30-byte strings and 8-byte longs at corpus scale. A fingerprint
-    collision maps both engines to the SAME collision (same hash), so
-    cross-engine parity is unaffected.
+    a gram combines its n token hashes. Skipping the string materialization
+    (concat + re-hash per gram) keeps downstream explode rows and shuffle
+    keys fixed-width integers — the difference between shuffling ~30-byte
+    strings and 8-byte longs at corpus scale. A fingerprint collision maps
+    both engines to the SAME collision (same hash), so cross-engine parity
+    is unaffected.
+
+    This is the ONE implementation behind every n-gram consumer — MinHash
+    shingles (``combiner='mix31'``, small n), 13-gram decontamination and
+    repetition counting (``combiner='polymix31'`` — mix31's tree DOUBLES
+    per part and never finishes planning at n=13; frequency counting also
+    passes ``distinct=False`` since it needs every occurrence).
 
     The per-token hash array is bound ONCE as a lambda variable via the
     1-element-array trick (``transform(array(th_expr), th -> ...)``) —
@@ -118,19 +126,50 @@ def shingle_fingerprints_col(text_col, n: int, seed: int = MINHASH_SEED) -> Colu
     dropDuplicates → groupBy) was also measured and rejected: three wide
     shuffles of token-scale rows per consumer, 45 s at sf0.1 vs ~2 s for
     this shape."""
+    from rust_triplets_spark.functions.hashing import polymix31_col
+
+    mix = mix31_col if combiner == "mix31" else polymix31_col
     th_expr = F.transform(tokens_col(_c(text_col)), lambda t: hash31_str_col(t, seed))
 
     def shingles(th):
         k = F.size(th) - (n - 1)
         gen = F.transform(
             F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: mix31_col([F.element_at(th, i + j) for j in range(n)], seed),
+            lambda i: mix([F.element_at(th, i + j) for j in range(n)], seed),
         )
-        return F.when(k > 0, F.array_distinct(gen)).otherwise(
-            F.array().cast("array<bigint>")
-        )
+        if distinct:
+            gen = F.array_distinct(gen)
+        return F.when(k > 0, gen).otherwise(F.array().cast("array<bigint>"))
 
     return F.flatten(F.transform(F.array(th_expr), shingles))
+
+
+def ngram_fingerprint_array_sql(
+    text_sql: str, n: int, seed: int, combiner: str = "mix31", distinct: bool = True
+) -> str:
+    """DuckDB twin of :func:`ngram_fingerprint_array_col` — the token-hash
+    list is bound once via list_transform over a 1-element list (DuckDB
+    has no scalar lambda-let; inlining __th per gram element would re-hash
+    every token per gram)."""
+    from rust_triplets_spark.functions.hashing import polymix31_sql
+
+    mix_sql = mix31_sql if combiner == "mix31" else polymix31_sql
+    toks = tokens_sql(text_sql)
+    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
+    mix = mix_sql([f"(__th)[i + {j}]" for j in range(n)], seed)
+    gen = f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix})"
+    if distinct:
+        gen = f"list_distinct({gen})"
+    return (
+        f"flatten(list_transform([{th}], __th -> "
+        f"CASE WHEN len(__th) - {n - 1} > 0 THEN {gen} ELSE [] END))"
+    )
+
+
+def shingle_fingerprints_col(text_col, n: int, seed: int = MINHASH_SEED) -> Column:
+    """MinHash's distinct mix31 shingles (see
+    :func:`ngram_fingerprint_array_col`)."""
+    return ngram_fingerprint_array_col(text_col, n, seed, "mix31", distinct=True)
 
 
 def _with_shingles(
@@ -145,19 +184,7 @@ def _with_shingles(
 
 
 def _shingles_sql(text_sql: str, n: int, seed: int = MINHASH_SEED) -> str:
-    toks = tokens_sql(text_sql)
-    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
-    parts = [f"(__th)[i + {j}]" for j in range(n)]
-    mix = mix31_sql(parts, seed)
-    # bind the token-hash list once via list_transform over a 1-element
-    # range — DuckDB has no scalar lambda-let, and inlining __th per
-    # shingle element would re-hash every token per shingle
-    return (
-        f"flatten(list_transform([{th}], __th -> "
-        f"list_distinct(CASE WHEN len(__th) - {n - 1} > 0 THEN "
-        f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix}) "
-        f"ELSE [] END)))"
-    )
+    return ngram_fingerprint_array_sql(text_sql, n, seed, "mix31", distinct=True)
 
 
 # ---------------------------------------------------------------------------

@@ -23,12 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rust_triplets_spark.functions.hashing import (
-    hash31_str_col,
-    hash31_str_sql,
-    polymix31_col,
-    polymix31_sql,
-)
 from rust_triplets_spark.functions.text import tokens_col, tokens_sql
 
 REP_SEED = 2203
@@ -36,30 +30,17 @@ REP_SEED = 2203
 
 def _gram_fps(text_col, n: int, seed: int):
     """NON-distinct n-gram fingerprints (frequency counting needs every
-    occurrence — the dedup/decontam variants deliberately de-duplicate)."""
-    th_expr = F.transform(tokens_col(text_col), lambda t: hash31_str_col(t, seed))
+    occurrence — the dedup/decontam variants deliberately de-duplicate);
+    the shared machinery of ``dedup.ngram_fingerprint_array_col``."""
+    from rust_triplets_spark.operators.dedup import ngram_fingerprint_array_col
 
-    def grams(th):
-        k = F.size(th) - (n - 1)
-        gen = F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: polymix31_col([F.element_at(th, i + j) for j in range(n)], seed),
-        )
-        return F.when(k > 0, gen).otherwise(F.array().cast("array<bigint>"))
-
-    return F.flatten(F.transform(F.array(th_expr), grams))
+    return ngram_fingerprint_array_col(text_col, n, seed, "polymix31", distinct=False)
 
 
 def _grams_sql(text_sql: str, n: int, seed: int) -> str:
-    toks = tokens_sql(text_sql)
-    th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"
-    mix = polymix31_sql([f"(__th)[i + {j}]" for j in range(n)], seed)
-    return (
-        f"flatten(list_transform([{th}], __th -> "
-        f"CASE WHEN len(__th) - {n - 1} > 0 THEN "
-        f"list_transform(range(1, len(__th) - {n - 1} + 1), i -> {mix}) "
-        f"ELSE [] END))"
-    )
+    from rust_triplets_spark.operators.dedup import ngram_fingerprint_array_sql
+
+    return ngram_fingerprint_array_sql(text_sql, n, seed, "polymix31", distinct=False)
 
 
 def repetition_signals(

@@ -121,7 +121,11 @@ class IngestionManager:
         if unknown:
             raise KeyError(f"unregistered sources: {unknown}")
         if not ids:
-            raise ValueError("no sources registered")
+            raise ValueError(
+                "empty source selection"
+                if self._specs
+                else "no sources registered"
+            )
         out = self._frame(ids[0])
         for s in ids[1:]:
             out = out.unionByName(self._frame(s))
@@ -151,14 +155,13 @@ class IngestionManager:
             raise KeyError(f"unregistered sources: {unknown}")
         act = action or (lambda df: df.count())
         counts: dict[str, int] = {}
+        self.telemetry.begin_cycle()
         for s in ids:
             if force:
                 self._frames.pop(s, None)
             df = self._frame(s)
             counts[s] = int(self.telemetry.record_refresh(s, lambda: act(df)))
-        if ids:
-            self.telemetry.source_refresh_generation += 1
-            self.telemetry.last_refreshed_sources = list(ids)
+        self.telemetry.end_cycle(ids)
         return counts
 
     def refresh_all(self, force: bool = False) -> dict[str, int]:

@@ -52,27 +52,37 @@ def make_rolling_window(max_records: int):
         (source,) = key
         if state.hasTimedOut:  # no timeout configured; defensive only
             return
-        window: list[str] = list(state.get[0]) if state.exists else []
+        # dict = insertion-ordered set: O(1) membership / move-to-MRU
+        # (delete + reinsert) / LRU eviction (next(iter)) — a list would be
+        # O(cap) per record, O(batch x cap) per micro-batch at the
+        # reference's 100k-record cap
+        window: dict[str, None] = (
+            dict.fromkeys(state.get[0]) if state.exists else {}
+        )
         events: list[tuple] = []
         for pdf in pdfs:
-            ordered = pdf.sort_values("seq") if "seq" in pdf.columns else pdf
-            for rid in ordered["record_id"]:
+            if "seq" in pdf.columns:
+                # stable: rows sharing a seq keep batch arrival order (the
+                # default introsort permutes equal keys)
+                pdf = pdf.sort_values("seq", kind="stable")
+            for rid in pdf["record_id"]:
                 rid = str(rid)
                 if max_records == 0:
                     events.append((source, rid, "discarded"))
                     continue
                 if rid in window:
-                    window.remove(rid)
-                    window.append(rid)
+                    del window[rid]
+                    window[rid] = None
                     events.append((source, rid, "refreshed"))
                     continue
-                window.append(rid)
+                window[rid] = None
                 events.append((source, rid, "admitted"))
                 if len(window) > max_records:
-                    evicted = window.pop(0)
+                    evicted = next(iter(window))
+                    del window[evicted]
                     events.append((source, evicted, "evicted"))
         if max_records > 0:
-            state.update((window,))
+            state.update((list(window),))
         if events:
             yield pd.DataFrame(events, columns=["source", "record_id", "action"])
 

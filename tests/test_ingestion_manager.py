@@ -62,6 +62,12 @@ def test_refresh_telemetry_and_generation(spark):
     m.refresh(["beta"], force=True)
     assert m.telemetry.source_refresh_generation == 2
     assert m.telemetry.last_refreshed_sources == ["beta"]
+    # empty refresh: no generation bump, refreshed list CLEARED (end_cycle
+    # contract — a no-op cycle must not leave stale 'freshly refreshed'
+    # signals for the incremental BM25 consumer)
+    assert m.refresh([]) == {}
+    assert m.telemetry.source_refresh_generation == 2
+    assert m.telemetry.last_refreshed_sources == []
 
 
 def test_weight_validation_matches_reference(spark):

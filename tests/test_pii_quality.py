@@ -15,6 +15,9 @@ def test_pii_scrub_py_patterns():
     assert "@" not in out and "10.0.0.7" not in out and "123-45-6789" not in out
     assert "3.14" in out  # decimals survive
     assert pii_scrub_py("no pii here at all") == "no pii here at all"
+    # boundary-free contract: embedded spans scrub too (over-redaction is
+    # the safe direction, and \b semantics genuinely diverge across engines)
+    assert pii_scrub_py("a123-45-6789b") == "a<SSN>b"
 
 
 def test_pii_scrub_spark_matches_python(spark):
@@ -26,6 +29,10 @@ def test_pii_scrub_spark_matches_python(spark):
         "ssn 000-12-3456 inline",
         "nothing sensitive, just text with 1.5 numbers",
         "",
+        # \b must be ASCII on every engine: non-ASCII word chars adjacent
+        # to PII still form a boundary (Java + RE2 + re.ASCII agree)
+        "é123-45-6789",
+        "ф10.0.0.7 and é1 555 010 1234",
     ]
     df = spark.createDataFrame([(s,) for s in rows], "s string")
     got = [r[0] for r in df.select(pii_scrub_col("s")).collect()]

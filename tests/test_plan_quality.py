@@ -121,3 +121,45 @@ def test_ivf_centroid_fanout_is_broadcast(spark):
     plan = _physical(DQ.QUERIES["ann_ivf_topk"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """PII scrubbing is a row-local pass: the plan must contain no
+    exchange of any kind — at 100 TB this is the difference between a
+    single scan and a cluster-wide shuffle."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["pii_scrub"](spark, SF))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_sequence_packing_avoids_single_partition_funnels(spark):
+    """The pack order/prefix-sum must never funnel the corpus through one
+    task: no partition-less exchange, offsets arrive by broadcast."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    for q in ["sequence_packing", "pack_bin_stats"]:
+        plan = _physical(DQ.QUERIES[q](spark, SF))
+        assert "Exchange SinglePartition" not in plan, q
+        assert "BroadcastExchange" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["decontamination"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_shuffles_fingerprints_not_text(spark):
+    """The gram-frequency aggregates shuffle (id, int64 gram) rows; the
+    document text must stay out of every exchange."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["repetition_signals"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)

@@ -87,8 +87,13 @@ def decontaminate(
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
+    # no broadcast hint on `matched`: its size is one row per contaminated
+    # training doc — unbounded (a boilerplate 13-gram inside one benchmark
+    # doc can flag a large corpus slice). The join key is (id, 2 longs),
+    # exactly the narrow exchange the design intends; let AQE broadcast it
+    # when it actually is small.
     ids = train.select(F.col(id_col).cast("long").alias("id"))
-    return ids.join(F.broadcast(matched), "id", "left").select(
+    return ids.join(matched, "id", "left").select(
         "id",
         F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
         F.coalesce("n_eval_docs", F.lit(0)).cast("long").alias("n_eval_docs"),
@@ -107,25 +112,30 @@ def decontaminate_sql(
     """DuckDB twin of :func:`decontaminate`. ``train_sql`` / ``eval_sql``
     are full SELECT statements producing the two corpora."""
     sh = _ngrams_sql(text_sql, n, seed)
+    # train bound ONCE as a MATERIALIZED CTE (referenced by the shingle
+    # explode AND the final left join — DuckDB would otherwise inline and
+    # evaluate the subquery twice); matched's key gets a private alias so
+    # a corpus whose id column is literally named `id` still binds
     return f"""
-WITH tr AS (
+WITH train_in AS MATERIALIZED ({train_sql}),
+tr AS (
   SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
-  FROM ({train_sql}) t, UNNEST({sh}) AS s(shingle)
+  FROM train_in t, UNNEST({sh}) AS s(shingle)
 ), ev AS (
   SELECT CAST({id_sql} AS BIGINT) AS eval_id, s.shingle
   FROM ({eval_sql}) e, UNNEST({sh}) AS s(shingle)
 ), matched AS (
-  SELECT tr.id,
+  SELECT tr.id AS __mid,
          count(DISTINCT tr.shingle) AS n_matched_ngrams,
          count(DISTINCT ev.eval_id) AS n_eval_docs
   FROM tr JOIN ev USING (shingle)
   GROUP BY tr.id
 )
-SELECT CAST({id_sql} AS BIGINT) AS id,
+SELECT CAST(t.{id_sql} AS BIGINT) AS id,
        CAST(COALESCE(m.n_matched_ngrams, 0) AS BIGINT) AS n_matched_ngrams,
        CAST(COALESCE(m.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
        COALESCE(m.n_matched_ngrams, 0) > 0 AS contaminated
-FROM ({train_sql}) t LEFT JOIN matched m ON CAST({id_sql} AS BIGINT) = m.id
+FROM train_in t LEFT JOIN matched m ON CAST(t.{id_sql} AS BIGINT) = m.__mid
 """
 
 

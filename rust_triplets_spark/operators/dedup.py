@@ -128,6 +128,10 @@ def ngram_fingerprint_array_col(
     this shape."""
     from rust_triplets_spark.functions.hashing import polymix31_col
 
+    if combiner not in ("mix31", "polymix31"):
+        # the two are NOT value-compatible — a silent fallback would
+        # corrupt every downstream fingerprint with no diagnostic
+        raise ValueError(f"unknown combiner {combiner!r}")
     mix = mix31_col if combiner == "mix31" else polymix31_col
     th_expr = F.transform(tokens_col(_c(text_col)), lambda t: hash31_str_col(t, seed))
 
@@ -153,6 +157,8 @@ def ngram_fingerprint_array_sql(
     every token per gram)."""
     from rust_triplets_spark.functions.hashing import polymix31_sql
 
+    if combiner not in ("mix31", "polymix31"):
+        raise ValueError(f"unknown combiner {combiner!r}")
     mix_sql = mix31_sql if combiner == "mix31" else polymix31_sql
     toks = tokens_sql(text_sql)
     th = f"list_transform({toks}, t -> {hash31_str_sql('t', seed)})"

@@ -126,7 +126,13 @@ def pack_bin_stats(packed: DataFrame, budget: int) -> DataFrame:
     ``fill_tokens`` is exactly ``budget`` for every window except each
     source's tail — the defining invariant of concatenation packing —
     and no window is missing even when a long document blankets windows
-    nothing starts in."""
+    nothing starts in.
+
+    ``budget`` MUST be the same value the ``packed`` frame was built
+    with — the frame doesn't carry it, so a mismatch can't be detected
+    here and would yield internally inconsistent fills."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     b = F.lit(int(budget)).cast("long")
     end_excl = F.col("start_tok") + F.col("n_tok")
     last_bin = F.expr(f"(start_tok + n_tok - 1) div {int(budget)}")

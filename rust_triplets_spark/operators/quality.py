@@ -28,6 +28,18 @@ from rust_triplets_spark.functions.text import tokens_col, tokens_sql
 REP_SEED = 2203
 
 
+def _validate_ns(ns: tuple[int, ...]) -> None:
+    """Both twins validate identically: the SQL form would otherwise emit
+    a syntax error for ns=() and duplicate CTE names for repeated n —
+    while the Spark form silently succeeded, a cross-engine divergence."""
+    if not ns:
+        raise ValueError("ns must name at least one n-gram size")
+    if len(set(ns)) != len(ns):
+        raise ValueError(f"duplicate n-gram sizes in {ns}")
+    if any(n < 1 for n in ns):
+        raise ValueError(f"n-gram sizes must be >= 1, got {ns}")
+
+
 def _gram_fps(text_col, n: int, seed: int):
     """NON-distinct n-gram fingerprints (frequency counting needs every
     occurrence — the dedup/decontam variants deliberately de-duplicate);
@@ -53,6 +65,7 @@ def repetition_signals(
     """Per-document repetition signal frame:
     ``(id, n_tok, uniq_token_frac, dup_line_frac, top{n}gram_frac…)``.
     Documents with no tokens are dropped (no signal)."""
+    _validate_ns(ns)
     toks = tokens_col(F.col(text_col))
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
@@ -103,6 +116,7 @@ def repetition_signals_sql(
     seed: int = REP_SEED,
 ) -> str:
     """DuckDB twin of :func:`repetition_signals`."""
+    _validate_ns(ns)
     toks = tokens_sql(text_sql)
     lines = (
         f"list_filter(list_transform(string_split({text_sql}, chr(10)), "

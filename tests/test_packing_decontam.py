@@ -150,3 +150,43 @@ def test_decontam_plan_broadcasts_eval_side(spark, toy_docs):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontam_sql_binds_with_id_named_id():
+    """The generated oracle must bind even when the corpus id column is
+    literally named `id` (the matched CTE aliases its key privately)."""
+    import duckdb
+
+    from rust_triplets_spark.operators.decontam import decontaminate_sql
+
+    con = duckdb.connect()
+    shared = " ".join(f"tok{i}" for i in range(13))
+    con.execute("CREATE TABLE train_t(id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO train_t VALUES (1, ?), (2, 'clean short')", [f"{shared} tail"])
+    con.execute("CREATE TABLE eval_t(id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO eval_t VALUES (9, ?)", [f"prefix {shared}"])
+    sql = decontaminate_sql("SELECT * FROM train_t", "SELECT * FROM eval_t", "id", "text")
+    rows = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert rows[1][3] is True and rows[2][3] is False
+
+
+def test_validation_guards():
+    from rust_triplets_spark.operators.dedup import (
+        ngram_fingerprint_array_col,
+        ngram_fingerprint_array_sql,
+    )
+    from rust_triplets_spark.operators.packing import pack_bin_stats
+    from rust_triplets_spark.operators.quality import (
+        repetition_signals_sql,
+    )
+
+    with pytest.raises(ValueError, match="combiner"):
+        ngram_fingerprint_array_col("text", 3, 42, combiner="mix-31")
+    with pytest.raises(ValueError, match="combiner"):
+        ngram_fingerprint_array_sql("text", 3, 42, combiner="minhash")
+    with pytest.raises(ValueError, match="at least one"):
+        repetition_signals_sql("documents", "doc_id", "text", ns=())
+    with pytest.raises(ValueError, match="duplicate"):
+        repetition_signals_sql("documents", "doc_id", "text", ns=(2, 2))
+    with pytest.raises(ValueError, match="budget"):
+        pack_bin_stats(None, 0)

@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.functions.hashing import hash31_str_col
@@ -95,6 +95,13 @@ class IngestionManager:
     def register(self, spec: SourceSpec) -> "IngestionManager":
         if spec.source_id in self._specs:
             raise ValueError(f"source {spec.source_id!r} already registered")
+        if spec.weight < 0:
+            # a negative registered default must not slip past the
+            # per-call validation (it would also sum with positives
+            # toward the all-zero uniform fallback, masking the error)
+            raise InvalidWeightError(
+                f"negative registered weight for {spec.source_id!r}: {spec.weight}"
+            )
         self._specs[spec.source_id] = spec
         return self
 
@@ -154,13 +161,34 @@ class IngestionManager:
         if unknown:
             raise KeyError(f"unregistered sources: {unknown}")
         act = action or (lambda df: df.count())
-        counts: dict[str, int] = {}
         self.telemetry.begin_cycle()
+        # one thread per source (the reference's thread::scope refresh,
+        # src/ingestion.rs:462-506): Spark schedules concurrently-submitted
+        # jobs in parallel, so wall-clock is the slowest source, not the
+        # sum. Frame resolution stays on the calling thread (it mutates
+        # _frames); only the blocking action fans out.
+        frames: dict[str, DataFrame] = {}
         for s in ids:
             if force:
                 self._frames.pop(s, None)
-            df = self._frame(s)
-            counts[s] = int(self.telemetry.record_refresh(s, lambda: act(df)))
+            frames[s] = self._frame(s)
+        counts: dict[str, int] = {}
+        if len(ids) == 1:
+            s = ids[0]
+            counts[s] = int(self.telemetry.record_refresh(s, lambda: act(frames[s])))
+        elif ids:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(ids))) as pool:
+                futs = {
+                    s: pool.submit(
+                        self.telemetry.record_refresh,
+                        s,
+                        (lambda df: (lambda: act(df)))(frames[s]),
+                    )
+                    for s in ids
+                }
+                counts = {s: int(f.result()) for s, f in futs.items()}
         self.telemetry.end_cycle(ids)
         return counts
 
@@ -198,12 +226,14 @@ class IngestionManager:
         if n == 0:
             raise ValueError("no sources registered")
         cap = -(-limit // n)  # ceil
-        recs = self.records()
-        w = Window.partitionBy("source").orderBy(
-            hash31_str_col("id", seed).asc(), F.col("id").asc()
+        recs = self.records().withColumn("__k", hash31_str_col("id", seed))
+        # per-source rank via range-bucketed ranking, not
+        # row_number() OVER (PARTITION BY source) — a low-cardinality
+        # partition window funnels each source's whole record set through
+        # one task (functions/ordering.py module doc)
+        from rust_triplets_spark.functions.ordering import bucketed_position
+
+        ranked = bucketed_position(
+            recs, "__k", ["id"], part_cols=["source"], out_col="__rn"
         )
-        return (
-            recs.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= cap)
-            .drop("__rn")
-        )
+        return ranked.where(F.col("__rn") < cap).drop("__rn", "__k")

@@ -60,12 +60,17 @@ def make_rolling_window(max_records: int):
             dict.fromkeys(state.get[0]) if state.exists else {}
         )
         events: list[tuple] = []
-        for pdf in pdfs:
-            if "seq" in pdf.columns:
-                # stable: rows sharing a seq keep batch arrival order (the
-                # default introsort permutes equal keys)
-                pdf = pdf.sort_values("seq", kind="stable")
-            for rid in pdf["record_id"]:
+        # a group's rows arrive as MULTIPLE pandas chunks (Arrow batch
+        # size); ordering must be established over the WHOLE group, not
+        # per chunk — concat first, then one stable sort (rows sharing a
+        # seq keep arrival order; the default introsort permutes equal
+        # keys). Same shape as make_session_tracker's collect-then-sort.
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            if "seq" in batch.columns:
+                batch = batch.sort_values("seq", kind="stable")
+            for rid in batch["record_id"]:
                 rid = str(rid)
                 if max_records == 0:
                     events.append((source, rid, "discarded"))

@@ -97,3 +97,9 @@ def test_refresh_page_caps_per_source(spark):
     # deterministic: same page every call
     again = m.refresh_page(limit=4).collect()
     assert {r.id for r in page} == {r.id for r in again}
+
+
+def test_negative_registered_weight_rejected(spark):
+    m = IngestionManager(spark)
+    with pytest.raises(InvalidWeightError, match="negative registered"):
+        m.register(SourceSpec("bad", "memory", [], weight=-5.0))

@@ -100,3 +100,20 @@ def test_streaming_wiring_builds(spark, tmp_path):
     )
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["source", "record_id", "action"]
+
+
+def test_group_spanning_multiple_chunks_orders_globally():
+    """applyInPandasWithState delivers one group as several Arrow chunks;
+    seq ordering must span the WHOLE group — per-chunk sorting admits in
+    chunk order and evicts the wrong records."""
+    track = make_rolling_window(2)
+    st = FakeState()
+    chunk1 = pd.DataFrame({"record_id": ["c", "d"], "seq": [2, 3]})
+    chunk2 = pd.DataFrame({"record_id": ["a", "b"], "seq": [0, 1]})
+    out = []
+    for pdf in track(("s",), iter([chunk1, chunk2]), st):
+        out.extend(map(tuple, pdf.itertuples(index=False)))
+    # global seq order: a,b,c,d admitted in order; a,b evicted; c,d retained
+    assert [r[1] for r in out if r[2] == "admitted"] == ["a", "b", "c", "d"]
+    assert [r[1] for r in out if r[2] == "evicted"] == ["a", "b"]
+    assert st.get == (["c", "d"],)

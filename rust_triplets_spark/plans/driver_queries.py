@@ -2520,6 +2520,18 @@ _CHECK_FIRST = [
     "decontamination",
     "pii_scrub",
     "repetition_signals",
+    # CHANGED this round (rewritten plan or oracle) — a stale r3 row
+    # would not cover the new code
+    "corpus_clean",
+    "folder_date_parsing",
+    "denoise_gates",
+    "denoise_gate3_waves",
+    "cosine_topk",
+    "exact_dedup",
+    "doc_fingerprint",
+    "triplet_assembly",
+    "pairs_from_triplets",
+    "minhash_lsh_pairs",
     "selector_triplets",
     "recipe_auto_injection",
     "neardup_clusters",

@@ -93,6 +93,14 @@ class Selector:
             raise ValueError("TemporalOffset selector requires days")
 
 
+
+def _sql_str(s: str) -> str:
+    """Single-quoted DuckDB string literal with embedded quotes doubled —
+    recipe names/instructions are user text ("Don't match…" must not
+    unbalance the generated oracle)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def Role(role: str) -> Selector:  # noqa: N802 — mirrors the enum variant
     return Selector("role", role=role)
 
@@ -193,7 +201,10 @@ def assemble_triplets(
         recs,
         chunking,
         text_col="text",
-        carry_cols=("record_id", "section_idx", "source", "split", "trust", "__idf"),
+        carry_cols=(
+            "record_id", "section_idx", "source", "split", "trust", "__idf",
+            *( ["__date"] if date_col else [] ),
+        ),
     ).where(F.col("view_kind") == "window")
 
     order_key = mix31_col(
@@ -231,11 +242,16 @@ def assemble_triplets(
     # src/sampler/mod.rs:995-1151) — not just records that produced an
     # anchor/positive pair, so short single-chunk records can be negatives
     rec_pool = ranked.where(F.col("__crn") == 1).select(
-        F.col("record_id").alias("id"), "source", "split"
+        F.col("record_id").alias("id"), "source", "split",
+        *( ["__date"] if date_col else [] ),
     )
+    # date_col threads through to the strategy: wrong_publication_date
+    # requires it, and a dated wrong_article upgrades to the
+    # same_source_same_date preference tier
     neg = negative_pick(
         rec_pool, "id", "source", "split", recipe.negative_strategy,
-        date_col=None, seed=seed, variant=variant, id_is_string=id_is_string,
+        date_col="__date" if date_col else None,
+        seed=seed, variant=variant, id_is_string=id_is_string,
     )
     neg_chunk = ranked.where(F.col("__crn") == 1).select(
         F.col("record_id").alias("negative_id"),
@@ -311,6 +327,7 @@ def assemble_triplets_sql(
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
     id_is_string: bool = False,
     where: str = "TRUE",
+    date_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`assemble_triplets` (synthetic trust variant)."""
     idf = f"CAST({id_sql} AS BIGINT)" if not id_is_string else None
@@ -328,13 +345,16 @@ def assemble_triplets_sql(
             "split": split_expr,
             "trust": trust_expr,
             "idf": idf,
+            **({"datec": date_sql} if date_sql else {}),
         },
         where=where,
     )
     order_key = mix31_sql(["idf", "win_index", "overlap", str(variant)], seed + CHUNK_SEED_OFF)
+    pool_cols = "record_id AS id, source, split" + (", datec" if date_sql else "")
     neg_sql = negative_pick_sql(
-        "(SELECT record_id AS id, source, split FROM wchunks WHERE crn = 1)",
+        f"(SELECT {pool_cols} FROM wchunks WHERE crn = 1)",
         "id", "source", "split", recipe.negative_strategy,
+        date_sql="datec" if date_sql else None,
         seed=seed, variant=variant, id_is_string=id_is_string,
     )
     swap_coin = f"({mix31_sql(['a.idf', str(variant)], seed + SWAP_SEED_OFF)} % 2)"
@@ -356,7 +376,7 @@ def assemble_triplets_sql(
         "" if recipe.allow_same_anchor_positive
         else "AND a.anchor_text <> a.positive_text "
     )
-    instruction = f"'{recipe.instruction}'" if recipe.instruction else "CAST(NULL AS VARCHAR)"
+    instruction = _sql_str(recipe.instruction) if recipe.instruction else "CAST(NULL AS VARCHAR)"
     return f"""
 WITH all_chunks AS MATERIALIZED ({chunks_query}),
 wchunks AS MATERIALIZED (
@@ -384,7 +404,7 @@ neg_chunk AS MATERIALIZED (
          chunk_text AS negative_text, trust
   FROM wchunks WHERE crn = 1
 )
-SELECT '{recipe.name}' AS recipe,
+SELECT {_sql_str(recipe.name)} AS recipe,
        a.record_id AS anchor_id,
        CASE WHEN {swap_coin} = 0 THEN a.positive_key ELSE a.anchor_key END AS anchor_key,
        CASE WHEN {swap_coin} = 0 THEN a.positive_text ELSE a.anchor_text END AS anchor_text,
@@ -452,7 +472,9 @@ def assemble_temporal_triplets(
         recs,
         chunking,
         text_col="text",
-        carry_cols=("record_id", "section_idx", "source", "split", "trust", "__idf"),
+        carry_cols=(
+            "record_id", "section_idx", "source", "split", "trust", "__idf",
+        ),
     ).where(F.col("view_kind") == "window")
     order_key = mix31_col(
         [F.col("__idf"), F.col("win_index"), F.col("overlap"), F.lit(variant)],
@@ -480,6 +502,10 @@ def assemble_temporal_triplets(
         F.col("chunk_key").alias("positive_key"),
         F.col("chunk_text").alias("positive_text"),
         F.col("win_index").alias("__p_idx"),
+        # the positive chunk belongs to the NEIGHBOR record — its weight
+        # must clamp the neighbor's trust, not the anchor's (weight spec:
+        # chunk_w uses the chunk's own record's trust)
+        F.col("trust").alias("__p_trust"),
     )
     pair = anchors.join(neighbor, "record_id", "inner").join(
         pos_chunk, "neighbor_id", "inner"
@@ -508,22 +534,25 @@ def assemble_temporal_triplets(
 
     floor = float(chunking.chunk_weight_floor)
     trust_c = F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0)))
+    p_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__p_trust"), F.lit(1.0)))
     n_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__n_trust"), F.lit(1.0)))
     base_a = F.lit(1.0) / (F.col("__a_idx").cast("double") + F.lit(1.0))
     base_p = F.lit(1.0) / (F.col("__p_idx").cast("double") + F.lit(1.0))
     d = F.abs(F.col("__a_idx") - F.col("__p_idx")).cast("double")
     prox = F.lit(1.0) - d / (d + F.lit(1.0))
     aw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_a * trust_c) * prox)
-    pw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_p * trust_c) * prox)
+    pw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_p * p_trust_c) * prox)
     nw = F.greatest(F.lit(floor), n_trust_c)
     weight = F.lit(float(recipe.weight)) * ((aw + pw + nw) / F.lit(3.0))
 
+    # the swap exchanges the WHOLE anchor/positive identity — ids included;
+    # keys/texts without ids left half the rows with mismatched lineage
     out = trip.select(
         F.lit(recipe.name).alias("recipe"),
-        F.col("record_id").alias("anchor_id"),
+        F.when(F.col("swapped") == 1, F.col("neighbor_id")).otherwise(F.col("record_id")).alias("anchor_id"),
         F.when(F.col("swapped") == 1, F.col("positive_key")).otherwise(F.col("anchor_key")).alias("anchor_key"),
         F.when(F.col("swapped") == 1, F.col("positive_text")).otherwise(F.col("anchor_text")).alias("anchor_text"),
-        F.col("neighbor_id").alias("positive_id"),
+        F.when(F.col("swapped") == 1, F.col("record_id")).otherwise(F.col("neighbor_id")).alias("positive_id"),
         F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(F.col("positive_key")).alias("positive_key"),
         F.when(F.col("swapped") == 1, F.col("anchor_text")).otherwise(F.col("positive_text")).alias("positive_text"),
         F.col("negative_id"),
@@ -588,20 +617,21 @@ def assemble_temporal_triplets_sql(
     floor = float(chunking.chunk_weight_floor)
     fl = f"{floor!r}"
     trust_c = "greatest(0.0, least(a.trust, 1.0))"
+    p_trust_c = "greatest(0.0, least(pc.p_trust, 1.0))"
     n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
     base_a = "(1.0 / (CAST(a.a_idx AS DOUBLE) + 1.0))"
     base_p = "(1.0 / (CAST(pc.p_idx AS DOUBLE) + 1.0))"
     d = "CAST(abs(a.a_idx - pc.p_idx) AS DOUBLE)"
     prox = f"(1.0 - {d} / ({d} + 1.0))"
     aw = f"greatest({fl}, greatest({fl}, {base_a} * {trust_c}) * {prox})"
-    pw = f"greatest({fl}, greatest({fl}, {base_p} * {trust_c}) * {prox})"
+    pw = f"greatest({fl}, greatest({fl}, {base_p} * {p_trust_c}) * {prox})"
     nw = f"greatest({fl}, {n_trust_c})"
     weight = f"({float(recipe.weight)!r} * ((({aw}) + ({pw}) + ({nw})) / 3.0))"
     degenerate = (
         "" if recipe.allow_same_anchor_positive
         else "AND a.anchor_text <> pc.positive_text "
     )
-    instruction = f"'{recipe.instruction}'" if recipe.instruction else "CAST(NULL AS VARCHAR)"
+    instruction = _sql_str(recipe.instruction) if recipe.instruction else "CAST(NULL AS VARCHAR)"
     return f"""
 WITH all_chunks AS MATERIALIZED ({chunks_query}),
 rep AS MATERIALIZED (
@@ -618,7 +648,7 @@ anchors AS MATERIALIZED (
 ),
 pos_chunk AS MATERIALIZED (
   SELECT record_id AS neighbor_id, chunk_key AS positive_key,
-         chunk_text AS positive_text, win_index AS p_idx
+         chunk_text AS positive_text, win_index AS p_idx, trust AS p_trust
   FROM rep
 ),
 neg AS MATERIALIZED ({neg_sql}),
@@ -627,11 +657,11 @@ neg_chunk AS MATERIALIZED (
          chunk_text AS negative_text, trust
   FROM rep
 )
-SELECT '{recipe.name}' AS recipe,
-       a.record_id AS anchor_id,
+SELECT {_sql_str(recipe.name)} AS recipe,
+       CASE WHEN {swap_coin} = 0 THEN nb.neighbor_id ELSE a.record_id END AS anchor_id,
        CASE WHEN {swap_coin} = 0 THEN pc.positive_key ELSE a.anchor_key END AS anchor_key,
        CASE WHEN {swap_coin} = 0 THEN pc.positive_text ELSE a.anchor_text END AS anchor_text,
-       nb.neighbor_id AS positive_id,
+       CASE WHEN {swap_coin} = 0 THEN a.record_id ELSE nb.neighbor_id END AS positive_id,
        CASE WHEN {swap_coin} = 0 THEN a.anchor_key ELSE pc.positive_key END AS positive_key,
        CASE WHEN {swap_coin} = 0 THEN a.anchor_text ELSE pc.positive_text END AS positive_text,
        n.negative_id,
@@ -764,13 +794,17 @@ def _select_section(
             offset_days=selector.days, ts_is_epoch=True,
         ).select(F.col("id").alias("record_id"), "neighbor_id")
         inner = _select_section(base, Role("context"), side, seed, chunking, variant)
+        # trust rides from the NEIGHBOR (the selected chunk's record) —
+        # the weight model clamps the chunk's own record's trust; source/
+        # split/idf stay the requesting record's (pool + swap semantics)
         return (
-            nb.join(recs.select("record_id", "source", "split", "trust", "__idf"),
+            nb.join(recs.select("record_id", "source", "split", "__idf"),
                     "record_id")
             .join(
                 inner.select(
                     F.col("record_id").alias("neighbor_id"),
                     "section_idx", "sel_key", "sel_text", "sel_win",
+                    F.col("trust").alias("trust"),
                 ),
                 "neighbor_id",
             )
@@ -857,9 +891,11 @@ def _select_section_sql(
             offset_days=selector.days, ts_is_epoch=True,
         )
         inner = _select_section_sql(Role("context"), side, seed, chunking, variant)
+        # x.trust, not r.trust: the chunk belongs to the neighbor record
+        # (mirrors the Spark twin's weight-spec fix)
         return (
             f"SELECT nb.id AS record_id, x.section_idx, r.source, r.split, "
-            f"r.trust, r.idf, x.sel_key, x.sel_text, x.sel_win "
+            f"x.trust, r.idf, x.sel_key, x.sel_text, x.sel_win "
             f"FROM ({asof}) nb "
             f"JOIN {recs} r ON r.record_id = nb.id "
             f"JOIN ({inner}) x ON x.record_id = nb.neighbor_id"
@@ -909,7 +945,7 @@ def assemble_selector_triplets(
     seed: int = 42,
     variant: int = 0,
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
-    floor: float = 0.1,
+    floor: float | None = None,
     chunking: "ChunkingStrategy | None" = None,
     ts_col: str | None = None,
 ) -> DataFrame:
@@ -936,6 +972,10 @@ def assemble_selector_triplets(
     anchor_sel = recipe.anchor or RANDOM
     positive_sel = recipe.positive_selector or RANDOM
     negative_sel = recipe.negative_selector or RANDOM
+    if floor is None:
+        # derive from the strategy like the other assemblies (divergence
+        # between entry points was a reviewed bug); 0.1 = reference default
+        floor = float(chunking.chunk_weight_floor) if chunking is not None else 0.1
 
     idf = F.col("record_id").cast("long")
     base = sections.select(
@@ -1047,7 +1087,7 @@ def assemble_selector_triplets_sql(
     seed: int = 42,
     variant: int = 0,
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
-    floor: float = 0.1,
+    floor: float | None = None,
     chunking: "ChunkingStrategy | None" = None,
     has_ts: bool = False,
 ) -> str:
@@ -1058,6 +1098,19 @@ def assemble_selector_triplets_sql(
     anchor_sel = recipe.anchor or RANDOM
     positive_sel = recipe.positive_selector or RANDOM
     negative_sel = recipe.negative_selector or RANDOM
+    if floor is None:
+        # derive from the strategy like the other assemblies (divergence
+        # between entry points was a reviewed bug); 0.1 = reference default
+        floor = float(chunking.chunk_weight_floor) if chunking is not None else 0.1
+    if not has_ts and "temporal" in {
+        anchor_sel.kind, positive_sel.kind, negative_sel.kind
+    }:
+        # mirror the Spark twin's up-front ValueError instead of emitting
+        # SQL that fails later with a missing-column binder error
+        raise ValueError(
+            "TemporalOffset selector requires has_ts=True (sections_sql "
+            "must yield a ts column)"
+        )
 
     split_expr = split_label_sql("record_id", seed, ratios)
     trust_expr = _trust_sql("CAST(record_id AS BIGINT)")
@@ -1068,6 +1121,7 @@ def assemble_selector_triplets_sql(
     swap_coin = f"({mix31_sql(['a.idf', str(variant)], seed + SWAP_SEED_OFF)} % 2)"
     fl = f"{float(floor)!r}"
     trust_c = "greatest(0.0, least(a.trust, 1.0))"
+    p_trust_c = "greatest(0.0, least(pc.p_trust, 1.0))"
     n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
     base_a = "(1.0 / (CAST(a.a_win AS DOUBLE) + 1.0))"
     base_p = "(1.0 / (CAST(p.p_win AS DOUBLE) + 1.0))"
@@ -1081,7 +1135,7 @@ def assemble_selector_triplets_sql(
         "" if recipe.allow_same_anchor_positive
         else "AND a.anchor_text <> p.positive_text "
     )
-    instruction = f"'{recipe.instruction}'" if recipe.instruction else "CAST(NULL AS VARCHAR)"
+    instruction = _sql_str(recipe.instruction) if recipe.instruction else "CAST(NULL AS VARCHAR)"
     return f"""
 WITH sections0 AS MATERIALIZED ({sections_sql}),
 sec AS MATERIALIZED (
@@ -1111,7 +1165,7 @@ n_sel AS MATERIALIZED (
          sel_text AS negative_text, trust
   FROM ({_select_section_sql(negative_sel, 'negative', seed, chunking, variant)})
 )
-SELECT '{recipe.name}' AS recipe,
+SELECT {_sql_str(recipe.name)} AS recipe,
        a.record_id AS anchor_id,
        CASE WHEN {swap_coin} = 0 THEN p.positive_key ELSE a.anchor_key END AS anchor_key,
        CASE WHEN {swap_coin} = 0 THEN p.positive_text ELSE a.anchor_text END AS anchor_text,
@@ -1211,12 +1265,14 @@ def resolve_source_recipe_plans_sql(
     from rust_triplets_spark.functions.text import token_count_sql
 
     eligible = max_window_tokens > 0 and AUTO_RECIPE_NAME not in configured_names
-    names = ", ".join(f"'{n}'" for n in configured_names)
+    names = ", ".join(_sql_str(n) for n in configured_names)
     if eligible:
-        plan = (
-            f"CASE WHEN lng = 1 THEN [{names}, '{AUTO_RECIPE_NAME}'] "
-            f"ELSE [{names}] END"
+        # list built WITH the auto name then joined — "[{names}, 'auto']"
+        # would be "[, 'auto']" (a parse error) when nothing is configured
+        with_auto = ", ".join(
+            [*(_sql_str(n) for n in configured_names), _sql_str(AUTO_RECIPE_NAME)]
         )
+        plan = f"CASE WHEN lng = 1 THEN [{with_auto}] ELSE [{names}] END"
     else:
         plan = f"[{names}]"
     return f"""

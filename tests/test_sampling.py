@@ -355,3 +355,69 @@ def test_temporal_selector_neighbor_is_other_record_same_split(spark, sectioned_
         "n_id", F.split(nkey_col, "\\|")[0].cast("long")
     ).withColumn("n_split", split_label_col("n_id", 42))
     assert neigh_split.where(F.col("n_split") != F.col("split")).count() == 0
+
+
+def test_assembly_threads_date_col_to_strategy(spark, corpus):
+    """date_col now reaches negative_pick from assembly: the
+    wrong_publication_date strategy works end-to-end and matches the
+    DuckDB twin cell-for-cell (previously it raised despite the caller
+    supplying a date column)."""
+    import duckdb
+    import pandas as pd
+
+    from rust_triplets_spark.operators.triplets import assemble_triplets_sql
+
+    strat = ChunkingStrategy(max_window_tokens=4, overlap_tokens=(1,),
+                             summary_fallback_tokens=3)
+    recipe = TripletRecipe("dated", negative_strategy="wrong_publication_date")
+    out = assemble_triplets(
+        corpus, "id", "source", "text", recipe, strat, date_col="d"
+    ).toPandas()
+    assert len(out) > 0
+    con = duckdb.connect()
+    con.register("corpus_t", corpus.toPandas())
+    sql = assemble_triplets_sql(
+        "corpus_t", "id", "source", "text", recipe, strat, date_sql="d"
+    )
+    oracle = con.execute(sql).df()
+    key = sorted(out.columns)
+    a = out[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = oracle[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=False, rtol=1e-9
+    )
+    # the strategy contract: the negative's date differs from the anchor's
+    dates = {r["id"]: r["d"] for _, r in corpus.toPandas().iterrows()}
+    for _, r in out.iterrows():
+        da, dn = dates[r["anchor_id"]], dates[r["negative_id"]]
+        if da is not None and dn is not None:
+            assert da != dn, (r["anchor_id"], r["negative_id"])
+
+
+def test_temporal_swap_exchanges_ids_with_texts(spark):
+    """Swapped temporal triplets carry the NEIGHBOR's id as anchor_id —
+    (id, key, text) triples stay aligned for pair derivation."""
+    from rust_triplets_spark.operators.triplets import assemble_temporal_triplets
+
+    rows = [
+        (i, "s", 1_700_000_000 + i * 86_400,
+         " ".join(f"r{i}w{j}" for j in range(6)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, ts long, text string")
+    strat = ChunkingStrategy(max_window_tokens=4, overlap_tokens=(1,),
+                             summary_fallback_tokens=3)
+    out = assemble_temporal_triplets(
+        df, "id", "source", "text", "ts",
+        TripletRecipe("t", negative_strategy="wrong_article"), strat,
+        offset_days=3,
+    ).collect()
+    assert out
+    swapped_seen = False
+    for r in out:
+        # anchor text tokens must come from the anchor_id record
+        assert r.anchor_text.split()[0].startswith(f"r{r.anchor_id}w"), r
+        assert r.positive_text.split()[0].startswith(f"r{r.positive_id}w"), r
+        if r.swapped == 1:
+            swapped_seen = True
+    assert swapped_seen

@@ -1,0 +1,243 @@
+"""Line-level corpus cleaning — boilerplate line dedup and C4 heuristics.
+
+Two standard web-corpus cleaning passes a 100 TB pretraining pipeline runs
+before any document-level dedup (both from the public literature; the
+reference's denoiser, ``src/preprocessor/backends/denoiser_preprocessor.rs``,
+is the same *shape* — per-line gates over a split document — but these two
+operate on corpus-global line frequencies / C4's published heuristics):
+
+- **Boilerplate line dedup** (CCNet, Wenzek et al. 2019; RefinedWeb,
+  Penedo et al. 2023): a line occurring in many *distinct documents* is
+  navigation/footer boilerplate ("subscribe to our newsletter",
+  copyright lines) and is removed from every document.
+- **C4 line filter** (Raffel et al. 2020, §2.2): keep only lines that end
+  in terminal punctuation and have at least ``min_words`` words; drop any
+  document that ends up with fewer than ``min_kept`` lines, mentions
+  "lorem ipsum", or contains a curly brace (code page).
+
+Scale shape: line frequency is ONE partial-aggregable groupBy keyed by
+``(hash31(line), length(line))`` — fixed-width shuffle keys, never line
+text (the same rule the exact-dedup fix follows: blobs stay out of shuffle
+keys); the re-join back to lines broadcasts nothing and is linear in total
+line count. Document re-assembly is a single groupBy(id) with an ordered
+fold. The C4 filter is entirely row-local (zero shuffles beyond the final
+per-doc agg). Both are pure column expressions — no UDFs — with DuckDB
+twins that evaluate hash-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import hash31_str_col, hash31_str_sql
+
+LINE_SEED = 3301
+
+# C4's terminal-punctuation rule: line must end in . ! ? or closing quote.
+_TERMINAL_RE = '[.!?"]$'
+# Spark's \s and DuckDB RE2's \s agree on ASCII whitespace here.
+_WS = "\\s+"
+
+
+def _lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode documents into (id, pos, line) rows. Zero-shuffle."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("id", F.col("pos").cast("long").alias("pos"), "line")
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int,
+    seed: int = LINE_SEED,
+) -> DataFrame:
+    """Remove lines that occur in ``>= min_docs`` distinct documents.
+
+    Returns one row per document: ``(id, n_lines, n_removed, clean_text)``
+    where ``clean_text`` is the document with boilerplate lines dropped
+    (remaining lines re-joined with ``\\n`` in original order). Empty
+    lines are never counted as boilerplate (they are structure, not
+    content) and are kept.
+
+    Frequency counting groups by ``(hash31(trim(line)), length)`` — a
+    collision would remove an extra line identically on both engines, so
+    the oracle stays exact; at 31-bit hash × length granularity the
+    collision rate is negligible for line-scale strings.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = _lines(df, id_col, text_col)
+    norm = F.trim(F.col("line"))
+    keyed = lines.select(
+        "id",
+        "pos",
+        "line",
+        F.when(F.length(norm) > 0, hash31_str_col(norm, seed))
+        .otherwise(F.lit(None))
+        .alias("lkey"),
+        F.length(norm).alias("llen"),
+    )
+    freq = (
+        keyed.where(F.col("lkey").isNotNull())
+        .groupBy("lkey", "llen")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lkey", "llen", F.lit(True).alias("boiler"))
+    )
+    marked = keyed.join(freq, ["lkey", "llen"], "left").select(
+        "id",
+        "pos",
+        "line",
+        F.coalesce(F.col("boiler"), F.lit(False)).alias("removed"),
+    )
+    kept_struct = F.when(~F.col("removed"), F.struct("pos", "line"))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            "id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            "clean_text",
+        )
+    )
+
+
+def boilerplate_line_dedup_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    min_docs: int,
+    seed: int = LINE_SEED,
+) -> str:
+    """DuckDB twin of :func:`boilerplate_line_dedup`. ``table`` may be a
+    parenthesized subquery."""
+    key = hash31_str_sql("trim(l.line)", seed)
+    return f"""
+WITH docs AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, string_split({text_sql}, chr(10)) AS ls
+  FROM {table}
+), lines AS (
+  SELECT d.id, CAST(u.i - 1 AS BIGINT) AS pos, d.ls[u.i] AS line
+  FROM docs d, UNNEST(range(1, len(d.ls) + 1)) AS u(i)
+), keyed AS (
+  SELECT l.id, l.pos, l.line,
+         CASE WHEN length(trim(l.line)) > 0 THEN {key} END AS lkey,
+         length(trim(l.line)) AS llen
+  FROM lines l
+), freq AS (
+  SELECT lkey, llen FROM keyed WHERE lkey IS NOT NULL
+  GROUP BY lkey, llen HAVING count(DISTINCT id) >= {int(min_docs)}
+), marked AS (
+  SELECT k.id, k.pos, k.line, (f.lkey IS NOT NULL) AS removed
+  FROM keyed k LEFT JOIN freq f ON k.lkey = f.lkey AND k.llen = f.llen
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT removed THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY id
+"""
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    min_kept: int = 3,
+) -> DataFrame:
+    """C4's line + document heuristics (Raffel et al. 2020 §2.2).
+
+    Line kept iff the trimmed line ends in terminal punctuation
+    (``.!?"``) and has ``>= min_words`` whitespace words. Document kept
+    iff ``>= min_kept`` lines survive, the text does not contain
+    ``lorem ipsum`` (case-insensitive), and contains no ``{``.
+
+    Returns ``(id, n_lines, n_kept, doc_kept, clean_text)`` — one row per
+    input document (dropped documents report ``doc_kept = false`` with
+    their would-be cleaned text, so the caller can audit the filter).
+    Entirely row-local until the final per-doc aggregation.
+    """
+    if min_words < 1 or min_kept < 1:
+        raise ValueError(f"min_words/min_kept must be >= 1, got {min_words}/{min_kept}")
+    lines = _lines(df, id_col, text_col)
+    norm = F.trim(F.col("line"))
+    n_words = F.size(F.filter(F.split(norm, _WS), lambda t: t != F.lit("")))
+    keep_line = norm.rlike(_TERMINAL_RE) & (n_words >= min_words)
+    marked = lines.select("id", "pos", "line", keep_line.alias("kept"))
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "line"))
+    per_doc = marked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]),
+            "\n",
+        ).alias("clean_text"),
+    )
+    text = F.col(text_col)
+    doc_gate = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        (
+            ~F.lower(text).contains("lorem ipsum") & ~text.contains("{")
+        ).alias("__doc_ok"),
+    )
+    return per_doc.join(doc_gate, "id").select(
+        "id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        ((F.col("n_kept") >= min_kept) & F.col("__doc_ok")).alias("doc_kept"),
+        "clean_text",
+    )
+
+
+def c4_line_filter_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    min_words: int = 3,
+    min_kept: int = 3,
+) -> str:
+    """DuckDB twin of :func:`c4_line_filter`."""
+    return f"""
+WITH docs AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS t,
+         string_split({text_sql}, chr(10)) AS ls
+  FROM {table}
+), lines AS (
+  SELECT d.id, CAST(u.i - 1 AS BIGINT) AS pos, d.ls[u.i] AS line
+  FROM docs d, UNNEST(range(1, len(d.ls) + 1)) AS u(i)
+), marked AS (
+  SELECT id, pos, line,
+         (regexp_matches(trim(line), '{_TERMINAL_RE}')
+          AND len(list_filter(regexp_split_to_array(trim(line), '{_WS}'),
+                              x -> x <> '')) >= {int(min_words)}) AS kept
+  FROM lines
+), per_doc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+                             ORDER BY pos), '') AS clean_text
+  FROM marked GROUP BY id
+), gate AS (
+  SELECT id, (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{'))
+           AS doc_ok
+  FROM docs
+)
+SELECT p.id, p.n_lines, p.n_kept,
+       (p.n_kept >= {int(min_kept)} AND g.doc_ok) AS doc_kept, p.clean_text
+FROM per_doc p JOIN gate g ON p.id = g.id
+"""

@@ -154,3 +154,94 @@ SELECT base.id, base.n_tok, base.uniq_token_frac, base.dup_line_frac,
        {', '.join(gram_cols)}
 FROM base{joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling: exact per-group discrete quantiles
+# ---------------------------------------------------------------------------
+
+QUANTILE_FRACTIONS: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4), (9, 10))
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fractions: tuple[tuple[int, int], ...] = QUANTILE_FRACTIONS,
+) -> DataFrame:
+    """Per-group discrete (type-1) quantiles of an integer column — the
+    corpus-profiling pass a data pipeline runs to size chunking budgets
+    and spot degenerate sources (length collapse, truncation walls).
+
+    The ``f`` quantile is the value at 1-indexed rank ``ceil(f * n)`` in
+    the group's sorted order. Fractions are exact rationals ``(p, q)`` and
+    the rank is computed in pure integer arithmetic ``(p*n + q - 1) div
+    q`` — no floating-point rank, so Spark and DuckDB agree bit-exactly.
+
+    Output: ``(group, n, min_v, max_v, q_<pct> ...)`` as BIGINT.
+
+    Scale note: uses a per-group sort window — correct and exact at any
+    group count, but at 100 TB with few giant groups prefer
+    ``approx_percentile`` (t-digest, partial-aggregable, no global sort)
+    and keep this exact form for audits on samples. Ties need no
+    tiebreak: every row of a tie-run carries the same value, so the rank
+    pick is deterministic regardless of row order within the run.
+    """
+    from pyspark.sql import Window
+
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for p, q in fractions:
+        if not (0 < p <= q):
+            raise ValueError(f"fraction {p}/{q} not in (0, 1]")
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    v = F.col(value_col).cast("long")
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ]
+    for p, q in fractions:
+        pct = round(100 * p / q)
+        idx = F.expr(f"(n * {p} + {q - 1}) div {q}")
+        aggs.append(F.max(F.when(F.col("rn") == idx, F.col("v"))).alias(f"q_{pct}"))
+    return ranked.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
+
+
+def group_quantiles_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    fractions: tuple[tuple[int, int], ...] = QUANTILE_FRACTIONS,
+    group_alias: str = "grp",
+) -> str:
+    """DuckDB twin of :func:`group_quantiles`. ``group_alias`` must match
+    the Spark side's ``group_col`` output name for hash parity."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    qcols = []
+    for p, q in fractions:
+        if not (0 < p <= q):
+            raise ValueError(f"fraction {p}/{q} not in (0, 1]")
+        pct = round(100 * p / q)
+        qcols.append(
+            f"max(CASE WHEN rn = (n * {p} + {q - 1}) // {q} THEN v END) AS q_{pct}"
+        )
+    return f"""
+WITH ranked AS (
+  SELECT {group_sql} AS grp, CAST({value_sql} AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY {group_sql} ORDER BY {value_sql}) AS rn,
+         count(*) OVER (PARTITION BY {group_sql}) AS n
+  FROM {table}
+)
+SELECT grp AS {group_alias}, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS min_v, max(v) AS max_v,
+       {', '.join(qcols)}
+FROM ranked GROUP BY grp
+"""

@@ -2506,6 +2506,142 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# line-level corpus cleaning: boilerplate line dedup (CCNet/RefinedWeb) and
+# the C4 line/document heuristics (operators/lines.py), plus per-source
+# length-quantile profiling. The synthetic documents are single-line word
+# soup, so a deterministic "web page" augmentation re-chunks each document
+# into 6-token lines and injects the boilerplate/noise a real crawl has:
+# a nav line everywhere, per-source copyright footers, a 1-in-3 subscribe
+# footer, 1-in-20 lorem-ipsum and 1-in-25 code-brace noise docs, and a
+# 2-in-3 terminal-period gate per content line — every piece a pure
+# function of (doc_id, seed) evaluated identically by both engines.
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.lines import (  # noqa: E402
+    boilerplate_line_dedup,
+    boilerplate_line_dedup_sql,
+    c4_line_filter,
+    c4_line_filter_sql,
+)
+from rust_triplets_spark.operators.quality import (  # noqa: E402
+    group_quantiles,
+    group_quantiles_sql,
+)
+
+_WEB_LINE_TOKS = 6
+_WEB_SEED_SUB = 921
+_WEB_SEED_LOREM = 922
+_WEB_SEED_BRACE = 923
+_WEB_SEED_PUNCT = 924
+_WEB_NAV = "home | about | contact us today"
+_WEB_SUB = "subscribe to our newsletter."
+_WEB_LOREM = "lorem ipsum dolor sit amet."
+_WEB_BRACE = "function() { return 0; }"
+
+
+def _web_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        TX.tokens_col("text").alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    k = _WEB_LINE_TOKS
+    nl = F.floor((F.size("__toks") + (k - 1)) / F.lit(k)).cast("int")
+
+    def content_line(i):
+        line = F.array_join(F.slice(F.col("__toks"), i * k + 1, F.lit(k)), " ")
+        punct = F.pmod(
+            mix31_col([F.col("doc_id"), i], SEED + _WEB_SEED_PUNCT), F.lit(3)
+        ) < 2
+        return F.when(punct, F.concat(line, F.lit("."))).otherwise(line)
+
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+
+    def gated(seed: int, mod: int, text: str):
+        h = F.pmod(hash31_col(F.col("doc_id"), seed), F.lit(mod))
+        return F.when(h == 0, F.array(F.lit(text))).otherwise(empty)
+
+    parts = F.concat(
+        F.array(F.lit(_WEB_NAV)),
+        F.transform(F.sequence(F.lit(0), nl - 1), content_line),
+        gated(SEED + _WEB_SEED_SUB, 3, _WEB_SUB),
+        F.array(
+            F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved."))
+        ),
+        gated(SEED + _WEB_SEED_LOREM, 20, _WEB_LOREM),
+        gated(SEED + _WEB_SEED_BRACE, 25, _WEB_BRACE),
+    )
+    return d.select("doc_id", "source", F.array_join(parts, "\n").alias("text"))
+
+
+def _web_docs_sql() -> str:
+    k = _WEB_LINE_TOKS
+    toks = TX.tokens_sql("text")
+    punct = mix31_sql(["doc_id", "i"], SEED + _WEB_SEED_PUNCT)
+    line = f"array_to_string(({toks})[i*{k}+1:i*{k}+{k}], ' ')"
+
+    def gated(seed: int, mod: int, text: str) -> str:
+        return (
+            f"CASE WHEN {hash31_sql('doc_id', seed)} % {mod} = 0 "
+            f"THEN ['{text}'] ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       array_to_string(
+         ['{_WEB_NAV}']
+         || list_transform(range(0, (len({toks}) + {k - 1}) // {k}),
+              i -> CASE WHEN {punct} % 3 < 2 THEN {line} || '.' ELSE {line} END)
+         || {gated(SEED + _WEB_SEED_SUB, 3, _WEB_SUB)}
+         || ['copyright ' || source || ' all rights reserved.']
+         || {gated(SEED + _WEB_SEED_LOREM, 20, _WEB_LOREM)}
+         || {gated(SEED + _WEB_SEED_BRACE, 25, _WEB_BRACE)},
+         chr(10)) AS text
+FROM documents WHERE len({toks}) > 0
+"""
+
+
+_LINE_DEDUP_MIN_DOCS = 5
+
+
+@_register(
+    "line_boilerplate_dedup",
+    boilerplate_line_dedup_sql(
+        f"({_web_docs_sql()}) AS src", "src.doc_id", "src.text", _LINE_DEDUP_MIN_DOCS
+    ),
+)
+def line_boilerplate_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb boilerplate removal (operators/lines.py): lines
+    occurring in >= 5 distinct docs (nav, copyright, subscribe, lorem
+    noise) are stripped from every document; content lines survive."""
+    return boilerplate_line_dedup(
+        _web_docs_df(spark, sf_dir), "doc_id", "text", _LINE_DEDUP_MIN_DOCS
+    )
+
+
+@_register(
+    "c4_doc_filter",
+    c4_line_filter_sql(f"({_web_docs_sql()}) AS src", "src.doc_id", "src.text", 3, 3),
+)
+def c4_doc_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2, operators/lines.py):
+    terminal-punctuation + >=3-word line gate, >=3 kept lines, lorem-ipsum
+    and curly-brace document drops — kept flag + cleaned text per doc."""
+    return c4_line_filter(_web_docs_df(spark, sf_dir), "doc_id", "text", 3, 3)
+
+
+@_register(
+    "source_length_quantiles",
+    group_quantiles_sql("documents", "source", "n_chars", group_alias="source"),
+)
+def source_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile (operators/quality.py): exact
+    discrete quantiles via integer-rank picks — the corpus audit that
+    sizes chunk windows and flags degenerate sources."""
+    return group_quantiles(_t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
 # re-ordered here: queries that have never had a CORRECTNESS row (or were
@@ -2515,6 +2651,9 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_FIRST = [
     # new this round
+    "line_boilerplate_dedup",
+    "c4_doc_filter",
+    "source_length_quantiles",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

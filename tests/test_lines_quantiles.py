@@ -1,0 +1,130 @@
+"""Line-level corpus cleaning (operators/lines.py) and exact group
+quantiles (operators/quality.py::group_quantiles)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.operators.lines import (
+    boilerplate_line_dedup,
+    c4_line_filter,
+)
+from rust_triplets_spark.operators.quality import group_quantiles
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id: long, text: string")
+
+
+FOOTER = "subscribe to our newsletter"
+
+
+class TestBoilerplateLineDedup:
+    def test_frequent_line_removed_everywhere(self, spark):
+        rows = [(i, f"unique content line {i}\n{FOOTER}") for i in range(5)]
+        out = boilerplate_line_dedup(_docs(spark, rows), "id", "text", 3).collect()
+        assert len(out) == 5
+        for r in out:
+            assert r.n_lines == 2 and r.n_removed == 1
+            assert r.clean_text == f"unique content line {r.id}"
+
+    def test_below_threshold_kept(self, spark):
+        rows = [(1, f"a\n{FOOTER}"), (2, f"b\n{FOOTER}"), (3, "c")]
+        out = {
+            r.id: r
+            for r in boilerplate_line_dedup(_docs(spark, rows), "id", "text", 3).collect()
+        }
+        assert out[1].n_removed == 0 and FOOTER in out[1].clean_text
+
+    def test_repeat_within_one_doc_not_boilerplate(self, spark):
+        # corpus frequency counts DISTINCT docs, not occurrences
+        rows = [(1, "same\nsame\nsame"), (2, "other")]
+        out = {
+            r.id: r
+            for r in boilerplate_line_dedup(_docs(spark, rows), "id", "text", 2).collect()
+        }
+        assert out[1].n_removed == 0
+
+    def test_empty_lines_never_removed(self, spark):
+        rows = [(i, "top\n\nbottom") for i in range(4)]
+        out = boilerplate_line_dedup(_docs(spark, rows), "id", "text", 2).collect()
+        # 'top'/'bottom' are boilerplate (4 docs); the blank line survives
+        for r in out:
+            assert r.n_removed == 2 and r.clean_text == ""  # blank line remains
+
+    def test_order_preserved(self, spark):
+        rows = [(1, "z last\na first\nm mid"), (2, "x")]
+        r = (
+            boilerplate_line_dedup(_docs(spark, rows), "id", "text", 2)
+            .where(F.col("id") == 1)
+            .head()
+        )
+        assert r.clean_text == "z last\na first\nm mid"
+
+    def test_min_docs_validation(self, spark):
+        with pytest.raises(ValueError):
+            boilerplate_line_dedup(_docs(spark, [(1, "x")]), "id", "text", 1)
+
+
+class TestC4LineFilter:
+    def test_line_gates(self, spark):
+        text = "\n".join(
+            [
+                "This line ends properly.",  # kept
+                "short.",  # < 3 words
+                "no terminal punctuation here",  # no punct
+                "Another good sentence here!",  # kept
+                'He said "stop right there."',  # kept (quote counts? ends with .)
+            ]
+        )
+        r = c4_line_filter(_docs(spark, [(1, text)]), "id", "text", 3, 1).head()
+        assert r.n_lines == 5 and r.n_kept == 3 and r.doc_kept
+        assert "short." not in r.clean_text
+
+    def test_min_kept_gate(self, spark):
+        r = c4_line_filter(
+            _docs(spark, [(1, "Only one good line here.")]), "id", "text", 3, 3
+        ).head()
+        assert r.n_kept == 1 and not r.doc_kept
+
+    def test_lorem_and_brace_gates(self, spark):
+        good = "A fine sentence one.\nA fine sentence two.\nA fine sentence three."
+        rows = [
+            (1, good),
+            (2, good + "\nsome Lorem Ipsum filler text."),
+            (3, good + "\nif (x) { y(); }"),
+        ]
+        out = {r.id: r for r in c4_line_filter(_docs(spark, rows), "id", "text").collect()}
+        assert out[1].doc_kept
+        assert not out[2].doc_kept  # case-insensitive lorem ipsum
+        assert not out[3].doc_kept  # code brace
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            c4_line_filter(_docs(spark, [(1, "x")]), "id", "text", 0, 1)
+
+
+class TestGroupQuantiles:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [("a", v) for v in range(1, 11)] + [("b", 7)], "g: string, v: long"
+        )
+        out = {r.g: r for r in group_quantiles(df, "g", "v").collect()}
+        a = out["a"]
+        # type-1 quantile: value at rank ceil(f*n), n=10
+        assert (a.n, a.min_v, a.max_v) == (10, 1, 10)
+        assert (a.q_25, a.q_50, a.q_75, a.q_90) == (3, 5, 8, 9)
+        b = out["b"]
+        assert (b.q_25, b.q_50, b.q_75, b.q_90) == (7, 7, 7, 7)
+
+    def test_rank_is_integer_arithmetic(self, spark):
+        # n=5 with f=9/10: ceil(4.5) = 5 exactly — no float rank drift
+        df = spark.createDataFrame([("a", v) for v in (10, 20, 30, 40, 50)], "g: string, v: long")
+        r = group_quantiles(df, "g", "v").head()
+        assert r.q_90 == 50
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", 1)], "g: string, v: long")
+        with pytest.raises(ValueError):
+            group_quantiles(df, "g", "v", fractions=())
+        with pytest.raises(ValueError):
+            group_quantiles(df, "g", "v", fractions=((3, 2),))

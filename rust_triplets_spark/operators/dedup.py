@@ -270,18 +270,29 @@ def minhash_lsh_pairs(
     )
     # ONE explode over per-band structs, not a union of per-band selects —
     # a union re-evaluates the signature lineage once per band (and the
-    # self-join below doubles that again); this frame is a single pass
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            mix31_col([F.col(f"mh_{b * r + j}") for j in range(r)], BAND_SEED + b).alias("sig"),
+    # self-join below doubles that again); this frame is a single pass.
+    # The band sigs are computed in a PROJECT before the explode, one
+    # column each: a chained mix31 duplicates its accumulator subtree at
+    # every `h ^ (h >> 15)` step, so inlining all 8 band chains inside the
+    # Generate's array(struct(...)) expression exceeded janino's 64 KB
+    # method limit and dropped the whole banded stage to interpreted
+    # execution (the one codegen fallback in the repo's hot paths). As
+    # separate projection columns each chain compiles in its own codegen
+    # unit and the Generate explodes plain column references.
+    band_sig_cols = [
+        mix31_col([F.col(f"mh_{b * r + j}") for j in range(r)], BAND_SEED + b).alias(
+            f"__sig_{b}"
         )
         for b in range(bands)
     ]
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), F.col(f"__sig_{b}").alias("sig"))
+        for b in range(bands)
+    ]
     banded = cache_scoped(
-        sigs.select("id", F.explode(F.array(*band_structs)).alias("__b")).select(
-            "id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig")
-        ),
+        sigs.select("id", *band_sig_cols)
+        .select("id", F.explode(F.array(*band_structs)).alias("__b"))
+        .select("id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig")),
         "dedup.minhash_banded", eager=True,
     )
     left = banded.select("band", "sig", F.col("id").alias("a"))

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "line_boilerplate_dedup",
     "c4_doc_filter",
     "source_length_quantiles",
+    "source_token_budget",
+    "budgeted_source_sample",
 ]
 
 

@@ -217,3 +217,167 @@ SELECT {source_sql} AS source, {split_sql} AS split,
        CAST(count(*) AS BIGINT) AS text_samples
 FROM {table_sql} GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# token-budget allocation across sources (water-filling) + budgeted sampling
+# ---------------------------------------------------------------------------
+
+def waterfill_allocation(
+    counts: DataFrame, group_col: str, count_col: str, budget: int
+) -> DataFrame:
+    """Allocate an integer ``budget`` across groups by water-filling — the
+    standard max-min-fair split a training-data pipeline uses to turn
+    "sample B tokens total" into per-source quotas: small sources keep
+    everything they have, large sources are capped at a common level so
+    no source dominates the mix.
+
+    Exact integer semantics (both engines agree bit-for-bit): order groups
+    by (count, group) ascending; group k is *funded* (keeps its full
+    count) iff every group up to k satisfies ``c_j <= (B - prefix_{j-1})
+    div (n - j + 1)`` — the running-AND makes the funded prefix
+    well-defined under integer division. Capped groups receive the common
+    level ``L = (B - prefix_K) div (n - K)``; the remainder ``(B -
+    prefix_K) % (n - K)`` is handed out as +1 to the first capped groups
+    in order. ``sum(alloc) == min(budget, sum(c))`` always.
+
+    Returns ``(group, c, funded, alloc)``.
+
+    Scale note: the ordering windows run over the GROUP frame (one row
+    per source), which is tiny by construction — a single-partition
+    window over thousands of rows, never over records.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    B = int(budget)
+    w_ord = Window.orderBy(F.col("c"), F.col("grp"))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        counts.select(
+            F.col(group_col).alias("grp"), F.col(count_col).cast("long").alias("c")
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn("prefix", F.sum("c").over(w_run))
+        .withColumn("s", F.expr(f"({B} - (prefix - c)) div (n - rn + 1)"))
+        .withColumn("funded", F.min((F.col("c") <= F.col("s")).cast("int")).over(w_run) == 1)
+        .withColumn("K", F.sum(F.col("funded").cast("long")).over(w_all))
+        .withColumn(
+            "prefixK",
+            F.coalesce(F.max(F.when(F.col("funded"), F.col("prefix"))).over(w_all), F.lit(0)),
+        )
+        .withColumn("L", F.expr(f"({B} - prefixK) div nullif(n - K, 0)"))
+        .withColumn("rem", F.expr(f"({B} - prefixK) % nullif(n - K, 0)"))
+    )
+    alloc = F.when(F.col("funded"), F.col("c")).otherwise(
+        F.col("L") + (F.col("rn") - F.col("K") <= F.col("rem")).cast("long")
+    )
+    return t.select(
+        F.col("grp").alias(group_col),
+        "c",
+        "funded",
+        alloc.cast("long").alias("alloc"),
+    )
+
+
+def waterfill_allocation_sql(
+    counts_sql: str, group_sql: str, count_sql: str, budget: int,
+    group_alias: str = "grp",
+) -> str:
+    """DuckDB twin of :func:`waterfill_allocation`. ``counts_sql`` is a
+    subquery (with alias) yielding one row per group."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    B = int(budget)
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS grp, CAST({count_sql} AS BIGINT) AS c FROM {counts_sql}
+), t AS (
+  SELECT grp, c,
+         row_number() OVER w_ord AS rn,
+         count(*) OVER () AS n,
+         sum(c) OVER (ORDER BY c, grp ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM base
+  WINDOW w_ord AS (ORDER BY c, grp)
+), flags AS (
+  SELECT *, ({B} - (prefix - c)) // (n - rn + 1) AS s,
+         min(CASE WHEN c <= ({B} - (prefix - c)) // (n - rn + 1) THEN 1 ELSE 0 END)
+           OVER (ORDER BY c, grp ROWS UNBOUNDED PRECEDING) = 1 AS funded
+  FROM t
+), lvl AS (
+  SELECT *, sum(CASE WHEN funded THEN 1 ELSE 0 END) OVER () AS K,
+         COALESCE(max(CASE WHEN funded THEN prefix END) OVER (), 0) AS prefixK
+  FROM flags
+)
+SELECT grp AS {group_alias}, c, funded,
+       CAST(CASE WHEN funded THEN c
+            ELSE ({B} - prefixK) // nullif(n - K, 0)
+                 + CASE WHEN rn - K <= ({B} - prefixK) % nullif(n - K, 0)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc
+FROM lvl
+"""
+
+
+def budgeted_source_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified sample honoring a water-filled row budget:
+    per source, keep the first ``alloc`` records in seeded-hash order.
+
+    Composition of :func:`waterfill_allocation` (quotas) with the same
+    hash-rank pick every sampler in this repo uses — the "subsample the
+    corpus to B rows without letting one source dominate" primitive.
+    Returns ``(id, source, rank, alloc)`` for kept rows.
+
+    Scale shape: one per-source row_number window over records (the same
+    shuffle any per-source op pays), one broadcast join against the tiny
+    allocation frame.
+    """
+    counts = df.groupBy(F.col(source_col).alias("grp")).agg(F.count("*").alias("c"))
+    alloc = waterfill_allocation(counts, "grp", "c", budget).select(
+        F.col("grp").alias("__src"), "alloc"
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        hash31_col(F.col(id_col), seed), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(source_col).alias("source"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), ranked["source"] == alloc["__src"])
+        .where(F.col("rank") <= F.col("alloc"))
+        .select("id", "source", "rank", "alloc")
+    )
+
+
+def budgeted_source_sample_sql(
+    table: str, id_sql: str, source_sql: str, budget: int, seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`budgeted_source_sample`."""
+    alloc = waterfill_allocation_sql(
+        f"(SELECT {source_sql} AS grp, count(*) AS c FROM {table} GROUP BY 1) AS counts",
+        "grp", "c", budget,
+    )
+    key = hash31_sql(f"CAST({id_sql} AS BIGINT)", seed)
+    return f"""
+WITH alloc AS MATERIALIZED ({alloc}),
+ranked AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {source_sql} AS source,
+         CAST(row_number() OVER (PARTITION BY {source_sql}
+              ORDER BY {key}, {id_sql}) AS BIGINT) AS rank
+  FROM {table}
+)
+SELECT r.id, r.source, r.rank, a.alloc
+FROM ranked r JOIN alloc a ON r.source = a.grp
+WHERE r.rank <= a.alloc
+"""

@@ -2642,6 +2642,61 @@ def source_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# water-filled token budgets + budgeted stratified sampling
+# (operators/mixing.py): "sample B tokens/rows without letting one source
+# dominate" — max-min fair quotas, then the seeded hash-rank pick.
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.mixing import (  # noqa: E402
+    budgeted_source_sample,
+    budgeted_source_sample_sql,
+    waterfill_allocation,
+    waterfill_allocation_sql,
+)
+
+_TOKEN_BUDGET = 15_000
+_SAMPLE_BUDGET = 300
+
+
+@_register(
+    "source_token_budget",
+    waterfill_allocation_sql(
+        f"(SELECT source AS grp, CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS c"
+        " FROM documents GROUP BY 1) AS counts",
+        "grp",
+        "c",
+        _TOKEN_BUDGET,
+        group_alias="source",
+    ),
+)
+def source_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token budget across sources: small sources fully
+    funded, large sources capped at a common level, remainder dealt
+    deterministically — exact integer semantics on both engines."""
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("grp"))
+        .agg(F.sum(TX.token_count_col("text")).cast("long").alias("c"))
+    )
+    return waterfill_allocation(counts, "grp", "c", _TOKEN_BUDGET).withColumnRenamed(
+        "grp", "source"
+    )
+
+
+@_register(
+    "budgeted_source_sample",
+    budgeted_source_sample_sql("documents", "doc_id", "source", _SAMPLE_BUDGET, SEED),
+)
+def budgeted_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified subsample honoring a water-filled per-source row quota:
+    the 'cut the corpus to B rows, max-min fair across sources' primitive
+    (quota frame broadcasts; one per-source rank window)."""
+    return budgeted_source_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "source", _SAMPLE_BUDGET, SEED
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
 # re-ordered here: queries that have never had a CORRECTNESS row (or were
@@ -2654,6 +2709,8 @@ _CHECK_FIRST = [
     "line_boilerplate_dedup",
     "c4_doc_filter",
     "source_length_quantiles",
+    "source_token_budget",
+    "budgeted_source_sample",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -128,3 +128,85 @@ class TestGroupQuantiles:
             group_quantiles(df, "g", "v", fractions=())
         with pytest.raises(ValueError):
             group_quantiles(df, "g", "v", fractions=((3, 2),))
+
+
+from rust_triplets_spark.operators.mixing import (  # noqa: E402
+    budgeted_source_sample,
+    waterfill_allocation,
+)
+
+
+def _counts(spark, pairs):
+    return spark.createDataFrame(pairs, "grp: string, c: long")
+
+
+class TestWaterfillAllocation:
+    def _check(self, spark, pairs, budget):
+        out = waterfill_allocation(_counts(spark, pairs), "grp", "c", budget).collect()
+        total_c = sum(c for _, c in pairs)
+        by = {r.grp: r for r in out}
+        # invariant 1: exact budget (or everything, if budget exceeds corpus)
+        assert sum(r.alloc for r in out) == min(budget, total_c)
+        # invariant 2: never over-allocate a group
+        assert all(r.alloc <= r.c for r in out)
+        # invariant 3: funded groups keep everything
+        assert all(r.alloc == r.c for r in out if r.funded)
+        # invariant 4: max-min fairness — every capped alloc >= any funded c
+        capped = [r.alloc for r in out if not r.funded]
+        funded_c = [r.c for r in out if r.funded]
+        if capped and funded_c:
+            assert min(capped) >= max(funded_c)
+        # invariant 5: capped allocations differ by at most 1
+        if capped:
+            assert max(capped) - min(capped) <= 1
+        return by
+
+    def test_all_funded(self, spark):
+        by = self._check(spark, [("a", 5), ("b", 10), ("c", 3)], 100)
+        assert all(by[g].funded for g in "abc")
+
+    def test_all_capped(self, spark):
+        by = self._check(spark, [("a", 50), ("b", 60), ("c", 70)], 31)
+        # 31 over 3 groups: level 10, remainder 1 to the first capped group
+        assert sorted(r.alloc for r in by.values()) == [10, 10, 11]
+
+    def test_mixed(self, spark):
+        by = self._check(spark, [("tiny", 2), ("small", 8), ("big", 100), ("huge", 200)], 60)
+        assert by["tiny"].funded and by["small"].funded
+        assert not by["big"].funded and not by["huge"].funded
+        assert by["tiny"].alloc == 2 and by["small"].alloc == 8
+        assert by["big"].alloc + by["huge"].alloc == 50
+
+    def test_zero_budget(self, spark):
+        by = self._check(spark, [("a", 5), ("b", 7)], 0)
+        assert all(r.alloc == 0 for r in by.values())
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            waterfill_allocation(_counts(spark, [("a", 1)]), "grp", "c", -1)
+
+
+class TestBudgetedSourceSample:
+    def test_exact_budget_and_determinism(self, spark):
+        rows = [(i, f"s{i % 4}") for i in range(100)]
+        df = spark.createDataFrame(rows, "id: long, source: string")
+        out1 = budgeted_source_sample(df, "id", "source", 40, seed=7)
+        got1 = sorted((r.id, r.source) for r in out1.collect())
+        assert len(got1) == 40
+        got2 = sorted(
+            (r.id, r.source)
+            for r in budgeted_source_sample(df, "id", "source", 40, seed=7).collect()
+        )
+        assert got1 == got2  # pure function of (data, seed)
+        per_src = {}
+        for _, s in got1:
+            per_src[s] = per_src.get(s, 0) + 1
+        assert all(v == 10 for v in per_src.values())  # 4 even sources, level 10
+
+    def test_rank_contiguous(self, spark):
+        rows = [(i, "only") for i in range(20)]
+        df = spark.createDataFrame(rows, "id: long, source: string")
+        out = budgeted_source_sample(df, "id", "source", 5, seed=1).collect()
+        assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "source_length_quantiles",
     "source_token_budget",
     "budgeted_source_sample",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -163,3 +163,32 @@ def test_repetition_signals_shuffles_fingerprints_not_text(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_q5_star_join_broadcasts_dimensions(spark):
+    """q5: every dimension side reaches the fact scan as a broadcast —
+    the only shuffle exchange feeds the orders⋈lineitem join + final agg."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["q5_local_supplier_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_budgeted_sample_quota_frame_is_broadcast(spark):
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["budgeted_source_sample"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_no_text_in_shuffle_keys(spark):
+    """boilerplate line dedup: the frequency groupBy keys on (hash, len),
+    never on line text — no string-typed hashpartitioning on 'line'."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["line_boilerplate_dedup"](spark, SF))
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "line#" not in m, m

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "source_token_budget",
     "budgeted_source_sample",
     "q5_local_supplier_volume",
+    "split_leakage_check",
 ]
 
 

@@ -2697,6 +2697,51 @@ def budgeted_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# split-leakage audit: n-gram overlap between the DERIVED train and test
+# splits — the same hygiene pass as benchmark decontamination, run between
+# a pipeline's own splits (near-duplicate documents landing on opposite
+# sides of the split boundary leak evaluation signal into training).
+# Composes the real split derivation with the decontam fingerprint join.
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.decontam import (  # noqa: E402
+    decontaminate,
+    decontaminate_sql,
+)
+
+_LEAK_N = 8  # shorter than the 13-gram benchmark convention: an intra-
+# corpus audit wants higher recall, and the oracle pins the exact contract
+
+
+@_register(
+    "split_leakage_check",
+    decontaminate_sql(
+        f"SELECT doc_id, text FROM documents WHERE {split_label_sql('doc_id', SEED)} = 'train'",
+        f"SELECT doc_id, text FROM documents WHERE {split_label_sql('doc_id', SEED)} = 'test'",
+        "doc_id",
+        "text",
+        n=_LEAK_N,
+    ),
+)
+def split_leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test n-gram leakage report: one row per train document with
+    its shared-8-gram count against the test split. The test side is the
+    broadcast side (splits are 10% of the corpus)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        split_label_col("doc_id", SEED).alias("__split"),
+    )
+    return decontaminate(
+        docs.where(F.col("__split") == "train").select("doc_id", "text"),
+        docs.where(F.col("__split") == "test").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=_LEAK_N,
+    )
+
+
+# ---------------------------------------------------------------------------
 # q5: TPC-H-style local-supplier-volume — the classic 6-table star join.
 # The interesting part is the PLAN, not the SQL: region/nation (and at
 # real dimension sizes customer/supplier) broadcast; the orders⋈lineitem
@@ -2779,6 +2824,7 @@ _CHECK_FIRST = [
     "source_token_budget",
     "budgeted_source_sample",
     "q5_local_supplier_volume",
+    "split_leakage_check",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -15,6 +15,11 @@ operate on corpus-global line frequencies / C4's published heuristics):
   document that ends up with fewer than ``min_kept`` lines, mentions
   "lorem ipsum", or contains a curly brace (code page).
 
+Input contract: text is LF-normalized (``\\n`` separators). CRLF input
+would leave a trailing ``\\r`` on every line, where Java's ``$`` anchor
+(matches before a final line terminator) and RE2's (end of text only)
+disagree — run ``regexp_replace(text, '\\r\\n', '\\n')`` upstream first.
+
 Scale shape: line frequency is ONE partial-aggregable groupBy keyed by
 ``(hash31(line), length(line))`` — fixed-width shuffle keys, never line
 text (the same rule the exact-dedup fix follows: blobs stay out of shuffle

@@ -2742,6 +2742,45 @@ def split_leakage_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSONL ingestion (sources/jsonl_source.py): the LLM-corpus interchange
+# format, mapped into canonical records with nested-field paths. Reads the
+# committed fixture (fixtures/sample_corpus.jsonl) so the oracle's
+# read_json_auto sees the identical bytes.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+from rust_triplets_spark.sources.jsonl_source import (  # noqa: E402
+    JsonlSourceConfig,
+    jsonl_records_sql,
+    read_jsonl_records,
+)
+
+_JSONL_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "sample_corpus.jsonl",
+)
+_JSONL_CFG = JsonlSourceConfig(
+    source_id="jsonl_demo",
+    path=_JSONL_FIXTURE,
+    text_field="body",
+    id_field="doc_id",
+    source_field="src",
+    trust_field="meta.trust",
+    lang_field="meta.lang",
+)
+
+
+@_register("jsonl_records", jsonl_records_sql(_JSONL_FIXTURE, _JSONL_CFG))
+def jsonl_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus → canonical records: explicit read schema (no
+    inference pass), dotted nested-field mapping, empty-body row skip,
+    per-source trust fallback."""
+    return read_jsonl_records(spark, _JSONL_CFG)
+
+
+# ---------------------------------------------------------------------------
 # q5: TPC-H-style local-supplier-volume — the classic 6-table star join.
 # The interesting part is the PLAN, not the SQL: region/nation (and at
 # real dimension sizes customer/supplier) broadcast; the orders⋈lineitem
@@ -2825,6 +2864,7 @@ _CHECK_FIRST = [
     "budgeted_source_sample",
     "q5_local_supplier_volume",
     "split_leakage_check",
+    "jsonl_records",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

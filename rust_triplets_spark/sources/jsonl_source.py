@@ -1,0 +1,177 @@
+"""JSONL source → canonical records — the de-facto LLM-corpus interchange
+format (one JSON object per line: The Pile, RedPajama, Dolma all ship it).
+
+The reference has no JSONL backend (its HuggingFace source parses JSONL
+rows internally, ``src/source/backends/huggingface_source.rs:547-551``);
+this reader follows the same source conventions as
+:mod:`rust_triplets_spark.sources.csv_source`: explicit column mapping
+into the fixed record shape, dotted paths for nested fields
+(``meta.trust``), rows with an empty required text field skipped, trust
+defaulting per source, stable ``{source_id}::row_{idx}`` ids.
+
+Scale notes: the reader takes an EXPLICIT schema derived from the mapping
+(``spark.read.json`` with schema inference is a full extra pass over
+100 TB — never in production paths); malformed lines surface in the
+standard ``_corrupt_record`` column rather than failing the job
+(PERMISSIVE mode), and the text normalization / section build reuses the
+shared native expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_triplets_spark.functions.text import normalize_inline_whitespace_col
+from rust_triplets_spark.schema import CSV_DEFAULT_TRUST
+
+
+@dataclass(frozen=True)
+class JsonlSourceConfig:
+    """Column mapping from JSONL fields into the canonical record shape.
+
+    ``text_field``/``source_field``/``trust_field``/``lang_field`` are
+    dotted paths into each JSON object (``meta.trust``); ``source_field``
+    / ``trust_field`` / ``lang_field`` fall back to constants when absent.
+    """
+
+    source_id: str
+    path: str
+    text_field: str = "text"
+    id_field: str | None = None
+    source_field: str | None = None
+    trust_field: str | None = None
+    lang_field: str | None = None
+    trust: float = CSV_DEFAULT_TRUST
+
+
+def _nested(schema_fields: list[str]) -> T.StructType:
+    """Explicit read schema covering every mapped dotted path as strings
+    (safe supertype; values cast at mapping time)."""
+    roots: dict[str, set[str]] = {}
+    for f in schema_fields:
+        if not f:
+            continue
+        head, _, rest = f.partition(".")
+        roots.setdefault(head, set())
+        if rest:
+            if "." in rest:
+                raise ValueError(f"at most one nesting level supported: {f!r}")
+            roots[head].add(rest)
+    fields = []
+    for head, kids in sorted(roots.items()):
+        if kids:
+            fields.append(
+                T.StructField(
+                    head,
+                    T.StructType(
+                        [T.StructField(k, T.StringType()) for k in sorted(kids)]
+                    ),
+                )
+            )
+        else:
+            fields.append(T.StructField(head, T.StringType()))
+    return T.StructType(fields)
+
+
+def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame:
+    """Read a JSONL corpus into ``(id, source, trust, lang, text)``.
+
+    Empty/missing text rows are skipped (the CSV source's required-field
+    rule); ``id`` is ``{source_id}::row_{idx}`` over the file's line order
+    when no ``id_field`` is mapped.
+    """
+    schema = _nested(
+        [
+            cfg.text_field,
+            cfg.id_field or "",
+            cfg.source_field or "",
+            cfg.trust_field or "",
+            cfg.lang_field or "",
+        ]
+    )
+    raw = spark.read.schema(schema).json(cfg.path)
+    text = normalize_inline_whitespace_col(F.col(cfg.text_field))
+    out = raw.select(
+        *(
+            [F.col(cfg.id_field).cast("string").alias("__id")]
+            if cfg.id_field
+            else [F.lit(None).cast("string").alias("__id")]
+        ),
+        (
+            F.coalesce(F.col(cfg.source_field), F.lit(cfg.source_id))
+            if cfg.source_field
+            else F.lit(cfg.source_id)
+        ).alias("source"),
+        (
+            F.coalesce(
+                F.col(cfg.trust_field).cast("double"), F.lit(float(cfg.trust))
+            )
+            if cfg.trust_field
+            else F.lit(float(cfg.trust))
+        ).alias("trust"),
+        (
+            F.col(cfg.lang_field).cast("string")
+            if cfg.lang_field
+            else F.lit(None).cast("string")
+        ).alias("lang"),
+        text.alias("text"),
+    ).where(F.length("text") > 0)
+    if cfg.id_field:
+        return out.select(
+            F.concat(F.lit(f"{cfg.source_id}::"), F.col("__id")).alias("id"),
+            "source",
+            "trust",
+            "lang",
+            "text",
+        )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
+    return out.select(
+        F.concat(F.lit(f"{cfg.source_id}::row_"), (F.row_number().over(w) - 1)).alias(
+            "id"
+        ),
+        "source",
+        "trust",
+        "lang",
+        "text",
+    )
+
+
+def jsonl_records_sql(path: str, cfg: JsonlSourceConfig) -> str:
+    """DuckDB twin over ``read_json_auto`` for oracle checking (dotted
+    paths become struct field access)."""
+
+    def ref(f: str) -> str:
+        head, _, rest = f.partition(".")
+        return f'"{head}"."{rest}"' if rest else f'"{head}"'
+
+    src = (
+        f"COALESCE(CAST({ref(cfg.source_field)} AS VARCHAR), '{cfg.source_id}')"
+        if cfg.source_field
+        else f"'{cfg.source_id}'"
+    )
+    trust = (
+        f"COALESCE(CAST({ref(cfg.trust_field)} AS DOUBLE), {float(cfg.trust)!r})"
+        if cfg.trust_field
+        else repr(float(cfg.trust))
+    )
+    lang = (
+        f"CAST({ref(cfg.lang_field)} AS VARCHAR)" if cfg.lang_field else "CAST(NULL AS VARCHAR)"
+    )
+    idsql = (
+        f"'{cfg.source_id}::' || CAST({ref(cfg.id_field)} AS VARCHAR)"
+        if cfg.id_field
+        else f"'{cfg.source_id}::row_' || CAST(row_number() OVER () - 1 AS VARCHAR)"
+    )
+    from rust_triplets_spark.functions.text import normalize_inline_whitespace_sql
+
+    norm = normalize_inline_whitespace_sql(f"CAST({ref(cfg.text_field)} AS VARCHAR)")
+    return f"""
+SELECT {idsql} AS id, {src} AS source, {trust} AS trust, {lang} AS lang,
+       {norm} AS text
+FROM read_json_auto('{path}')
+WHERE length({norm}) > 0
+"""

@@ -1,0 +1,61 @@
+"""JSONL source (sources/jsonl_source.py): mapping, skips, id contracts."""
+
+import json
+
+import pytest
+
+from rust_triplets_spark.sources.jsonl_source import (
+    JsonlSourceConfig,
+    read_jsonl_records,
+)
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rows = [
+        {"doc_id": 10, "body": "alpha beta gamma", "src": "web",
+         "meta": {"trust": 0.9, "lang": "en"}},
+        {"doc_id": 11, "body": "  spaced   out  ", "src": None,
+         "meta": {"trust": None, "lang": "de"}},
+        {"doc_id": 12, "body": "", "src": "web", "meta": {"trust": 0.1, "lang": "en"}},
+        {"doc_id": 13, "body": "delta", "meta": {}},
+    ]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return str(p)
+
+
+def test_mapping_and_skips(spark, corpus):
+    cfg = JsonlSourceConfig(
+        source_id="s1", path=corpus, text_field="body", id_field="doc_id",
+        source_field="src", trust_field="meta.trust", lang_field="meta.lang",
+        trust=0.7,
+    )
+    out = {r.id: r for r in read_jsonl_records(spark, cfg).collect()}
+    assert set(out) == {"s1::10", "s1::11", "s1::13"}  # empty body skipped
+    assert out["s1::10"].source == "web" and out["s1::10"].trust == 0.9
+    assert out["s1::11"].source == "s1"  # null source falls back to source_id
+    assert out["s1::11"].trust == 0.7  # null trust falls back to default
+    assert out["s1::11"].text == "spaced out"  # whitespace normalized
+    assert out["s1::13"].lang is None
+
+
+def test_row_index_ids(spark, corpus):
+    cfg = JsonlSourceConfig(source_id="s2", path=corpus, text_field="body")
+    ids = sorted(r.id for r in read_jsonl_records(spark, cfg).collect())
+    assert ids == ["s2::row_0", "s2::row_1", "s2::row_2"]
+
+
+def test_output_schema_fixed(spark, corpus):
+    cfg = JsonlSourceConfig(source_id="s3", path=corpus, text_field="body",
+                            id_field="doc_id")
+    df = read_jsonl_records(spark, cfg)
+    assert [f.name for f in df.schema.fields] == ["id", "source", "trust", "lang", "text"]
+    # the read schema is explicit (mapped roots only) — no inference pass
+    assert "ReadSchema" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nesting_depth_validation(spark, corpus):
+    cfg = JsonlSourceConfig(source_id="s4", path=corpus, text_field="a.b.c")
+    with pytest.raises(ValueError):
+        read_jsonl_records(spark, cfg)

@@ -110,9 +110,18 @@ def main() -> None:
     from rust_triplets_spark.functions import caching
 
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # wall-clock guard: never start a pass beyond this budget (pass 1
+    # always runs) — keeps the multi-pass harness inside any reasonable
+    # driver timeout even if the box is slow that day.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "720"))
+    t_start = time.time()
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
+    passes_run = 0
     for pass_i in range(passes):
+        if pass_i > 0 and time.time() - t_start > budget_s:
+            break
+        passes_run += 1
         for name in BENCH_QUERIES:
             t0 = time.time()
             # one broken query must not zero out the whole round's bench:
@@ -142,7 +151,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "passes": passes,
+        "passes": passes_run,
     }
     if failures:
         out["failures"] = failures

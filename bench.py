@@ -18,6 +18,12 @@ dedup/signature queries — real deployments amortize this over corpus-scale
 data). Scoped caches are released between passes so every pass pays its
 own cache-materialization cost: the min is noise-robust, not
 cache-subsidized.
+
+Caveat: with PASSES=1 (or the time budget expiring after pass 1) the
+reported numbers are cold first executions — codegen-heavy queries carry
+their one-shot JIT cost and are not comparable to warmed multi-pass
+minimums. The JSON reports the passes actually run so a consumer can
+tell the two regimes apart.
 """
 
 from __future__ import annotations
@@ -133,8 +139,16 @@ def main() -> None:
                 dt = round(time.time() - t0, 3)
                 times[name] = min(times.get(name, dt), dt)
             except Exception as exc:  # noqa: BLE001
-                failures[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"BENCH FAILURE {name}: {failures[name]}", file=sys.stderr)
+                msg = f"{type(exc).__name__}: {exc}"[:500]
+                failures[name] = msg
+                print(f"BENCH FAILURE {name}: {msg}", file=sys.stderr)
+    # contract: `times` and `failures` are mutually exclusive — a query
+    # with at least one clean pass reports its best time (a transient
+    # infra failure in another pass is not "query broken"); `failures`
+    # keeps only queries that never succeeded.
+    for name in list(failures):
+        if name in times:
+            del failures[name]
         # scoped caches are retained ACROSS queries within a pass:
         # cache_scoped reuses a semantically identical live frame, so e.g.
         # pairs_from_triplets reads triplet_assembly's materialized chunks

@@ -175,7 +175,10 @@ def c4_line_filter(
     Returns ``(id, n_lines, n_kept, doc_kept, clean_text)`` — one row per
     input document (dropped documents report ``doc_kept = false`` with
     their would-be cleaned text, so the caller can audit the filter).
-    Entirely row-local until the final per-doc aggregation.
+    Entirely row-local until the final per-doc aggregation — the document
+    gates fold into the same agg (neither pattern can span a line break,
+    so "text contains X" == "any line contains X"); no second scan of the
+    text column and no per-doc join.
     """
     if min_words < 1 or min_kept < 1:
         raise ValueError(f"min_words/min_kept must be >= 1, got {min_words}/{min_kept}")
@@ -183,24 +186,23 @@ def c4_line_filter(
     norm = F.trim(F.col("line"))
     n_words = F.size(F.filter(F.split(norm, _WS), lambda t: t != F.lit("")))
     keep_line = norm.rlike(_TERMINAL_RE) & (n_words >= min_words)
-    marked = lines.select("id", "pos", "line", keep_line.alias("kept"))
+    line_bad = F.lower(F.col("line")).contains("lorem ipsum") | F.col("line").contains(
+        "{"
+    )
+    marked = lines.select(
+        "id", "pos", "line", keep_line.alias("kept"), line_bad.alias("bad")
+    )
     kept_struct = F.when(F.col("kept"), F.struct("pos", "line"))
     per_doc = marked.groupBy("id").agg(
         F.count("*").alias("n_lines"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        (F.max(F.col("bad").cast("int")) == 0).alias("__doc_ok"),
         F.array_join(
             F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]),
             "\n",
         ).alias("clean_text"),
     )
-    text = F.col(text_col)
-    doc_gate = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        (
-            ~F.lower(text).contains("lorem ipsum") & ~text.contains("{")
-        ).alias("__doc_ok"),
-    )
-    return per_doc.join(doc_gate, "id").select(
+    return per_doc.select(
         "id",
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_kept").cast("long").alias("n_kept"),
@@ -219,7 +221,7 @@ def c4_line_filter_sql(
     """DuckDB twin of :func:`c4_line_filter`."""
     return f"""
 WITH docs AS (
-  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS t,
+  SELECT CAST({id_sql} AS BIGINT) AS id,
          string_split({text_sql}, chr(10)) AS ls
   FROM {table}
 ), lines AS (
@@ -229,20 +231,18 @@ WITH docs AS (
   SELECT id, pos, line,
          (regexp_matches(trim(line), '{_TERMINAL_RE}')
           AND len(list_filter(regexp_split_to_array(trim(line), '{_WS}'),
-                              x -> x <> '')) >= {int(min_words)}) AS kept
+                              x -> x <> '')) >= {int(min_words)}) AS kept,
+         (contains(lower(line), 'lorem ipsum') OR contains(line, '{{')) AS bad
   FROM lines
 ), per_doc AS (
   SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         max(CASE WHEN bad THEN 1 ELSE 0 END) = 0 AS doc_ok,
          COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
                              ORDER BY pos), '') AS clean_text
   FROM marked GROUP BY id
-), gate AS (
-  SELECT id, (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{'))
-           AS doc_ok
-  FROM docs
 )
-SELECT p.id, p.n_lines, p.n_kept,
-       (p.n_kept >= {int(min_kept)} AND g.doc_ok) AS doc_kept, p.clean_text
-FROM per_doc p JOIN gate g ON p.id = g.id
+SELECT id, n_lines, n_kept,
+       (n_kept >= {int(min_kept)} AND doc_ok) AS doc_kept, clean_text
+FROM per_doc
 """

@@ -250,7 +250,11 @@ def waterfill_allocation(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     B = int(budget)
-    w_ord = Window.orderBy(F.col("c"), F.col("grp"))
+    # asc_nulls_last on the group tiebreak: Spark windows default to NULLS
+    # FIRST, DuckDB to NULLS LAST — a NULL group key (corrupt source
+    # column) would otherwise shift row_number and hand the +1 remainder
+    # units to different groups on each engine
+    w_ord = Window.orderBy(F.col("c"), F.col("grp").asc_nulls_last())
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -345,8 +349,11 @@ def budgeted_source_sample(
     alloc = waterfill_allocation(counts, "grp", "c", budget).select(
         F.col("grp").alias("__src"), "alloc"
     )
+    # nulls-last on both keys to match DuckDB's ASC default (a NULL id
+    # hashes to NULL; Spark would otherwise rank it first, DuckDB last)
     w = Window.partitionBy(source_col).orderBy(
-        hash31_col(F.col(id_col), seed), F.col(id_col)
+        hash31_col(F.col(id_col), seed).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
     )
     ranked = df.select(
         F.col(id_col).cast("long").alias("id"),

@@ -186,17 +186,18 @@ def group_quantiles(
     and keep this exact form for audits on samples. Ties need no
     tiebreak: every row of a tie-run carries the same value, so the rank
     pick is deterministic regardless of row order within the run.
+
+    NULL values are excluded before ranking (both engines): Spark windows
+    default to NULLS FIRST and DuckDB to NULLS LAST, so letting NULLs
+    into the rank order would silently diverge the engines — and a NULL
+    quantile is meaningless anyway. ``n`` counts non-NULL values.
     """
     from pyspark.sql import Window
 
-    if not fractions:
-        raise ValueError("fractions must be non-empty")
-    for p, q in fractions:
-        if not (0 < p <= q):
-            raise ValueError(f"fraction {p}/{q} not in (0, 1]")
+    _validate_fractions(fractions)
     w = Window.partitionBy(group_col).orderBy(F.col(value_col))
     v = F.col(value_col).cast("long")
-    ranked = df.select(
+    ranked = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         v.alias("v"),
         F.row_number().over(w).alias("rn"),
@@ -214,6 +215,24 @@ def group_quantiles(
     return ranked.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
 
 
+def _validate_fractions(fractions: tuple[tuple[int, int], ...]) -> None:
+    """Shared by both twins: rejects empty/out-of-range fractions and
+    distinct fractions whose rounded percent collides (duplicate q_<pct>
+    output columns would be ambiguous in Spark and invalid SQL aliases)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    seen: dict[int, tuple[int, int]] = {}
+    for p, q in fractions:
+        if not (0 < p <= q):
+            raise ValueError(f"fraction {p}/{q} not in (0, 1]")
+        pct = round(100 * p / q)
+        if pct in seen:
+            raise ValueError(
+                f"fractions {seen[pct]} and {(p, q)} both name column q_{pct}"
+            )
+        seen[pct] = (p, q)
+
+
 def group_quantiles_sql(
     table: str,
     group_sql: str,
@@ -223,12 +242,9 @@ def group_quantiles_sql(
 ) -> str:
     """DuckDB twin of :func:`group_quantiles`. ``group_alias`` must match
     the Spark side's ``group_col`` output name for hash parity."""
-    if not fractions:
-        raise ValueError("fractions must be non-empty")
+    _validate_fractions(fractions)
     qcols = []
     for p, q in fractions:
-        if not (0 < p <= q):
-            raise ValueError(f"fraction {p}/{q} not in (0, 1]")
         pct = round(100 * p / q)
         qcols.append(
             f"max(CASE WHEN rn = (n * {p} + {q - 1}) // {q} THEN v END) AS q_{pct}"
@@ -239,6 +255,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY {group_sql} ORDER BY {value_sql}) AS rn,
          count(*) OVER (PARTITION BY {group_sql}) AS n
   FROM {table}
+  WHERE {value_sql} IS NOT NULL
 )
 SELECT grp AS {group_alias}, CAST(count(*) AS BIGINT) AS n,
        min(v) AS min_v, max(v) AS max_v,

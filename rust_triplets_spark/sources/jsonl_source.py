@@ -11,10 +11,13 @@ defaulting per source, stable ``{source_id}::row_{idx}`` ids.
 
 Scale notes: the reader takes an EXPLICIT schema derived from the mapping
 (``spark.read.json`` with schema inference is a full extra pass over
-100 TB — never in production paths); malformed lines surface in the
-standard ``_corrupt_record`` column rather than failing the job
-(PERMISSIVE mode), and the text normalization / section build reuses the
-shared native expressions.
+100 TB — never in production paths). Under that explicit schema a
+malformed line parses to an all-NULL row and is dropped by the
+empty-text filter — the job never fails, but the row is gone silently;
+corpora where that loss must be audited should add
+``.option("columnNameOfCorruptRecord", ...)`` with the column appended
+to the schema and count the non-null corrupt rows before mapping. The
+text normalization reuses the shared native expressions.
 """
 
 from __future__ import annotations
@@ -142,7 +145,17 @@ def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame
 
 def jsonl_records_sql(path: str, cfg: JsonlSourceConfig) -> str:
     """DuckDB twin over ``read_json_auto`` for oracle checking (dotted
-    paths become struct field access)."""
+    paths become struct field access).
+
+    Requires ``id_field``: the fallback row-index id derives from file
+    line order, which ``row_number() OVER ()`` does not reproduce once
+    DuckDB parallelizes the read — an order-nondeterministic oracle is
+    worse than none."""
+    if not cfg.id_field:
+        raise ValueError(
+            "jsonl_records_sql needs cfg.id_field — the row-index id path "
+            "has no order-stable DuckDB twin"
+        )
 
     def ref(f: str) -> str:
         head, _, rest = f.partition(".")
@@ -161,11 +174,7 @@ def jsonl_records_sql(path: str, cfg: JsonlSourceConfig) -> str:
     lang = (
         f"CAST({ref(cfg.lang_field)} AS VARCHAR)" if cfg.lang_field else "CAST(NULL AS VARCHAR)"
     )
-    idsql = (
-        f"'{cfg.source_id}::' || CAST({ref(cfg.id_field)} AS VARCHAR)"
-        if cfg.id_field
-        else f"'{cfg.source_id}::row_' || CAST(row_number() OVER () - 1 AS VARCHAR)"
-    )
+    idsql = f"'{cfg.source_id}::' || CAST({ref(cfg.id_field)} AS VARCHAR)"
     from rust_triplets_spark.functions.text import normalize_inline_whitespace_sql
 
     norm = normalize_inline_whitespace_sql(f"CAST({ref(cfg.text_field)} AS VARCHAR)")

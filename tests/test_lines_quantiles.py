@@ -210,3 +210,21 @@ class TestBudgetedSourceSample:
         df = spark.createDataFrame(rows, "id: long, source: string")
         out = budgeted_source_sample(df, "id", "source", 5, seed=1).collect()
         assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]
+
+
+class TestGroupQuantilesEdge:
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a", None), ("a", 1), ("a", 2), ("a", 3)], "g: string, v: long"
+        )
+        r = group_quantiles(df, "g", "v").head()
+        # NULLs never rank (Spark NULLS FIRST vs DuckDB NULLS LAST would
+        # diverge); n counts non-null values only
+        assert r.n == 3 and r.q_25 == 1 and r.min_v == 1
+
+    def test_duplicate_pct_rejected(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("a", 1)], "g: string, v: long")
+        with _pytest.raises(ValueError, match="q_33"):
+            group_quantiles(df, "g", "v", fractions=((1, 3), (333, 1000)))

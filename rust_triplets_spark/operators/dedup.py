@@ -657,3 +657,60 @@ SELECT CAST(min({id_sql}) AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS n_du
 FROM {table}
 GROUP BY {normalize_inline_whitespace_sql(text_sql)}
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental per-source signature maintenance (the dedup-family analog of
+# the BM25 index refresh, reference bm25_backend.rs:343-390: rebuild only
+# refreshed sources, keep the rest): a standing near-dup index at ingest
+# time re-signs only the sources a refresh touched — the non-refreshed
+# remainder is filtered, never re-shingled.
+# ---------------------------------------------------------------------------
+
+def minhash_signature_index(
+    df: DataFrame, id_col: str, source_col: str, text_col: str,
+    num_hashes: int = 32, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """Source-partitioned MinHash signature frame ``(source, id, mh_*)`` —
+    the persistable state a streaming/refresh ingest maintains so LSH
+    banding (:func:`minhash_lsh_pairs`'s band step) never re-reads old
+    text. Same per-id values as :func:`minhash_signatures`."""
+    sh = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(shingle_fingerprints_col(F.col(text_col), shingle_n, seed)).alias(
+            "shingle"
+        ),
+    ).select("source", "id", hash31_col("shingle", seed).alias("__h0"))
+    aggs = [
+        F.min(mix31_step_col(F.col("__h0"), F.lit(i), seed)).cast("long").alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("source", "id").agg(*aggs)
+
+
+def refresh_minhash_signature_index(
+    index: DataFrame,
+    refreshed_docs: DataFrame,
+    refreshed_sources: list[str],
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """Re-sign ONLY ``refreshed_sources`` from ``refreshed_docs`` and
+    union with the untouched remainder of ``index``. With the index
+    persisted partitioned by ``source``, the anti-filter is partition
+    pruning — the refresh cost is proportional to the refreshed sources,
+    not the corpus. Result equals a full rebuild over the updated corpus
+    (pytest-proven)."""
+    if not refreshed_sources:
+        return index
+    fresh = minhash_signature_index(
+        refreshed_docs.where(F.col(source_col).isin(list(refreshed_sources))),
+        id_col, source_col, text_col, num_hashes, shingle_n, seed,
+    )
+    keep = index.where(~F.col("source").isin(list(refreshed_sources)))
+    return keep.unionByName(fresh)

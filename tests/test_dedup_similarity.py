@@ -252,3 +252,65 @@ def test_neardup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
     out = neardup_clusters(docs, "id", "text", pairs=pairs, max_iter=8).collect()
     assert all(r["rep"] == 0 and r["cluster_size"] == n for r in out)
+
+
+class TestIncrementalMinhashIndex:
+    def test_refresh_equals_full_rebuild(self, spark):
+        from rust_triplets_spark.operators.dedup import (
+            minhash_signature_index,
+            refresh_minhash_signature_index,
+        )
+
+        def corpus(version):
+            rows = []
+            for i in range(30):
+                src = f"s{i % 3}"
+                text = " ".join(f"tok{(i * 7 + j) % 13}" for j in range(12))
+                if src == "s1" and version == 2:
+                    text = text + " refreshed extra tokens here"
+                rows.append((i, src, text))
+            return spark.createDataFrame(rows, "id: long, source: string, text: string")
+
+        v1, v2 = corpus(1), corpus(2)
+        idx_v1 = minhash_signature_index(v1, "id", "source", "text", num_hashes=8)
+        refreshed = refresh_minhash_signature_index(
+            idx_v1, v2, ["s1"], "id", "source", "text", num_hashes=8
+        )
+        full_v2 = minhash_signature_index(v2, "id", "source", "text", num_hashes=8)
+        a = sorted(map(tuple, refreshed.collect()))
+        b = sorted(map(tuple, full_v2.collect()))
+        assert a == b  # incremental == full rebuild
+        # untouched sources' rows are literally v1's
+        keep = sorted(map(tuple, idx_v1.where("source <> 's1'").collect()))
+        kept = sorted(map(tuple, refreshed.where("source <> 's1'").collect()))
+        assert keep == kept
+
+    def test_empty_refresh_is_identity(self, spark):
+        from rust_triplets_spark.operators.dedup import (
+            minhash_signature_index,
+            refresh_minhash_signature_index,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", "x y z w v u t s")], "id: long, source: string, text: string"
+        )
+        idx = minhash_signature_index(df, "id", "source", "text", num_hashes=4)
+        assert refresh_minhash_signature_index(
+            idx, df, [], "id", "source", "text", num_hashes=4
+        ) is idx
+
+    def test_index_matches_signatures(self, spark):
+        from rust_triplets_spark.operators.dedup import (
+            minhash_signature_index,
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i%2}", " ".join(f"w{(i+j)%9}" for j in range(10))) for i in range(12)],
+            "id: long, source: string, text: string",
+        )
+        idx = {r.id: tuple(r)[2:] for r in minhash_signature_index(
+            df, "id", "source", "text", num_hashes=8).collect()}
+        sig = {r.id: tuple(r)[1:] for r in minhash_signatures(
+            df, "id", "text", num_hashes=8).collect()}
+        assert idx == sig  # same values, just source-partitioned

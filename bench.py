@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "budgeted_source_sample",
     "q5_local_supplier_volume",
     "split_leakage_check",
+    "source_vocab_stats",
+    "top_tokens_per_source",
 ]
 
 

@@ -2781,6 +2781,86 @@ def jsonl_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus analytics: per-source vocabulary statistics + top-k tokens. Both
+# are two partial-aggregable groupBys (token explode → (source, token)
+# counts → per-source rollup / top-k window over the COUNTS frame, which
+# is vocabulary-sized, not corpus-sized). The vocab rollup keys on token
+# fingerprints (fixed-width); the top-k keeps token STRINGS because the
+# readable token IS the product of an audit query — and the frame it
+# windows over is per-source vocabulary, tiny at any corpus size.
+# ---------------------------------------------------------------------------
+
+_TOPK_TOKENS = 5
+
+
+@_register(
+    "source_vocab_stats",
+    f"""
+WITH tok AS (
+  SELECT source, {hash31_str_sql('u.t')} AS fp
+  FROM documents, UNNEST({TX.tokens_sql('text')}) AS u(t)
+), per_tok AS (
+  SELECT source, fp, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio
+FROM per_tok GROUP BY source
+""",
+)
+def source_vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token count, vocabulary size, hapax
+    legomena, type-token ratio — the corpus-health audit that flags
+    template-generated or truncated sources. Tokens travel as int64
+    fingerprints; both groupBys are partial-aggregable."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(TX.tokens_col("text")).alias("t")
+    ).select("source", hash31_str_col(F.col("t")).alias("fp"))
+    per_tok = tok.groupBy("source", "fp").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+        (F.count("*").cast("double") / F.sum("c")).alias("type_token_ratio"),
+    )
+
+
+@_register(
+    "top_tokens_per_source",
+    f"""
+WITH per_tok AS (
+  SELECT source, u.t AS token, CAST(count(*) AS BIGINT) AS c
+  FROM documents, UNNEST({TX.tokens_sql('text')}) AS u(t)
+  GROUP BY 1, 2
+)
+SELECT source, token, c, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rk
+  FROM per_tok
+) WHERE rk <= {_TOPK_TOKENS}
+""",
+)
+def top_tokens_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most frequent tokens per source (count desc, token asc
+    tiebreak) — the boilerplate/stop-token audit. The window runs over
+    the per-source vocabulary counts, never the corpus rows."""
+    docs = _t(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("source", F.explode(TX.tokens_col("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("token"))
+    return (
+        per_tok.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOPK_TOKENS)
+        .select("source", "token", "c", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q5: TPC-H-style local-supplier-volume — the classic 6-table star join.
 # The interesting part is the PLAN, not the SQL: region/nation (and at
 # real dimension sizes customer/supplier) broadcast; the orders⋈lineitem
@@ -2865,6 +2945,8 @@ _CHECK_FIRST = [
     "q5_local_supplier_volume",
     "split_leakage_check",
     "jsonl_records",
+    "source_vocab_stats",
+    "top_tokens_per_source",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -144,13 +144,6 @@ def main() -> None:
                 msg = f"{type(exc).__name__}: {exc}"[:500]
                 failures[name] = msg
                 print(f"BENCH FAILURE {name}: {msg}", file=sys.stderr)
-    # contract: `times` and `failures` are mutually exclusive — a query
-    # with at least one clean pass reports its best time (a transient
-    # infra failure in another pass is not "query broken"); `failures`
-    # keeps only queries that never succeeded.
-    for name in list(failures):
-        if name in times:
-            del failures[name]
         # scoped caches are retained ACROSS queries within a pass:
         # cache_scoped reuses a semantically identical live frame, so e.g.
         # pairs_from_triplets reads triplet_assembly's materialized chunks
@@ -159,6 +152,14 @@ def main() -> None:
         # generation per scope). Released BETWEEN passes so each pass pays
         # full cache-materialization cost (see module doc).
         caching.release_all()
+
+    # contract: `times` and `failures` are mutually exclusive — a query
+    # with at least one clean pass reports its best time (a transient
+    # infra failure in another pass is not "query broken"); `failures`
+    # keeps only queries that never succeeded.
+    for name in list(failures):
+        if name in times:
+            del failures[name]
 
     total = round(sum(times.values()), 3)
     out = {

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "split_leakage_check",
     "source_vocab_stats",
     "top_tokens_per_source",
+    "corpus_clean_funnel",
 ]
 
 

@@ -2781,6 +2781,89 @@ def jsonl_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus cleaning funnel: the end-to-end web-corpus hygiene pipeline as ONE
+# plan — C4 document gate → boilerplate line removal → exact dedup — with
+# per-stage survivor counts (docs + tokens), the audit table every
+# pretraining data run publishes. Each stage reuses the oracle-checked
+# operator; the funnel checks their COMPOSITION.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "corpus_clean_funnel",
+    f"""
+WITH s0 AS (SELECT doc_id, text FROM ({_web_docs_sql()}) AS web),
+c4 AS ({c4_line_filter_sql("(SELECT doc_id, text FROM s0) AS src", "src.doc_id", "src.text", 3, 3)}),
+s1 AS (SELECT id, clean_text FROM c4 WHERE doc_kept AND length(clean_text) > 0),
+bp AS ({boilerplate_line_dedup_sql("(SELECT id, clean_text FROM s1) AS src", "src.id", "src.clean_text", _LINE_DEDUP_MIN_DOCS)}),
+s2 AS (SELECT id, clean_text FROM bp WHERE length(clean_text) > 0),
+s3 AS (
+  SELECT id, clean_text FROM (
+    SELECT id, clean_text, row_number() OVER (
+      PARTITION BY {hash31_str_sql(TX.normalize_inline_whitespace_sql('clean_text'))},
+                   length({TX.normalize_inline_whitespace_sql('clean_text')})
+      ORDER BY id) AS rn
+    FROM s2
+  ) WHERE rn = 1
+)
+SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS n_tokens FROM s0
+UNION ALL
+SELECT 1, 'c4_filter', CAST(count(*) AS BIGINT),
+       CAST(sum({TX.token_count_sql('clean_text')}) AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, 'line_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum({TX.token_count_sql('clean_text')}) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum({TX.token_count_sql('clean_text')}) AS BIGINT) FROM s3
+""",
+)
+def corpus_clean_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus cleaning funnel with per-stage survivor stats. The
+    whole funnel is one lazy plan: Catalyst pipelines the stages, and
+    each stage's shuffle keys stay fixed-width (the composition inherits
+    every stage's scale shape)."""
+    web = _web_docs_df(spark, sf_dir).select("doc_id", "text")
+    c4 = c4_line_filter(web, "doc_id", "text", 3, 3)
+    s1 = c4.where(F.col("doc_kept") & (F.length("clean_text") > 0)).select(
+        "id", "clean_text"
+    )
+    bp = boilerplate_line_dedup(
+        s1, "id", "clean_text", _LINE_DEDUP_MIN_DOCS
+    )
+    s2 = bp.where(F.length("clean_text") > 0).select("id", "clean_text")
+    norm = TX.normalize_inline_whitespace_col("clean_text")
+    w_dedup = Window.partitionBy(
+        hash31_str_col(norm), F.length(norm)
+    ).orderBy("id")
+    s3 = (
+        s2.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select("id", "clean_text")
+    )
+
+    def stage(i: int, name: str, df: DataFrame, text_col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(TX.token_count_col(text_col)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(0, "raw", web, "text")
+        .unionByName(stage(1, "c4_filter", s1, "clean_text"))
+        .unionByName(stage(2, "line_dedup", s2, "clean_text"))
+        .unionByName(stage(3, "exact_dedup", s3, "clean_text"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus analytics: per-source vocabulary statistics + top-k tokens. Both
 # are two partial-aggregable groupBys (token explode → (source, token)
 # counts → per-source rollup / top-k window over the COUNTS frame, which
@@ -2947,6 +3030,7 @@ _CHECK_FIRST = [
     "jsonl_records",
     "source_vocab_stats",
     "top_tokens_per_source",
+    "corpus_clean_funnel",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

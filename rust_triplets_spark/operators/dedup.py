@@ -217,14 +217,29 @@ def minhash_signatures(
     The shared ``hash31(shingle)`` prefix is hoisted into one projected
     column so each of the k aggregates folds a single step from it
     (identical values via ``mix31_step``, k× smaller codegen unit)."""
-    sh = _with_shingles(df, id_col, text_col, shingle_n, seed).select(
-        "id", hash31_col("shingle", seed).alias("__h0")
-    )
+    return _minhash_sig_agg(df, id_col, text_col, (), num_hashes, shingle_n, seed)
+
+
+def _minhash_sig_agg(
+    df: DataFrame, id_col: str, text_col: str, carry_cols: tuple[str, ...],
+    num_hashes: int, shingle_n: int, seed: int,
+) -> DataFrame:
+    """The ONE implementation of the explode → hash-hoist → k-min
+    aggregate (see :func:`minhash_signatures` for the measured rationale
+    behind this exact shape), parameterized by extra grouping columns so
+    the source-partitioned index variant cannot drift from it."""
+    sh = df.select(
+        *[F.col(c) for c in carry_cols],
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(shingle_fingerprints_col(F.col(text_col), shingle_n, seed)).alias(
+            "shingle"
+        ),
+    ).select(*carry_cols, "id", hash31_col("shingle", seed).alias("__h0"))
     aggs = [
         F.min(mix31_step_col(F.col("__h0"), F.lit(i), seed)).cast("long").alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return sh.groupBy(*carry_cols, "id").agg(*aggs)
 
 
 def minhash_signatures_sql(
@@ -674,19 +689,15 @@ def minhash_signature_index(
     """Source-partitioned MinHash signature frame ``(source, id, mh_*)`` —
     the persistable state a streaming/refresh ingest maintains so LSH
     banding (:func:`minhash_lsh_pairs`'s band step) never re-reads old
-    text. Same per-id values as :func:`minhash_signatures`."""
-    sh = df.select(
-        F.col(source_col).alias("source"),
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(shingle_fingerprints_col(F.col(text_col), shingle_n, seed)).alias(
-            "shingle"
-        ),
-    ).select("source", "id", hash31_col("shingle", seed).alias("__h0"))
-    aggs = [
-        F.min(mix31_step_col(F.col("__h0"), F.lit(i), seed)).cast("long").alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("source", "id").agg(*aggs)
+    text. Same per-id values as :func:`minhash_signatures` — both twins
+    run through :func:`_minhash_sig_agg`, so the measured codegen shape
+    cannot drift between them."""
+    base = df.select(
+        F.col(source_col).alias("source"), F.col(id_col).alias("__mid"), F.col(text_col).alias("__mtext")
+    )
+    return _minhash_sig_agg(
+        base, "__mid", "__mtext", ("source",), num_hashes, shingle_n, seed
+    )
 
 
 def refresh_minhash_signature_index(
@@ -705,12 +716,17 @@ def refresh_minhash_signature_index(
     persisted partitioned by ``source``, the anti-filter is partition
     pruning — the refresh cost is proportional to the refreshed sources,
     not the corpus. Result equals a full rebuild over the updated corpus
-    (pytest-proven)."""
+    (pytest-proven), including NULL-source rows: ``NOT isin(...)``
+    evaluates to NULL (not true) for a NULL key under three-valued
+    logic, so the keep-filter must pass NULLs through explicitly or
+    every refresh would silently delete them from the index."""
     if not refreshed_sources:
         return index
     fresh = minhash_signature_index(
         refreshed_docs.where(F.col(source_col).isin(list(refreshed_sources))),
         id_col, source_col, text_col, num_hashes, shingle_n, seed,
     )
-    keep = index.where(~F.col("source").isin(list(refreshed_sources)))
+    keep = index.where(
+        F.col("source").isNull() | ~F.col("source").isin(list(refreshed_sources))
+    )
     return keep.unionByName(fresh)

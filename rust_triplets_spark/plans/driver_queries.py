@@ -2822,18 +2822,30 @@ SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
 )
 def corpus_clean_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus cleaning funnel with per-stage survivor stats. The
-    whole funnel is one lazy plan: Catalyst pipelines the stages, and
-    each stage's shuffle keys stay fixed-width (the composition inherits
-    every stage's scale shape)."""
+    four unioned stage aggregates are independent plan branches and
+    Catalyst performs no cross-branch subplan CSE, so the intermediate
+    stage frames (each a per-doc reassembly aggregation consumed by
+    every later branch) are scope-cached — without this the c4
+    reassembly would re-execute in three branches and the boilerplate
+    pass in two. Shuffle keys stay fixed-width throughout (the
+    composition inherits every stage's scale shape)."""
+    from rust_triplets_spark.functions.caching import cache_scoped
+
     web = _web_docs_df(spark, sf_dir).select("doc_id", "text")
     c4 = c4_line_filter(web, "doc_id", "text", 3, 3)
-    s1 = c4.where(F.col("doc_kept") & (F.length("clean_text") > 0)).select(
-        "id", "clean_text"
+    s1 = cache_scoped(
+        c4.where(F.col("doc_kept") & (F.length("clean_text") > 0)).select(
+            "id", "clean_text"
+        ),
+        "funnel.s1",
     )
     bp = boilerplate_line_dedup(
         s1, "id", "clean_text", _LINE_DEDUP_MIN_DOCS
     )
-    s2 = bp.where(F.length("clean_text") > 0).select("id", "clean_text")
+    s2 = cache_scoped(
+        bp.where(F.length("clean_text") > 0).select("id", "clean_text"),
+        "funnel.s2",
+    )
     norm = TX.normalize_inline_whitespace_col("clean_text")
     w_dedup = Window.partitionBy(
         hash31_str_col(norm), F.length(norm)

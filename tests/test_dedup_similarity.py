@@ -314,3 +314,27 @@ class TestIncrementalMinhashIndex:
         sig = {r.id: tuple(r)[1:] for r in minhash_signatures(
             df, "id", "text", num_hashes=8).collect()}
         assert idx == sig  # same values, just source-partitioned
+
+    def test_null_source_rows_survive_refresh(self, spark):
+        from rust_triplets_spark.operators.dedup import (
+            minhash_signature_index,
+            refresh_minhash_signature_index,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, "a b c d e f"), (2, "s0", "g h i j k l"),
+             (3, "s1", "m n o p q r")],
+            "id: long, source: string, text: string",
+        )
+        idx = minhash_signature_index(df, "id", "source", "text", num_hashes=4)
+        out = refresh_minhash_signature_index(
+            idx, df, ["s1"], "id", "source", "text", num_hashes=4
+        )
+        # NOT isin(...) is NULL (not true) for a NULL key — the keep
+        # filter must pass NULL-source rows through explicitly
+        assert out.where("source IS NULL").count() == 1
+        full = minhash_signature_index(df, "id", "source", "text", num_hashes=4)
+        key = lambda r: (r[0] or "", *r[1:])  # noqa: E731 — None sorts as ""
+        assert sorted(map(tuple, out.collect()), key=key) == sorted(
+            map(tuple, full.collect()), key=key
+        )

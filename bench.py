@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "source_vocab_stats",
     "top_tokens_per_source",
     "corpus_clean_funnel",
+    "temperature_source_mix",
 ]
 
 

@@ -388,3 +388,100 @@ SELECT r.id, r.source, r.rank, a.alloc
 FROM ranked r JOIN alloc a ON r.source = a.grp
 WHERE r.rank <= a.alloc
 """
+
+
+def temperature_source_mix(
+    counts: DataFrame, group_col: str, count_col: str, budget: int,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture allocation: target slots per source
+    proportional to ``count^alpha`` — the standard multilingual/multi-
+    source rebalancing (mT5 / XLM-R style: alpha < 1 upsamples small
+    sources relative to their share; alpha=1 is proportional, alpha=0
+    uniform). Unlike :func:`waterfill_allocation` the result is a TARGET
+    mixture for sampling-with-repetition: ``alloc`` may exceed ``c``
+    (small sources oversample, exactly the reference's epoch-interleave
+    oversampling semantics at the corpus level).
+
+    Engine-exact arithmetic: the only floating-point step is
+    ``round(pow(c, alpha) * 1e6)`` into an integer weight (same
+    quantize-then-integer pattern BM25 uses for ln-based scores — a
+    sub-ulp libm difference flips the integer only on a ~1e-7 relative
+    knife-edge). From there everything is integer: base share
+    ``(B * w) div W``, remainder via largest-remainder ranking
+    ``((B * w) mod W) desc, group asc``. ``sum(alloc) == budget``
+    whenever any weight is positive.
+
+    Returns ``(group, c, weight_ppm, alloc)``.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    B = int(budget)
+    w_int = F.round(F.pow(F.col("c").cast("double"), F.lit(float(alpha))) * 1e6).cast(
+        "long"
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # NB: Spark column resolution is case-insensitive by default, so the
+    # weight and its total must NOT be named `w`/`W` — withColumn("W")
+    # would silently REPLACE "w" (a measured bug: every weight became
+    # the grand total)
+    t = (
+        counts.select(
+            F.col(group_col).alias("grp"), F.col(count_col).cast("long").alias("c")
+        )
+        .withColumn("wt", w_int)
+        .withColumn("wtot", F.sum("wt").over(w_all))
+        .withColumn("base", F.expr(f"CAST({B} AS BIGINT) * wt div wtot"))
+        .withColumn("rem", F.expr(f"CAST({B} AS BIGINT) * wt % wtot"))
+        .withColumn("spare", F.lit(B) - F.sum("base").over(w_all))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("grp").asc_nulls_last())
+            ),
+        )
+    )
+    return t.select(
+        F.col("grp").alias(group_col),
+        "c",
+        F.col("wt").alias("weight_ppm"),
+        (F.col("base") + (F.col("rk") <= F.col("spare")).cast("long")).alias("alloc"),
+    )
+
+
+def temperature_source_mix_sql(
+    counts_sql: str, group_sql: str, count_sql: str, budget: int,
+    alpha: float = 0.3, group_alias: str = "grp",
+) -> str:
+    """DuckDB twin of :func:`temperature_source_mix`."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    B = int(budget)
+    return f"""
+WITH base AS (
+  SELECT {group_sql} AS grp, CAST({count_sql} AS BIGINT) AS c FROM {counts_sql}
+), t AS (
+  SELECT grp, c,
+         CAST(round(pow(CAST(c AS DOUBLE), {float(alpha)!r}) * 1e6) AS BIGINT) AS wt
+  FROM base
+), s AS (
+  SELECT *, sum(wt) OVER () AS wtot FROM t
+), a AS (
+  SELECT *, CAST({B} AS BIGINT) * wt // wtot AS base_alloc,
+         CAST({B} AS BIGINT) * wt % wtot AS rem
+  FROM s
+), r AS (
+  SELECT *, {B} - sum(base_alloc) OVER () AS spare,
+         row_number() OVER (ORDER BY rem DESC, grp ASC) AS rk
+  FROM a
+)
+SELECT grp AS {group_alias}, c, wt AS weight_ppm,
+       CAST(base_alloc + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""

@@ -2683,6 +2683,39 @@ def source_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.mixing import (  # noqa: E402
+    temperature_source_mix,
+    temperature_source_mix_sql,
+)
+
+_MIX_ALPHA = 0.3
+
+
+@_register(
+    "temperature_source_mix",
+    temperature_source_mix_sql(
+        "(SELECT source AS grp, count(*) AS c FROM documents GROUP BY 1) AS counts",
+        "grp",
+        "c",
+        _SAMPLE_BUDGET,
+        alpha=_MIX_ALPHA,
+        group_alias="source",
+    ),
+)
+def temperature_source_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture targets (count^0.3, mT5/XLM-R style):
+    small sources upsampled relative to share; integer largest-remainder
+    arithmetic after one quantized pow, so both engines agree exactly."""
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("grp"))
+        .agg(F.count("*").alias("c"))
+    )
+    return temperature_source_mix(
+        counts, "grp", "c", _SAMPLE_BUDGET, alpha=_MIX_ALPHA
+    ).withColumnRenamed("grp", "source")
+
+
 @_register(
     "budgeted_source_sample",
     budgeted_source_sample_sql("documents", "doc_id", "source", _SAMPLE_BUDGET, SEED),
@@ -3043,6 +3076,7 @@ _CHECK_FIRST = [
     "source_vocab_stats",
     "top_tokens_per_source",
     "corpus_clean_funnel",
+    "temperature_source_mix",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -228,3 +228,45 @@ class TestGroupQuantilesEdge:
         df = spark.createDataFrame([("a", 1)], "g: string, v: long")
         with _pytest.raises(ValueError, match="q_33"):
             group_quantiles(df, "g", "v", fractions=((1, 3), (333, 1000)))
+
+
+class TestTemperatureSourceMix:
+    def _mix(self, spark, pairs, budget, alpha):
+        from rust_triplets_spark.operators.mixing import temperature_source_mix
+
+        df = spark.createDataFrame(pairs, "grp: string, c: long")
+        return {r.grp: r for r in temperature_source_mix(
+            df, "grp", "c", budget, alpha).collect()}
+
+    def test_exact_budget_and_upsampling(self, spark):
+        by = self._mix(spark, [("big", 100000), ("small", 100)], 1000, 0.3)
+        assert sum(r.alloc for r in by.values()) == 1000
+        # alpha=0.3 upsamples the small source far above its 0.1% share
+        share_small = by["small"].alloc / 1000
+        assert share_small > 0.1
+        # ...but the big source still gets more than the small one
+        assert by["big"].alloc > by["small"].alloc
+
+    def test_alpha_zero_is_uniform(self, spark):
+        by = self._mix(spark, [("a", 10), ("b", 1000), ("c", 99999)], 9, 0.0)
+        assert [by[g].alloc for g in "abc"] == [3, 3, 3]
+
+    def test_alpha_one_is_proportional(self, spark):
+        by = self._mix(spark, [("a", 100), ("b", 300)], 100, 1.0)
+        assert by["a"].alloc == 25 and by["b"].alloc == 75
+
+    def test_remainder_is_deterministic(self, spark):
+        # 10 over 3 equal sources: base 3 each, 1 spare -> first group asc
+        by = self._mix(spark, [("x", 5), ("y", 5), ("z", 5)], 10, 1.0)
+        assert sum(r.alloc for r in by.values()) == 10
+        assert sorted(r.alloc for r in by.values()) == [3, 3, 4]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from rust_triplets_spark.operators.mixing import temperature_source_mix
+
+        df = spark.createDataFrame([("a", 1)], "grp: string, c: long")
+        with _pytest.raises(ValueError):
+            temperature_source_mix(df, "grp", "c", -1)
+        with _pytest.raises(ValueError):
+            temperature_source_mix(df, "grp", "c", 10, alpha=-0.5)

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "top_tokens_per_source",
     "corpus_clean_funnel",
     "temperature_source_mix",
+    "repeated_spans",
 ]
 
 

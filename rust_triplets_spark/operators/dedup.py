@@ -730,3 +730,128 @@ def refresh_minhash_signature_index(
         F.col("source").isNull() | ~F.col("source").isin(list(refreshed_sources))
     )
     return keep.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# repeated-span detection (approximate span dedup, after Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better": spans that
+# recur across the corpus are memorization fuel; the exact suffix-array
+# method is replaced by the standard n-gram-frequency approximation)
+# ---------------------------------------------------------------------------
+
+REPEAT_SPAN_SEED = 4100
+
+
+def repeated_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 8, min_docs: int = 3, seed: int = REPEAT_SPAN_SEED,
+) -> DataFrame:
+    """Per-document repeated-span report: which fraction of a document's
+    tokens sits inside an ``n``-gram that occurs in ``>= min_docs``
+    distinct documents.
+
+    Coverage is the EXACT union of the repeated grams' [pos, pos+n)
+    token intervals, computed with one ``lag`` window per doc over the
+    matched positions (each hit contributes ``min(n, pos - prev_pos)``)
+    — no per-token explode, no approximation. Returns
+    ``(id, n_tok, n_grams, n_repeated, covered_tokens, covered_frac)``.
+
+    Scale shape: one posexplode of row-local gram fingerprints (int64,
+    positions attached), one partial-aggregable corpus frequency groupBy
+    keyed by the fingerprint, a linear join back, and a per-doc window
+    over MATCHED rows only. Same fingerprint machinery as
+    decontamination (polymix31 — linear in n), so a collision maps both
+    engines to the same collision and the oracle stays exact.
+    """
+    if n < 1 or min_docs < 2:
+        raise ValueError(f"need n >= 1 and min_docs >= 2, got {n}/{min_docs}")
+    gram_arr = ngram_fingerprint_array_col(
+        F.col(text_col), n, seed, "polymix31", distinct=False
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+        gram_arr.alias("__grams"),
+    ).select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tok"),
+        F.size("__grams").cast("long").alias("n_grams"),
+        "__grams",
+    )
+    grams = base.select(
+        "id", F.posexplode("__grams").alias("pos", "fp")
+    )
+    rep = (
+        grams.groupBy("fp")
+        .agg(F.countDistinct("id").alias("__d"))
+        .where(F.col("__d") >= min_docs)
+        .select("fp")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    hits = (
+        grams.join(rep, "fp")
+        .withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__add",
+            F.when(F.col("__prev").isNull(), F.lit(n)).otherwise(
+                F.least(F.lit(n), F.col("pos") - F.col("__prev"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_repeated"),
+            F.sum("__add").cast("long").alias("covered_tokens"),
+        )
+    )
+    out = base.drop("__grams").join(hits, "id", "left")
+    covered = F.coalesce("covered_tokens", F.lit(0)).cast("long")
+    return out.select(
+        "id",
+        "n_tok",
+        "n_grams",
+        F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+        covered.alias("covered_tokens"),
+        F.when(F.col("n_tok") > 0, covered.cast("double") / F.col("n_tok"))
+        .otherwise(F.lit(0.0))
+        .alias("covered_frac"),
+    )
+
+
+def repeated_ngram_spans_sql(
+    table: str, id_sql: str, text_sql: str,
+    n: int = 8, min_docs: int = 3, seed: int = REPEAT_SPAN_SEED,
+) -> str:
+    """DuckDB twin of :func:`repeated_ngram_spans`."""
+    if n < 1 or min_docs < 2:
+        raise ValueError(f"need n >= 1 and min_docs >= 2, got {n}/{min_docs}")
+    gram_arr = ngram_fingerprint_array_sql(text_sql, n, seed, "polymix31", distinct=False)
+    toks = tokens_sql(text_sql)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         CAST(len({toks}) AS BIGINT) AS n_tok,
+         {gram_arr} AS grams
+  FROM {table}
+), g AS MATERIALIZED (
+  SELECT id, CAST(u.i - 1 AS BIGINT) AS pos, grams[u.i] AS fp
+  FROM base, UNNEST(range(1, len(grams) + 1)) AS u(i)
+), rep AS (
+  SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT id) >= {int(min_docs)}
+), hits AS (
+  SELECT g.id, g.pos, lag(g.pos) OVER (PARTITION BY g.id ORDER BY g.pos) AS prev
+  FROM g JOIN rep USING (fp)
+), agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_repeated,
+         CAST(sum(CASE WHEN prev IS NULL THEN {int(n)}
+                       ELSE least({int(n)}, pos - prev) END) AS BIGINT)
+           AS covered_tokens
+  FROM hits GROUP BY id
+)
+SELECT b.id, b.n_tok, CAST(len(b.grams) AS BIGINT) AS n_grams,
+       COALESCE(a.n_repeated, 0) AS n_repeated,
+       COALESCE(a.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN b.n_tok > 0
+            THEN CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE) / b.n_tok
+            ELSE 0.0 END AS covered_frac
+FROM base b LEFT JOIN agg a ON b.id = a.id
+"""

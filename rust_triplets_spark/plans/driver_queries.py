@@ -2909,6 +2909,33 @@ def corpus_clean_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repeated-span detection (Lee et al. 2022 span-dedup approximated by
+# corpus-frequency n-grams; operators/dedup.py::repeated_ngram_spans)
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.operators.dedup import (  # noqa: E402
+    repeated_ngram_spans,
+    repeated_ngram_spans_sql,
+)
+
+_SPAN_N = 8
+_SPAN_MIN_DOCS = 3
+
+
+@_register(
+    "repeated_spans",
+    repeated_ngram_spans_sql("documents", "doc_id", "text", _SPAN_N, _SPAN_MIN_DOCS),
+)
+def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-span coverage: fraction of tokens inside an 8-gram
+    occurring in >= 3 distinct docs — exact interval-union coverage via one
+    lag window over matched positions."""
+    return repeated_ngram_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _SPAN_N, _SPAN_MIN_DOCS
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus analytics: per-source vocabulary statistics + top-k tokens. Both
 # are two partial-aggregable groupBys (token explode → (source, token)
 # counts → per-source rollup / top-k window over the COUNTS frame, which
@@ -3077,6 +3104,7 @@ _CHECK_FIRST = [
     "top_tokens_per_source",
     "corpus_clean_funnel",
     "temperature_source_mix",
+    "repeated_spans",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -338,3 +338,38 @@ class TestIncrementalMinhashIndex:
         assert sorted(map(tuple, out.collect()), key=key) == sorted(
             map(tuple, full.collect()), key=key
         )
+
+
+class TestRepeatedSpans:
+    def test_coverage_interval_union(self, spark):
+        from rust_triplets_spark.operators.dedup import repeated_ngram_spans
+
+        # the shared phrase "a b c d" (n=3 grams: abc, bcd) appears in 3
+        # docs; doc 1 embeds it once -> covered = union of [0,3) and [1,4)
+        # = 4 tokens, not 6
+        shared = "a b c d"
+        rows = [(1, shared + " x y z"), (2, "p q " + shared), (3, shared)]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        out = {r.id: r for r in repeated_ngram_spans(
+            df, "id", "text", n=3, min_docs=3).collect()}
+        assert out[1].n_repeated == 2
+        assert out[1].covered_tokens == 4  # overlap counted once
+        assert out[3].covered_tokens == 4 and abs(out[3].covered_frac - 1.0) < 1e-12
+
+    def test_no_repeats_zero_coverage(self, spark):
+        from rust_triplets_spark.operators.dedup import repeated_ngram_spans
+
+        rows = [(i, f"unique{i} tokens{i} here{i} now{i}") for i in range(4)]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        out = repeated_ngram_spans(df, "id", "text", n=2, min_docs=2).collect()
+        assert all(r.covered_tokens == 0 and r.covered_frac == 0.0 for r in out)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from rust_triplets_spark.operators.dedup import repeated_ngram_spans
+
+        df = spark.createDataFrame([(1, "x")], "id: long, text: string")
+        with _pytest.raises(ValueError):
+            repeated_ngram_spans(df, "id", "text", n=0)
+        with _pytest.raises(ValueError):
+            repeated_ngram_spans(df, "id", "text", min_docs=1)

@@ -761,8 +761,16 @@ def repeated_ngram_spans(
     keyed by the fingerprint, a linear join back, and a per-doc window
     over MATCHED rows only. Same fingerprint machinery as
     decontamination (polymix31 — linear in n), so a collision maps both
-    engines to the same collision and the oracle stays exact.
+    engines to the same collision and the oracle stays exact. The gram
+    frame feeds BOTH the frequency aggregate and the hit-join side (and
+    ``base`` both the explode and the final join), so both are
+    scope-cached — the DuckDB twin marks the same CTEs MATERIALIZED;
+    without the cache Spark re-runs the tokenize+fingerprint explode per
+    consumer (the measured 2-3x self-join trap the minhash pipeline
+    documents).
     """
+    from rust_triplets_spark.functions.caching import cache_scoped
+
     if n < 1 or min_docs < 2:
         raise ValueError(f"need n >= 1 and min_docs >= 2, got {n}/{min_docs}")
     gram_arr = ngram_fingerprint_array_col(
@@ -778,8 +786,11 @@ def repeated_ngram_spans(
         F.size("__grams").cast("long").alias("n_grams"),
         "__grams",
     )
-    grams = base.select(
-        "id", F.posexplode("__grams").alias("pos", "fp")
+    base = cache_scoped(base, "dedup.repeated_spans.base", eager=True)
+    grams = cache_scoped(
+        base.select("id", F.posexplode("__grams").alias("pos", "fp")),
+        "dedup.repeated_spans.grams",
+        eager=True,
     )
     rep = (
         grams.groupBy("fp")

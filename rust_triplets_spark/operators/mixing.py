@@ -410,7 +410,16 @@ def temperature_source_mix(
     knife-edge). From there everything is integer: base share
     ``(B * w) div W``, remainder via largest-remainder ranking
     ``((B * w) mod W) desc, group asc``. ``sum(alloc) == budget``
-    whenever any weight is positive.
+    whenever any weight is positive; if every weight is zero (every
+    count 0) the allocation is all-zero rather than a division error.
+
+    Range contract: the integer path computes ``budget × weight_ppm``
+    with ``weight_ppm ≈ c^alpha × 1e6``, so callers must keep
+    ``budget × max(c)^alpha < 2^63 / 1e6 ≈ 9.2e12`` (e.g. budget 1e9
+    against 1e10-doc sources at alpha 0.3 ⇒ ~1e12, fine; a 1e10 budget
+    against the same needs pre-dividing budget and allocations by a
+    constant). Spark ANSI / DuckDB both fail loudly — not silently —
+    beyond it.
 
     Returns ``(group, c, weight_ppm, alloc)``.
     """
@@ -435,9 +444,14 @@ def temperature_source_mix(
         )
         .withColumn("wt", w_int)
         .withColumn("wtot", F.sum("wt").over(w_all))
-        .withColumn("base", F.expr(f"CAST({B} AS BIGINT) * wt div wtot"))
-        .withColumn("rem", F.expr(f"CAST({B} AS BIGINT) * wt % wtot"))
-        .withColumn("spare", F.lit(B) - F.sum("base").over(w_all))
+        .withColumn("base", F.expr(f"coalesce(CAST({B} AS BIGINT) * wt div nullif(wtot, 0), 0)"))
+        .withColumn("rem", F.expr(f"coalesce(CAST({B} AS BIGINT) * wt % nullif(wtot, 0), 0)"))
+        .withColumn(
+            "spare",
+            F.when(F.col("wtot") > 0, F.lit(B) - F.sum("base").over(w_all)).otherwise(
+                F.lit(0)
+            ),
+        )
         .withColumn(
             "rk",
             F.row_number().over(
@@ -473,11 +487,11 @@ WITH base AS (
 ), s AS (
   SELECT *, sum(wt) OVER () AS wtot FROM t
 ), a AS (
-  SELECT *, CAST({B} AS BIGINT) * wt // wtot AS base_alloc,
-         CAST({B} AS BIGINT) * wt % wtot AS rem
+  SELECT *, COALESCE(CAST({B} AS BIGINT) * wt // nullif(wtot, 0), 0) AS base_alloc,
+         COALESCE(CAST({B} AS BIGINT) * wt % nullif(wtot, 0), 0) AS rem
   FROM s
 ), r AS (
-  SELECT *, {B} - sum(base_alloc) OVER () AS spare,
+  SELECT *, CASE WHEN wtot > 0 THEN {B} - sum(base_alloc) OVER () ELSE 0 END AS spare,
          row_number() OVER (ORDER BY rem DESC, grp ASC) AS rk
   FROM a
 )

@@ -270,3 +270,9 @@ class TestTemperatureSourceMix:
             temperature_source_mix(df, "grp", "c", -1)
         with _pytest.raises(ValueError):
             temperature_source_mix(df, "grp", "c", 10, alpha=-0.5)
+
+    def test_all_zero_counts_allocate_zero(self, spark):
+        # degenerate corpus (every count 0): all-zero allocation, not a
+        # division-by-zero job abort
+        by = self._mix(spark, [("a", 0), ("b", 0)], 10, 0.5)
+        assert all(r.alloc == 0 for r in by.values())

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "corpus_clean_funnel",
     "temperature_source_mix",
     "repeated_spans",
+    "event_gap_quantiles",
 ]
 
 

@@ -2909,6 +2909,41 @@ def corpus_clean_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event inter-arrival profile: per-user gap quantiles — the stream-health
+# audit (bursty vs steady emitters) composing lag() over event time with
+# the exact integer-rank quantile machinery. Micro-second BIGINT gaps via
+# timeutils.ensure_epoch_us (physical-type robust); both engines rank the
+# same integers.
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.functions.timeutils import ensure_epoch_us  # noqa: E402
+
+
+@_register(
+    "event_gap_quantiles",
+    group_quantiles_sql(
+        "(SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us"
+        " FROM events) AS gaps",
+        "user_id",
+        "gap_us",
+        group_alias="user_id",
+    ),
+)
+def event_gap_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-gap quantiles over the events stream (gaps
+    in epoch micros; NULL first-event gaps excluded by the quantile
+    operator's NULL contract)."""
+    ev = ensure_epoch_us(_t(spark, sf_dir, "events"), "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = ev.select(
+        "user_id",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_us"),
+    )
+    return group_quantiles(gaps, "user_id", "gap_us")
+
+
+# ---------------------------------------------------------------------------
 # repeated-span detection (Lee et al. 2022 span-dedup approximated by
 # corpus-frequency n-grams; operators/dedup.py::repeated_ngram_spans)
 # ---------------------------------------------------------------------------
@@ -3105,6 +3140,7 @@ _CHECK_FIRST = [
     "corpus_clean_funnel",
     "temperature_source_mix",
     "repeated_spans",
+    "event_gap_quantiles",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -387,7 +387,11 @@ def refresh_bm25_index(
         refreshed_docs.where(F.col(source_col).isin(refreshed_sources)),
         id_col, source_col, text_col, split_col,
     )
-    keep = ~F.col("source").isin(refreshed_sources)
+    # NULL passes through explicitly: NOT isin(...) is NULL (not true)
+    # for a NULL source key under three-valued logic, so a bare negation
+    # would silently delete NULL-source rows from the kept remainder on
+    # every refresh (same fix as refresh_minhash_signature_index)
+    keep = F.col("source").isNull() | ~F.col("source").isin(refreshed_sources)
     return Bm25Index(
         index.postings.where(keep).unionByName(fresh.postings),
         index.doclens.where(keep).unionByName(fresh.doclens),
@@ -402,11 +406,17 @@ def bm25_topk_from_index(index: Bm25Index, k: int = BM25_SEARCH_TOP_K) -> DataFr
     therefore bit-identical scores to :func:`bm25_topk` over the
     equivalent corpus (pytest-pinned)."""
     split = index.split_isolated
+    # the postings frame feeds BOTH df_stats and the hit join: for a
+    # freshly-built (or freshly-refreshed) index its lineage is the whole
+    # analyze→explode→groupBy pipeline, which would otherwise execute
+    # once per consumer per action (persisted-parquet indexes are cheap
+    # either way; the cache is scoped and self-evicting)
+    index_postings = cache_scoped(index.postings, "bm25.index.postings")
     src_stats = index.doclens.groupBy("source").agg(
         F.count("*").cast("long").alias("N"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    df_stats = index.postings.groupBy("source", "term").agg(
+    df_stats = index_postings.groupBy("source", "term").agg(
         F.count("*").cast("long").alias("df")
     )
     q_terms = (
@@ -425,9 +435,9 @@ def bm25_topk_from_index(index: Bm25Index, k: int = BM25_SEARCH_TOP_K) -> DataFr
     q_terms = q_terms.withColumn("__idf", idf)
     if split:
         q_terms = q_terms.withColumnRenamed("split", "qsplit")
-        postings = index.postings.withColumnRenamed("split", "__psplit")
+        postings = index_postings.withColumnRenamed("split", "__psplit")
     else:
-        postings = index.postings
+        postings = index_postings
     joined = q_terms.join(postings, ["source", "term"], "inner")
     if split:
         joined = joined.where(F.col("qsplit") == F.col("__psplit"))

@@ -116,8 +116,15 @@ def decontaminate_sql(
     # explode AND the final left join — DuckDB would otherwise inline and
     # evaluate the subquery twice); matched's key gets a private alias so
     # a corpus whose id column is literally named `id` still binds
+    # the final join binds ids from a dedicated projection CTE rather
+    # than re-evaluating `t.{id_sql}`: qualifying an EXPRESSION id with
+    # the table alias (t.CAST(...)) is invalid SQL, so only a bare
+    # column name would have worked in the previous form
     return f"""
 WITH train_in AS MATERIALIZED ({train_sql}),
+train_ids AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id FROM train_in t
+),
 tr AS (
   SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
   FROM train_in t, UNNEST({sh}) AS s(shingle)
@@ -131,11 +138,11 @@ tr AS (
   FROM tr JOIN ev USING (shingle)
   GROUP BY tr.id
 )
-SELECT CAST(t.{id_sql} AS BIGINT) AS id,
+SELECT i.id,
        CAST(COALESCE(m.n_matched_ngrams, 0) AS BIGINT) AS n_matched_ngrams,
        CAST(COALESCE(m.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
        COALESCE(m.n_matched_ngrams, 0) > 0 AS contaminated
-FROM train_in t LEFT JOIN matched m ON CAST(t.{id_sql} AS BIGINT) = m.__mid
+FROM train_ids i LEFT JOIN matched m ON i.id = m.__mid
 """
 
 

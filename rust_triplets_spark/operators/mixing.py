@@ -360,8 +360,12 @@ def budgeted_source_sample(
         F.col(source_col).alias("source"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+    # null-safe join: waterfill allocates quota to a NULL-source group
+    # (corrupt rows form a real group), and a plain equi-join would
+    # silently burn that quota — the sample would under-deliver the
+    # budget with no diagnostic
     return (
-        ranked.join(F.broadcast(alloc), ranked["source"] == alloc["__src"])
+        ranked.join(F.broadcast(alloc), ranked["source"].eqNullSafe(alloc["__src"]))
         .where(F.col("rank") <= F.col("alloc"))
         .select("id", "source", "rank", "alloc")
     )
@@ -385,7 +389,7 @@ ranked AS (
   FROM {table}
 )
 SELECT r.id, r.source, r.rank, a.alloc
-FROM ranked r JOIN alloc a ON r.source = a.grp
+FROM ranked r JOIN alloc a ON r.source IS NOT DISTINCT FROM a.grp
 WHERE r.rank <= a.alloc
 """
 

@@ -84,10 +84,18 @@ def repetition_signals(
             / F.size(lines).cast("double"),
         ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
     ).where(F.col("n_tok") > 0)
+    # base feeds every n's gram explode AND the running join chain — and
+    # each gram frame must derive from BASE, not the accumulating `out`
+    # (whose lineage already contains the previous n's join+aggregate:
+    # Spark cannot prune the unused join without unique-key metadata, so
+    # n=3 would re-execute the whole n=2 aggregation)
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    base = cache_scoped(base, "quality.repetition.base")
 
     out = base
     for n in ns:
-        grams = out.select(
+        grams = base.select(
             "id", F.explode(_gram_fps(F.col("__text"), n, seed)).alias("g")
         )
         top = (

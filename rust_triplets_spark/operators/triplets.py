@@ -809,7 +809,11 @@ def _select_section(
                 "neighbor_id",
             )
             .select("record_id", "section_idx", "source", "split", "trust",
-                    "__idf", "sel_key", "sel_text", "sel_win")
+                    "__idf", "sel_key", "sel_text", "sel_win",
+                    # the chunk belongs to the NEIGHBOR record — output
+                    # lineage must name it (the swap exchanges whole
+                    # identities, ids included)
+                    F.col("neighbor_id").alias("chunk_record_id"))
         )
     if selector.kind == "role":
         key = mix31_col(
@@ -840,6 +844,7 @@ def _select_section(
             ).alias("sel_key"),
             F.col("text").alias("sel_text"),
             F.lit(0).cast("long").alias("sel_win"),
+            F.col("record_id").alias("chunk_record_id"),
         )
     # per-side chunking of the PICKED sections beats a shared cached pool
     # here, measured both ways at sf0.1: the three side-subtrees of the
@@ -864,6 +869,7 @@ def _select_section(
             F.col("chunk_key").alias("sel_key"),
             F.col("chunk_text").alias("sel_text"),
             F.col("win_index").cast("long").alias("sel_win"),
+            F.col("record_id").alias("chunk_record_id"),
         )
     )
 
@@ -895,7 +901,8 @@ def _select_section_sql(
         # (mirrors the Spark twin's weight-spec fix)
         return (
             f"SELECT nb.id AS record_id, x.section_idx, r.source, r.split, "
-            f"x.trust, r.idf, x.sel_key, x.sel_text, x.sel_win "
+            f"x.trust, r.idf, x.sel_key, x.sel_text, x.sel_win, "
+            f"nb.neighbor_id AS chunk_record_id "
             f"FROM ({asof}) nb "
             f"JOIN {recs} r ON r.record_id = nb.id "
             f"JOIN ({inner}) x ON x.record_id = nb.neighbor_id"
@@ -916,7 +923,8 @@ def _select_section_sql(
     if chunking is None:
         sel = (
             "CAST(record_id AS VARCHAR) || '|' || CAST(section_idx AS VARCHAR) || '|w|0'"
-            " AS sel_key, text AS sel_text, CAST(0 AS BIGINT) AS sel_win"
+            " AS sel_key, text AS sel_text, CAST(0 AS BIGINT) AS sel_win,"
+            " record_id AS chunk_record_id"
         )
         return f"SELECT {key_cols}, {sel} FROM ({picked})"
     chunks = chunk_sql(
@@ -932,7 +940,8 @@ def _select_section_sql(
     )
     return (
         f"SELECT {key_cols}, chunk_key AS sel_key, chunk_text AS sel_text, "
-        f"CAST(win_index AS BIGINT) AS sel_win FROM ("
+        f"CAST(win_index AS BIGINT) AS sel_win, record_id AS chunk_record_id "
+        f"FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY record_id "
         f"ORDER BY {order2}, chunk_key) AS crn "
         f"FROM ({chunks}) WHERE view_kind = 'window') WHERE crn = 1"
@@ -1006,12 +1015,20 @@ def assemble_selector_triplets(
         F.col("sel_key").alias("anchor_key"),
         F.col("sel_text").alias("anchor_text"),
         F.col("sel_win").alias("__a_win"),
+        F.col("chunk_record_id").alias("__a_rid"),
     )
+    # the positive side carries its OWN chunk-owner id and trust: for a
+    # TemporalOffset positive the chunk belongs to the as-of neighbor, so
+    # weighting it by the anchor record's trust (and losing the neighbor
+    # id from the output) was the same weight/lineage bug fixed earlier
+    # in assemble_temporal_triplets
     p = _select_section(base, positive_sel, "positive", seed, chunking, variant).select(
         "record_id",
         F.col("sel_key").alias("positive_key"),
         F.col("sel_text").alias("positive_text"),
         F.col("sel_win").alias("__p_win"),
+        F.col("chunk_record_id").alias("__p_rid"),
+        F.col("trust").alias("__p_trust"),
     )
     pair = a.join(p, "record_id", "inner")
 
@@ -1047,21 +1064,29 @@ def assemble_selector_triplets(
     # chunks have win 0 on both sides ⇒ base 1 and proximity 1, so the
     # short-section case reduces to the trust-only weights exactly.
     trust_c = F.greatest(F.lit(0.0), F.least(F.col("trust"), F.lit(1.0)))
+    p_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__p_trust"), F.lit(1.0)))
     n_trust_c = F.greatest(F.lit(0.0), F.least(F.col("__n_trust"), F.lit(1.0)))
     base_a = F.lit(1.0) / (F.col("__a_win").cast("double") + F.lit(1.0))
     base_p = F.lit(1.0) / (F.col("__p_win").cast("double") + F.lit(1.0))
     d = F.abs(F.col("__a_win") - F.col("__p_win")).cast("double")
     prox = F.lit(1.0) - d / (d + F.lit(1.0))
     aw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_a * trust_c) * prox)
-    pw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_p * trust_c) * prox)
+    pw = F.greatest(F.lit(floor), F.greatest(F.lit(floor), base_p * p_trust_c) * prox)
     nw = F.greatest(F.lit(floor), n_trust_c)
     weight = F.lit(float(recipe.weight)) * ((aw + pw + nw) / F.lit(3.0))
 
     out = trip.select(
         F.lit(recipe.name).alias("recipe"),
-        F.col("record_id").alias("anchor_id"),
+        # the swap exchanges WHOLE identities — ids included (the same
+        # lineage contract assemble_temporal_triplets pins): on swapped
+        # rows the anchor slot holds the positive side's chunk, so it
+        # carries that chunk's record id; positive_id names the other
+        # side. For non-temporal selectors both rids equal record_id,
+        # so those values are unchanged.
+        F.when(F.col("swapped") == 1, F.col("__p_rid")).otherwise(F.col("__a_rid")).alias("anchor_id"),
         F.when(F.col("swapped") == 1, F.col("positive_key")).otherwise(F.col("anchor_key")).alias("anchor_key"),
         F.when(F.col("swapped") == 1, F.col("positive_text")).otherwise(F.col("anchor_text")).alias("anchor_text"),
+        F.when(F.col("swapped") == 1, F.col("__a_rid")).otherwise(F.col("__p_rid")).alias("positive_id"),
         F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(F.col("positive_key")).alias("positive_key"),
         F.when(F.col("swapped") == 1, F.col("anchor_text")).otherwise(F.col("positive_text")).alias("positive_text"),
         F.col("negative_id"),
@@ -1121,14 +1146,16 @@ def assemble_selector_triplets_sql(
     swap_coin = f"({mix31_sql(['a.idf', str(variant)], seed + SWAP_SEED_OFF)} % 2)"
     fl = f"{float(floor)!r}"
     trust_c = "greatest(0.0, least(a.trust, 1.0))"
-    p_trust_c = "greatest(0.0, least(pc.p_trust, 1.0))"
+    p_trust_c = "greatest(0.0, least(p.p_trust, 1.0))"
     n_trust_c = "greatest(0.0, least(nc.trust, 1.0))"
     base_a = "(1.0 / (CAST(a.a_win AS DOUBLE) + 1.0))"
     base_p = "(1.0 / (CAST(p.p_win AS DOUBLE) + 1.0))"
     d = "CAST(abs(a.a_win - p.p_win) AS DOUBLE)"
     prox = f"(1.0 - {d} / ({d} + 1.0))"
     aw = f"greatest({fl}, greatest({fl}, {base_a} * {trust_c}) * {prox})"
-    pw = f"greatest({fl}, greatest({fl}, {base_p} * {trust_c}) * {prox})"
+    # positive weight clamps the POSITIVE chunk's own record trust (for a
+    # TemporalOffset positive that is the as-of neighbor, not the anchor)
+    pw = f"greatest({fl}, greatest({fl}, {base_p} * {p_trust_c}) * {prox})"
     nw = f"greatest({fl}, {n_trust_c})"
     weight = f"({float(recipe.weight)!r} * ((({aw}) + ({pw}) + ({nw})) / 3.0))"
     degenerate = (
@@ -1147,12 +1174,13 @@ sec AS MATERIALIZED (
 ),
 a_sel AS MATERIALIZED (
   SELECT record_id, source, split, trust, idf,
-         sel_key AS anchor_key, sel_text AS anchor_text, sel_win AS a_win
+         sel_key AS anchor_key, sel_text AS anchor_text, sel_win AS a_win,
+         chunk_record_id AS a_rid
   FROM ({_select_section_sql(anchor_sel, 'anchor', seed, chunking, variant)})
 ),
 p_sel AS MATERIALIZED (
   SELECT record_id, sel_key AS positive_key, sel_text AS positive_text,
-         sel_win AS p_win
+         sel_win AS p_win, chunk_record_id AS p_rid, trust AS p_trust
   FROM ({_select_section_sql(positive_sel, 'positive', seed, chunking, variant)})
 ),
 sel_pool AS MATERIALIZED (
@@ -1166,9 +1194,10 @@ n_sel AS MATERIALIZED (
   FROM ({_select_section_sql(negative_sel, 'negative', seed, chunking, variant)})
 )
 SELECT {_sql_str(recipe.name)} AS recipe,
-       a.record_id AS anchor_id,
+       CASE WHEN {swap_coin} = 0 THEN p.p_rid ELSE a.a_rid END AS anchor_id,
        CASE WHEN {swap_coin} = 0 THEN p.positive_key ELSE a.anchor_key END AS anchor_key,
        CASE WHEN {swap_coin} = 0 THEN p.positive_text ELSE a.anchor_text END AS anchor_text,
+       CASE WHEN {swap_coin} = 0 THEN a.a_rid ELSE p.p_rid END AS positive_id,
        CASE WHEN {swap_coin} = 0 THEN a.anchor_key ELSE p.positive_key END AS positive_key,
        CASE WHEN {swap_coin} = 0 THEN a.anchor_text ELSE p.positive_text END AS positive_text,
        n.negative_id,

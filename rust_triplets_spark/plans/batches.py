@@ -198,8 +198,15 @@ class BatchPrefetcher:
             raise StopIteration
         item = self._queue.get()
         if item is self._DONE:
+            # latch the terminal state: _DONE (and a forwarded producer
+            # exception) arrives exactly once — without the latch a
+            # post-termination next() would park forever on a queue no
+            # dead producer will refill, instead of the repeated
+            # StopIteration the iterator protocol requires
+            self._closed = True
             raise StopIteration
         if isinstance(item, BaseException):
+            self._closed = True
             raise item
         self.stats.queued = max(0, self.stats.queued - 1)
         return item

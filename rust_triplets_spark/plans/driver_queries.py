@@ -1693,6 +1693,7 @@ def _selector_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     "selector_triplets",
     f"""
 SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       CAST(positive_id AS BIGINT) AS positive_id,
        positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
        negative_key, negative_text, weight, swapped, tier, instruction, split
 FROM ({assemble_selector_triplets_sql(_SELECTOR_SECTIONS_SQL, _SELECTOR_RECIPE, seed=SEED)})
@@ -1709,7 +1710,9 @@ def selector_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "recipe",
         F.col("anchor_id").cast("long").alias("anchor_id"),
-        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        "anchor_key", "anchor_text",
+        F.col("positive_id").cast("long").alias("positive_id"),
+        "positive_key", "positive_text",
         F.col("negative_id").cast("long").alias("negative_id"),
         "negative_key", "negative_text", "weight", "swapped", "tier",
         "instruction", "split",
@@ -2135,6 +2138,7 @@ FROM t_sents, UNNEST(range(1, len(l) + 1)) AS u(i)
     "temporal_selector_triplets",
     f"""
 SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       CAST(positive_id AS BIGINT) AS positive_id,
        positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
        negative_key, negative_text, weight, swapped, tier, instruction, split
 FROM ({assemble_selector_triplets_sql(_TEMP_SEL_SECTIONS_SQL, _TEMP_SEL_RECIPE,
@@ -2158,7 +2162,9 @@ def temporal_selector_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "recipe",
         F.col("anchor_id").cast("long").alias("anchor_id"),
-        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        "anchor_key", "anchor_text",
+        F.col("positive_id").cast("long").alias("positive_id"),
+        "positive_key", "positive_text",
         F.col("negative_id").cast("long").alias("negative_id"),
         "negative_key", "negative_text", "weight", "swapped", "tier",
         "instruction", "split",
@@ -2213,6 +2219,7 @@ FROM documents
     "simcse_triplets",
     f"""
 SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       CAST(positive_id AS BIGINT) AS positive_id,
        positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
        negative_key, negative_text, weight, swapped, tier, instruction, split
 FROM ({assemble_selector_triplets_sql(_SIMCSE_SECTIONS_SQL, _SIMCSE_RECIPE, seed=SEED)})
@@ -2243,7 +2250,9 @@ def simcse_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "recipe",
         F.col("anchor_id").cast("long").alias("anchor_id"),
-        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        "anchor_key", "anchor_text",
+        F.col("positive_id").cast("long").alias("positive_id"),
+        "positive_key", "positive_text",
         F.col("negative_id").cast("long").alias("negative_id"),
         "negative_key", "negative_text", "weight", "swapped", "tier",
         "instruction", "split",
@@ -2288,6 +2297,7 @@ FROM documents
     "selector_chunk_triplets",
     f"""
 SELECT recipe, CAST(anchor_id AS BIGINT) AS anchor_id, anchor_key, anchor_text,
+       CAST(positive_id AS BIGINT) AS positive_id,
        positive_key, positive_text, CAST(negative_id AS BIGINT) AS negative_id,
        negative_key, negative_text, weight, swapped, tier, instruction, split
 FROM ({assemble_selector_triplets_sql(_SEL_CHUNK_SECTIONS_SQL, _SEL_CHUNK_RECIPE,
@@ -2321,7 +2331,9 @@ def selector_chunk_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "recipe",
         F.col("anchor_id").cast("long").alias("anchor_id"),
-        "anchor_key", "anchor_text", "positive_key", "positive_text",
+        "anchor_key", "anchor_text",
+        F.col("positive_id").cast("long").alias("positive_id"),
+        "positive_key", "positive_text",
         F.col("negative_id").cast("long").alias("negative_id"),
         "negative_key", "negative_text", "weight", "swapped", "tier",
         "instruction", "split",

@@ -221,10 +221,27 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
         )
     dest_dir = os.path.join(cache_dir, cfg.source_id)
     os.makedirs(dest_dir, exist_ok=True)
+    from rust_triplets_spark.functions.hashing import hash31_str_py
+
+    # cache key = URL content hash, not just the positional index: an
+    # upstream re-shard/re-order must not let an old shard file pass as
+    # the new shard at the same position (stale-mix corruption); the
+    # index prefix only keeps the directory listing ordered. Shards not
+    # in the CURRENT manifest are pruned first — a directory read would
+    # otherwise pick up both dataset versions.
+    expected = {
+        f"shard-{i:05d}-{hash31_str_py(url):08x}.parquet"
+        for i, url in enumerate(urls)
+    }
+    for name in os.listdir(dest_dir):
+        if name.endswith(".parquet") and name not in expected:
+            os.remove(os.path.join(dest_dir, name))
     for i, url in enumerate(urls):
-        dest = os.path.join(dest_dir, f"shard-{i:05d}.parquet")
+        dest = os.path.join(
+            dest_dir, f"shard-{i:05d}-{hash31_str_py(url):08x}.parquet"
+        )
         if os.path.exists(dest) and os.path.getsize(dest) > 0:
-            continue  # lazy shard cache hit
+            continue  # lazy shard cache hit (same position AND same URL)
         tmp = dest + ".tmp"
         with _open(url) as resp, open(tmp, "wb") as out:
             while True:

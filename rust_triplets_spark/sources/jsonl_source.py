@@ -156,15 +156,19 @@ def jsonl_records_sql(path: str, cfg: JsonlSourceConfig) -> str:
             "jsonl_records_sql needs cfg.id_field — the row-index id path "
             "has no order-stable DuckDB twin"
         )
+    # SQL string literals: embedded quotes must double, or a source_id /
+    # path containing an apostrophe generates an unparseable oracle
+    sid = cfg.source_id.replace("'", "''")
+    path = path.replace("'", "''")
 
     def ref(f: str) -> str:
         head, _, rest = f.partition(".")
         return f'"{head}"."{rest}"' if rest else f'"{head}"'
 
     src = (
-        f"COALESCE(CAST({ref(cfg.source_field)} AS VARCHAR), '{cfg.source_id}')"
+        f"COALESCE(CAST({ref(cfg.source_field)} AS VARCHAR), '{sid}')"
         if cfg.source_field
-        else f"'{cfg.source_id}'"
+        else f"'{sid}'"
     )
     trust = (
         f"COALESCE(CAST({ref(cfg.trust_field)} AS DOUBLE), {float(cfg.trust)!r})"
@@ -174,7 +178,7 @@ def jsonl_records_sql(path: str, cfg: JsonlSourceConfig) -> str:
     lang = (
         f"CAST({ref(cfg.lang_field)} AS VARCHAR)" if cfg.lang_field else "CAST(NULL AS VARCHAR)"
     )
-    idsql = f"'{cfg.source_id}::' || CAST({ref(cfg.id_field)} AS VARCHAR)"
+    idsql = f"'{sid}::' || CAST({ref(cfg.id_field)} AS VARCHAR)"
     from rust_triplets_spark.functions.text import normalize_inline_whitespace_sql
 
     norm = normalize_inline_whitespace_sql(f"CAST({ref(cfg.text_field)} AS VARCHAR)")

@@ -144,3 +144,24 @@ def test_index_serving_matches_direct_bm25_topk(spark):
         ).collect()
     }
     assert served == direct and served
+
+
+def test_bm25_refresh_keeps_null_source_rows(spark):
+    """NOT isin(...) is NULL for a NULL source key — the keep filter must
+    pass NULL-source rows through (same contract as the minhash index)."""
+    from rust_triplets_spark.operators.bm25 import build_bm25_index, refresh_bm25_index
+
+    df = spark.createDataFrame(
+        [(1, None, "alpha beta gamma"), (2, "s0", "delta epsilon zeta"),
+         (3, "s1", "eta theta iota")],
+        "id: long, source: string, text: string",
+    )
+    idx = build_bm25_index(df, "id", "source", "text")
+    out = refresh_bm25_index(idx, df, ["s1"], "id", "source", "text")
+    assert out.doclens.where("source IS NULL").count() == 1
+    full = build_bm25_index(df, "id", "source", "text")
+    key = lambda r: (r[0] or "", *[x if x is not None else "" for x in r[1:]])  # noqa: E731
+    for frame in ("postings", "doclens", "qterms"):
+        got = sorted(map(tuple, getattr(out, frame).collect()), key=key)
+        want = sorted(map(tuple, getattr(full, frame).collect()), key=key)
+        assert got == want, frame

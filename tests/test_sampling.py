@@ -338,15 +338,23 @@ def test_temporal_selector_neighbor_is_other_record_same_split(spark, sectioned_
     out = assemble_selector_triplets(secs, recipe, seed=42, ts_col="ts")
     rows = out.collect()
     assert rows
-    # the 50% swap may exchange the two keys — the temporal side is the
-    # POSITIVE slot pre-swap, i.e. anchor_key when swapped == 1
+    # the 50% swap exchanges WHOLE identities (ids together with
+    # keys/texts), so the lineage invariant is per-slot: each slot's key
+    # names that slot's record id, and the temporal neighbor (the side
+    # whose chunk came from the as-of join) is a DIFFERENT record than
+    # the requesting record — i.e. anchor_id != positive_id.
+    swapped_seen = False
     for r in rows:
+        assert int(r["anchor_key"].split("|")[0]) == r["anchor_id"]
+        assert int(r["positive_key"].split("|")[0]) == r["positive_id"]
+        assert r["anchor_id"] != r["positive_id"]
         nkey = r["anchor_key"] if r["swapped"] == 1 else r["positive_key"]
-        neigh = int(nkey.split("|")[0])
-        assert neigh != r["anchor_id"]
+        if r["swapped"] == 1:
+            swapped_seen = True
         # the neighbor's picked section is a context section (idx >= 1 in
         # this corpus: section 0 is the anchor role)
         assert int(nkey.split("|")[1]) >= 1
+    assert swapped_seen  # both orderings must appear for the check to bite
     # split isolation of the temporal neighbor
     nkey_col = F.when(F.col("swapped") == 1, F.col("anchor_key")).otherwise(
         F.col("positive_key")

@@ -135,3 +135,35 @@ def test_prefetched_batch_iterator_end_to_end(spark):
     assert [b[0] for b in batches] == list(range(n_batches))
     assert sum(len(b[1]) for b in batches) == n_positions >= 64
     assert stats.produced == n_batches and stats.errors == 0
+
+
+def test_prefetcher_stopiteration_latches(spark):
+    """Post-termination pulls must raise StopIteration repeatedly (the
+    iterator protocol), not park forever on the drained queue."""
+    from rust_triplets_spark.plans.batches import BatchPrefetcher
+
+    pf = BatchPrefetcher(iter([1, 2]), capacity=2)
+    assert list(pf) == [1, 2]
+    import pytest as _pytest
+
+    for _ in range(3):
+        with _pytest.raises(StopIteration):
+            next(pf)
+
+
+def test_prefetcher_exception_latches(spark):
+    from rust_triplets_spark.plans.batches import BatchPrefetcher
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    pf = BatchPrefetcher(boom(), capacity=2)
+    assert next(pf) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        next(pf)
+    # after the forwarded exception the iterator is terminal, not hung
+    with _pytest.raises(StopIteration):
+        next(pf)

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "temperature_source_mix",
     "repeated_spans",
     "event_gap_quantiles",
+    "source_vocab_overlap",
 ]
 
 

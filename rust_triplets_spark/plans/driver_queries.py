@@ -3031,6 +3031,72 @@ def source_vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_vocab_overlap",
+    f"""
+WITH v AS (
+  SELECT DISTINCT source, {hash31_str_sql('u.t')} AS fp
+  FROM documents, UNNEST({TX.tokens_sql('text')}) AS u(t)
+), sizes AS (
+  SELECT source, count(*) AS n FROM v GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM v a JOIN v b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       CAST(sa.n AS BIGINT) AS vocab_a, CAST(sb.n AS BIGINT) AS vocab_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+""",
+)
+def source_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-drift /
+    near-duplicate-source audit. The self-join runs over the DISTINCT
+    (source, token-fingerprint) frame: its size is Σ per-source vocab
+    (bounded by |vocab| × |sources|, never corpus rows) and the output
+    is |sources|² pairs — tiny at any corpus scale. Integer counts →
+    one exact double division."""
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(TX.tokens_col("text")).alias("t"))
+        .select("source", hash31_str_col(F.col("t")).alias("fp"))
+        .distinct()
+    )
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    v = cache_scoped(v, "analytics.vocab_fp")  # both self-join sides
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "fp")
+    b = v.select(F.col("source").alias("src_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("__na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("__nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("__na").cast("long").alias("vocab_a"),
+            F.col("__nb").cast("long").alias("vocab_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@_register(
     "top_tokens_per_source",
     f"""
 WITH per_tok AS (
@@ -3153,6 +3219,7 @@ _CHECK_FIRST = [
     "temperature_source_mix",
     "repeated_spans",
     "event_gap_quantiles",
+    "source_vocab_overlap",
     "sequence_packing",
     "pack_bin_stats",
     "decontamination",

@@ -136,6 +136,12 @@ def main() -> None:
             break
         passes_run += 1
         for name in BENCH_QUERIES:
+            # intra-pass budget check from pass 2 on: pass 1 always runs to
+            # completion (every query needs at least one timing), but a
+            # re-measurement pass stops mid-list rather than overshoot the
+            # budget arbitrarily on one slow query.
+            if pass_i > 0 and time.time() - t_start > budget_s:
+                break
             t0 = time.time()
             # one broken query must not zero out the whole round's bench:
             # record the failure and keep timing the rest.
@@ -174,6 +180,11 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "passes": passes_run,
+        # cold=True: only one pass ran (by config or expired budget), so the
+        # numbers carry one-shot JIT/codegen cost and are not comparable to
+        # warmed multi-pass minimums — flagged explicitly so consumers don't
+        # have to infer the regime from `passes`.
+        "cold": passes_run == 1,
     }
     if failures:
         out["failures"] = failures

@@ -3158,11 +3158,12 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join where every dimension is broadcast-able
-    (region/nation always; customer/supplier here too at test SFs) and
-    only the fact-fact join shuffles. Catalyst's join reordering +
-    broadcast thresholds produce the right plan from the declarative
-    form — nothing is hand-scheduled."""
+    """TPC-H Q5 shape: star join where the tiny fixed-cardinality
+    dimensions (region: 5 rows, nation: 25 rows — constant at every SF)
+    carry explicit broadcast hints, while supplier/customer/orders are
+    left to Catalyst's size-threshold + AQE runtime statistics: supplier
+    grows with SF and a forced broadcast would be wrong at production
+    dimension sizes. Only the fact-fact join shuffles."""
     customer = _t(spark, sf_dir, "customer", heavy=False)
     orders = _t(spark, sf_dir, "orders", heavy=False)
     lineitem = _t(spark, sf_dir, "lineitem", heavy=False)
@@ -3176,7 +3177,7 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

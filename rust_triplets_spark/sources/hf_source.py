@@ -226,16 +226,11 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
     # cache key = URL content hash, not just the positional index: an
     # upstream re-shard/re-order must not let an old shard file pass as
     # the new shard at the same position (stale-mix corruption); the
-    # index prefix only keeps the directory listing ordered. Shards not
-    # in the CURRENT manifest are pruned first — a directory read would
-    # otherwise pick up both dataset versions.
+    # index prefix only keeps the directory listing ordered.
     expected = {
         f"shard-{i:05d}-{hash31_str_py(url):08x}.parquet"
         for i, url in enumerate(urls)
     }
-    for name in os.listdir(dest_dir):
-        if name.endswith(".parquet") and name not in expected:
-            os.remove(os.path.join(dest_dir, name))
     for i, url in enumerate(urls):
         dest = os.path.join(
             dest_dir, f"shard-{i:05d}-{hash31_str_py(url):08x}.parquet"
@@ -250,6 +245,17 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
                     break
                 out.write(chunk)
         os.replace(tmp, dest)  # publish complete shards only
+    # Prune shards not in the CURRENT manifest only AFTER every download
+    # for this manifest has succeeded: pruning first would delete a still-
+    # valid cache and a mid-download failure would leave neither version
+    # readable. Post-success pruning keeps the directory read from mixing
+    # two dataset versions while never destroying the only good copy.
+    # (Concurrent snapshots of *different* manifests into one source_id
+    # dir remain unsupported — callers key cache_dir/source_id per
+    # dataset revision.)
+    for name in os.listdir(dest_dir):
+        if name.endswith(".parquet") and name not in expected:
+            os.remove(os.path.join(dest_dir, name))
     return dest_dir
 
 

@@ -86,6 +86,19 @@ def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame
     Empty/missing text rows are skipped (the CSV source's required-field
     rule); ``id`` is ``{source_id}::row_{idx}`` over the file's line order
     when no ``id_field`` is mapped.
+
+    The fallback row-index id is windowed **per input file** (not one
+    global partition), so multi-file corpora stay partition-parallel;
+    global uniqueness comes from a broadcast cumulative offset over files
+    sorted by name, so multi-file numbering follows lexicographic file
+    order deterministically.
+    Stability contract: the per-file index is line-order-stable only while
+    each file is read as a single split (small files, or compressed /
+    ``maxPartitionBytes``-bounded reads) — once Spark splits one file
+    across tasks, split packing order is not guaranteed to follow byte
+    offsets. Indexes also shift when skipped empty-text rows precede a
+    row. Production corpora should map a real ``id_field``; the fallback
+    exists for ad-hoc corpora, matching the reference's line-number ids.
     """
     schema = _nested(
         [
@@ -131,11 +144,29 @@ def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame
             "lang",
             "text",
         )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
-    return out.select(
-        F.concat(F.lit(f"{cfg.source_id}::row_"), (F.row_number().over(w) - 1)).alias(
-            "id"
-        ),
+    # Per-file window (parallel across files) + a broadcast cumulative
+    # offset over files sorted by name: globally unique row ids without a
+    # single-partition pass over the data — the only single-partition
+    # window runs over the file list (metadata-scale). See docstring for
+    # the single-split-per-file stability contract.
+    fname = F.input_file_name()
+    w_file = Window.partitionBy("__file").orderBy(F.monotonically_increasing_id())
+    indexed = out.withColumn("__file", fname).withColumn(
+        "__i", F.row_number().over(w_file) - 1
+    )
+    w_off = (
+        Window.orderBy("__file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        indexed.groupBy("__file")
+        .agg(F.count("*").alias("__n"))
+        .select("__file", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
+    )
+    return indexed.join(F.broadcast(offsets), "__file").select(
+        F.concat(
+            F.lit(f"{cfg.source_id}::row_"), (F.col("__off") + F.col("__i"))
+        ).alias("id"),
         "source",
         "trust",
         "lang",

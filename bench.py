@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "repeated_spans",
     "event_gap_quantiles",
     "source_vocab_overlap",
+    # round 5 additions
+    "semdedup_clusters",
+    "minhash_dedup_keep",
 ]
 
 

@@ -866,3 +866,42 @@ SELECT b.id, b.n_tok, CAST(len(b.grams) AS BIGINT) AS n_grams,
             ELSE 0.0 END AS covered_frac
 FROM base b LEFT JOIN agg a ON b.id = a.id
 """
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The user-facing dedup DECISION frame: compose
+    :func:`neardup_clusters` (connected components over MinHash-LSH
+    candidate pairs) with the min-id survivor policy — ``keep`` is true
+    exactly for each cluster's representative (and every singleton).
+    Returns ``(id, rep, keep, cluster_size)`` for EVERY document, i.e.
+    the frame a pipeline semi-joins against to materialize the deduped
+    corpus. Same O(log diameter) propagation cost as the cluster pass;
+    the keep column is a row-local comparison on top."""
+    labels = neardup_clusters(df, id_col, text_col, pairs=pairs, max_iter=max_iter)
+    return labels.select(
+        "id",
+        "rep",
+        (F.col("id") == F.col("rep")).alias("keep"),
+        "cluster_size",
+    )
+
+
+def minhash_dedup_keep_sql(
+    table: str, id_sql: str, text_sql: str,
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, seed: int = MINHASH_SEED,
+) -> str:
+    """DuckDB twin of :func:`minhash_dedup_keep` over the same recursive
+    closure as :func:`neardup_clusters_sql`."""
+    clusters = neardup_clusters_sql(
+        table, id_sql, text_sql, num_hashes, bands, shingle_n, seed
+    )
+    return f"""
+SELECT id, rep, (id = rep) AS keep, cluster_size
+FROM ({clusters})
+"""

@@ -529,3 +529,153 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
 FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM scored)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: embedding-cluster near-duplicate pruning (keep/drop frame)
+# ---------------------------------------------------------------------------
+
+
+def seeded_cells(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = 16, seed: int = IVF_SEED,
+) -> DataFrame:
+    """Coarse cell assignment with the hash-seeded quantizer (the
+    zero-iteration k-means of :func:`ivf_seeded_topk`): centroids are the
+    ``n_centroids`` corpus vectors with the smallest ``hash31(id, seed)``;
+    every vector goes to its nearest centroid by EXACT integer squared
+    distance over the quantized embeddings (ties broken by cell id).
+    Returns ``(id, __v, __n, cell)`` — quantized vector and norm ride along
+    so downstream kernels reuse them without re-reading the corpus.
+
+    Scale shape: centroid frame is ``n_centroids`` rows (broadcast); the
+    d2 scoring is a narrow map over corpus × n_centroids; the argmin is a
+    per-id window — one hash exchange on id."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    picked = (
+        base.select("id", "__v", _ivf_pick_key(seed).alias("__pk"))
+        .orderBy(F.col("__pk").asc(), F.col("id").asc())
+        .limit(n_centroids)
+    )
+    cent = picked.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("__pk").asc(), F.col("id").asc()))
+        .cast("long")
+        .alias("cell"),
+        F.col("__v").alias("__cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__cr",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
+            ),
+        )
+        .where(F.col("__cr") == 1)
+        .select("id", "__v", "__n", "cell")
+    )
+
+
+def semdedup_keep(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9,
+    n_centroids: int = 16, seed: int = IVF_SEED,
+) -> DataFrame:
+    """SemDedup-style embedding-cluster dedup (Abbas et al. 2023, public):
+    cluster the corpus with a coarse quantizer, score pairwise cosine only
+    WITHIN each cluster, and drop every document that has a same-cell
+    neighbor above ``threshold`` with a smaller id (the deterministic
+    min-id survivor policy — same keep-first rule as exact dedup, so the
+    result is iteration-order-free and oracle-checkable; the published
+    heuristic keeps the point farthest from the centroid, a policy choice
+    this column layout supports swapping in). Returns
+    ``(id, cell, keep)`` for EVERY document.
+
+    The embedding-level analog of minhash-based ``neardup_clusters``:
+    candidate cost is Σ cell² (cells ≈ corpus / n_centroids), never
+    corpus². At 100 TB, n_centroids scales with corpus so cells stay
+    bounded; the in-cell self-join is an equi-join on cell and the
+    dominance test is one aggregate — no iteration, no driver state."""
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    cells = cache_scoped(
+        seeded_cells(df, id_col, vec_col, n_centroids, seed),
+        "similarity.semdedup.cells",
+        eager=True,  # both self-join sides must read materialized blocks
+    )
+    left = cells.select(
+        F.col("id").alias("a"), F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"), "cell",
+    )
+    right = cells.select(
+        F.col("id").alias("b"), F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"), "cell",
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__an").cast("double")) * F.sqrt(F.col("__bn").cast("double"))
+    )
+    dominated = (
+        left.join(right, "cell")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("__dot", _dot(F.col("__av"), F.col("__bv")))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    return cells.join(
+        dominated.withColumn("__drop", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        "cell",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+    )
+
+
+def semdedup_keep_sql(
+    table: str, id_sql: str, vec_sql: str, threshold: float = 0.9,
+    n_centroids: int = 16, seed: int = IVF_SEED,
+) -> str:
+    """DuckDB twin of :func:`semdedup_keep` — same seeded centroids, same
+    integer d2 cell assignment, same min-id survivor rule."""
+    from rust_triplets_spark.functions.hashing import hash31_sql
+
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table}
+), n AS MATERIALIZED (
+  SELECT id, v,
+         CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS BIGINT) AS nn
+  FROM b
+), cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY {hash31_sql('id', seed)}, id) AS BIGINT) AS cell,
+         v AS cv
+  FROM b QUALIFY cell <= {n_centroids}
+), assigned AS MATERIALIZED (
+  SELECT id, v, nn, cell FROM (
+    SELECT n.id, n.v, n.nn, c.cell,
+           row_number() OVER (
+             PARTITION BY n.id
+             ORDER BY CAST(list_sum(list_transform(range(1, len(n.v) + 1),
+                           i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) AS BIGINT), c.cell
+           ) AS cr
+    FROM n, cent c
+  ) WHERE cr = 1
+), dominated AS (
+  SELECT DISTINCT r.id
+  FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.id < r.id
+  WHERE CAST(CAST(list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i])) AS BIGINT) AS DOUBLE)
+          / (sqrt(CAST(l.nn AS DOUBLE)) * sqrt(CAST(r.nn AS DOUBLE))) >= {threshold!r}
+)
+SELECT a.id, a.cell, (d.id IS NULL) AS keep
+FROM assigned a LEFT JOIN dominated d ON d.id = a.id
+"""

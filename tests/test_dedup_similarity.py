@@ -373,3 +373,57 @@ class TestRepeatedSpans:
             repeated_ngram_spans(df, "id", "text", n=0)
         with _pytest.raises(ValueError):
             repeated_ngram_spans(df, "id", "text", min_docs=1)
+
+
+def test_semdedup_min_id_survivor_policy(spark):
+    """Two tight groups of near-identical vectors + one outlier: within
+    each same-cell group only the smallest id survives; the outlier and
+    sub-threshold members keep."""
+    from rust_triplets_spark.operators.similarity import semdedup_keep
+
+    # IDENTICAL vectors are guaranteed to share a cell (identical d2 to
+    # every centroid + same tie-break) regardless of which seeded ids win
+    # the centroid pick — near-identical vectors could straddle a cell
+    # boundary, which is the documented recall trade-off, not a bug.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),      # duplicate of id 1
+        (3, [1.0, 0.0, 0.0]),      # duplicate of ids 1,2
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),     # duplicate of id 10
+        (20, [0.0, 0.0, 1.0]),     # outlier, no neighbor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r["keep"] for r in
+           semdedup_keep(df, "vec_id", "embedding", threshold=0.95,
+                         n_centroids=2).collect()}
+    assert len(out) == 6  # every document gets a row
+    assert out[1] is True          # min id of its group
+    assert out[2] is False and out[3] is False
+    assert out[10] is True and out[11] is False
+    assert out[20] is True         # no neighbor above threshold
+
+
+def test_semdedup_threshold_one_keeps_everything(spark):
+    from rust_triplets_spark.operators.similarity import semdedup_keep
+
+    rows = [(i, [float(i), 1.0]) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_keep(df, "vec_id", "embedding", threshold=1.01, n_centroids=3)
+    assert all(r["keep"] for r in out.collect())
+
+
+def test_minhash_dedup_keep_marks_cluster_reps(spark):
+    from rust_triplets_spark.operators.dedup import minhash_dedup_keep
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark engines and distributed joins"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string"
+    )
+    out = {r["id"]: (r["rep"], r["keep"], r["cluster_size"])
+           for r in minhash_dedup_keep(df, "id", "text").collect()}
+    assert out[1] == (1, True, 2)
+    assert out[2] == (1, False, 2)
+    assert out[3] == (3, True, 1)

@@ -192,3 +192,38 @@ def test_line_dedup_no_text_in_shuffle_keys(spark):
     plan = _physical(DQ.QUERIES["line_boilerplate_dedup"](spark, SF))
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "line#" not in m, m
+
+
+def test_driver_window_invariants():
+    """The external driver checks only the first DRIVER_CHECK_CAP registry
+    entries. _CHECK_FIRST must (a) fit the cap, (b) name only registered
+    queries, (c) actually occupy the front of the registry — the r4 list
+    silently overflowed to 52 and dropped two queries from the window."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    assert len(DQ._CHECK_FIRST) <= DQ.DRIVER_CHECK_CAP
+    assert len(set(DQ._CHECK_FIRST)) == len(DQ._CHECK_FIRST)
+    front = list(DQ.QUERIES)[: len(DQ._CHECK_FIRST)]
+    assert front == list(DQ._CHECK_FIRST)
+    # every window query with an oracle keeps it after reordering
+    for name in DQ._CHECK_FIRST:
+        assert name in DQ.QUERIES
+
+
+def test_semdedup_in_cell_join_is_equi_join(spark):
+    """semdedup: the only corpus-scale join is the (cell) equi-join; the
+    centroid frame reaches the corpus as a broadcast. Never corpus²."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["semdedup_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # n_centroids-row frame
+    # the only nested-loop joins allowed are the deliberate corpus x
+    # n_centroids fanouts that broadcast the tiny centroid frame (BuildRight
+    # Cross; reprinted once per cached-plan subtree). The in-cell self-join
+    # and the dominated-id join must be equi-joins.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
+    assert "BroadcastHashJoin [cell" in plan or "SortMergeJoin [cell" in plan
+    assert "SortMergeJoin [id" in plan or "BroadcastHashJoin [id" in plan

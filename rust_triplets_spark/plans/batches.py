@@ -89,7 +89,17 @@ def batch_iterator(
 ):
     """Yield ``(batch_idx, pandas.DataFrame)`` in deterministic epoch order,
     resuming from ``checkpoint.step``; persists progress after each yielded
-    batch when ``checkpoint_path`` is set. ``stats`` (an optional
+    batch when ``checkpoint_path`` is set.
+
+    Auto-save semantics are AT-LEAST-ONCE: batch k's consumption is
+    persisted when the consumer requests batch k+1 (generator resume), so
+    a crash after consuming-but-not-requesting replays exactly the last
+    in-flight batch and never loses one. A trainer that needs exactly-once
+    restart continuation owns the commit point instead: after durably
+    writing its step output, save ``Checkpoint(seed, epoch, step=idx+1)``
+    itself (tests/restart_worker.py demonstrates; cross-process equality
+    is pinned by tests/test_restart_equality.py — reference parity:
+    tests/shuffled_persistence.rs:681). ``stats`` (an optional
     ``telemetry.PrefetcherStats``) counts queued rows / produced batches /
     errors like the reference's prefetcher counters
     (src/sampler/mod.rs:165-171)."""

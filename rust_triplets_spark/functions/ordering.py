@@ -116,6 +116,10 @@ def bucketed_position(
     n_buckets: int = DEFAULT_BUCKETS,
     out_col: str = "position",
     count_col: str | None = None,
+    salt_col: str | None = None,
+    salt_prefix: Sequence[str] = (),
+    n_salt: int = 64,
+    salt_space: int = M31,
 ) -> DataFrame:
     """0-based dense rank of each row by ``(key, *tiebreak)`` within
     ``part_cols`` (global when empty), equal to
@@ -123,10 +127,38 @@ def bucketed_position(
     but executed with (partitions × n_buckets)-way parallelism.
 
     ``key_col`` must be a non-negative integer column < ``key_space``.
+
+    **Skew salting** (``salt_col``): range-bucketing the key spreads ROWS
+    evenly only while key VALUES do — a key that is constant per group
+    (e.g. ``hash31(source)``) puts a dominant group's entire row mass into
+    one bucket = one window task. Passing ``salt_col`` (a uniform integer
+    column < ``salt_space`` appearing in ``tiebreak`` AFTER
+    ``salt_prefix``) switches the bucket id to the struct
+    ``(key, *salt_prefix, salt div s)`` — the EXACT key plus the exact
+    order-prefix columns plus a range bucket of the next order component.
+    Lexicographic struct order still aligns with the total order (the
+    correctness requirement for the offset trick), so the result is
+    IDENTICAL row-for-row, but a dominant group now fans out over up to
+    ``n_salt`` window tasks. Cost: the counts frame grows to (partitions ×
+    distinct(key, *salt_prefix) × n_salt) rows — keep ``salt_prefix``
+    low-cardinality (it already must be: each distinct prefix is a pool
+    whose stats the caller broadcasts anyway). Threshold guidance: salt
+    when one group's row count can exceed a comfortable single-task size
+    (~a few million rows); below that the extra struct shuffle key buys
+    nothing.
     """
-    bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
     parts = list(part_cols)
-    with_b = df.withColumn("__bkt", (F.col(key_col) / F.lit(bsize)).cast("long"))
+    if salt_col is not None:
+        ssize = max(1, (salt_space + n_salt - 1) // n_salt)
+        bkt = F.struct(
+            F.col(key_col).alias("__k"),
+            *[F.col(c).alias(f"__p{i}") for i, c in enumerate(salt_prefix)],
+            (F.col(salt_col) / F.lit(ssize)).cast("long").alias("__s"),
+        )
+    else:
+        bsize = max(1, (key_space + n_buckets - 1) // n_buckets)
+        bkt = (F.col(key_col) / F.lit(bsize)).cast("long")
+    with_b = df.withColumn("__bkt", bkt)
     return _rank_and_offset(with_b, key_col, tiebreak, parts, out_col, count_col)
 
 

@@ -96,8 +96,20 @@ def negative_pick(
     seed: int = 42,
     variant: int = 0,
     id_is_string: bool = True,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
-    """One negative per anchor row. Returns ``(id, negative_id, tier)``."""
+    """One negative per anchor row. Returns ``(id, negative_id, tier)``.
+
+    ``salt_buckets``: optional skew fan-out for the ranking pass. The rank
+    buckets on ``hash31(source)`` — constant per source — so ONE dominant
+    source concentrates its whole row mass in one window task. With
+    ``salt_buckets`` set, the bucket id becomes the exact order prefix
+    plus a range bucket of ``hash31(id)`` (the next order component), so a
+    dominant source fans out over up to ``salt_buckets`` tasks while the
+    output stays row-for-row IDENTICAL (pytest-pinned:
+    tests/test_sampling.py::test_negative_pick_salted_equals_unsalted).
+    Enable when one (source, split) pool can exceed a comfortable
+    single-task size (~a few million rows)."""
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "wrong_publication_date" and not date_col:
@@ -137,13 +149,24 @@ def negative_pick(
     tiebreak += ["__oh", "id"]
 
     # ranked is consumed by the stats aggregate, the anchor side, and the
-    # pool side of the pick join — cache so the rank pipeline runs once
+    # pool side of the pick join — cache so the rank pipeline runs once.
+    # salt: sub-bucket on __oh (the uniform per-record hash, the next order
+    # component after the per-source-constant prefix) — see docstring.
+    salt_kw = (
+        {
+            "salt_col": "__oh",
+            "salt_prefix": tiebreak[: tiebreak.index("__oh")],
+            "n_salt": salt_buckets,
+        }
+        if salt_buckets
+        else {}
+    )
     ranked = cache_scoped(
         bucketed_position(
             base, "__srck", tiebreak, part_cols=["split"],
-            out_col="__grn", count_col="__ns",
+            out_col="__grn", count_col="__ns", **salt_kw,
         ),
-        f"negatives.{strategy}.ranked",
+        f"negatives.{strategy}.ranked.salt{salt_buckets or 0}",
     )
 
     # tier range stats: one pass over the ranked frame, broadcast back.

@@ -59,3 +59,25 @@ def test_nesting_depth_validation(spark, corpus):
     cfg = JsonlSourceConfig(source_id="s4", path=corpus, text_field="a.b.c")
     with pytest.raises(ValueError):
         read_jsonl_records(spark, cfg)
+
+
+def test_row_index_ids_multi_file_unique_and_name_ordered(spark, tmp_path):
+    """Fallback ids over a MULTI-file corpus: globally unique, numbered in
+    lexicographic file order (b.jsonl's rows continue after a.jsonl's),
+    partition-parallel (per-file windows + broadcast offsets)."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"body": "a one"}\n{"body": "a two"}\n{"body": ""}\n{"body": "a three"}\n'
+    )
+    (d / "b.jsonl").write_text('{"body": "b one"}\n{"body": "b two"}\n')
+    cfg = JsonlSourceConfig(source_id="m", path=str(d), text_field="body")
+    rows = {r.id: r.text for r in read_jsonl_records(spark, cfg).collect()}
+    # 5 non-empty rows; a.jsonl's empty body skipped shifts its later index
+    assert rows == {
+        "m::row_0": "a one",
+        "m::row_1": "a two",
+        "m::row_2": "a three",
+        "m::row_3": "b one",
+        "m::row_4": "b two",
+    }

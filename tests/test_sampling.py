@@ -429,3 +429,43 @@ def test_temporal_swap_exchanges_ids_with_texts(spark):
         if r.swapped == 1:
             swapped_seen = True
     assert swapped_seen
+
+
+def test_negative_pick_salted_equals_unsalted(spark):
+    """Skew salting (salt_buckets) must be a pure parallelism knob: the
+    picked negatives are row-for-row identical, while the dominant
+    source's rows fan out over >1 rank bucket (= >1 window task)."""
+    from rust_triplets_spark.functions.hashing import M31, hash31_py, strfold_py
+    from rust_triplets_spark.operators.negatives import POOL_SEED_OFF
+
+    # one dominant source: 90% of rows in 'big'
+    rows = []
+    for i in range(120):
+        src = "big" if i % 10 else f"tiny{i % 3}"
+        split = "test" if i % 17 == 0 else "train"
+        date = f"2024-0{1 + (i % 3)}" if i % 4 else None
+        rows.append((f"r{i}", src, split, date))
+    df = spark.createDataFrame(rows, "id string, source string, split string, datec string")
+
+    cases = [
+        ("wrong_article", "datec"),
+        ("wrong_publication_date", "datec"),
+        ("qa_mismatch", None),
+    ]
+    for strategy, date_col in cases:
+        base = negative_pick(df, "id", "source", "split", strategy, date_col=date_col)
+        salted = negative_pick(
+            df, "id", "source", "split", strategy, date_col=date_col, salt_buckets=8
+        )
+        key = lambda r: r["id"]
+        assert sorted(base.collect(), key=key) == sorted(salted.collect(), key=key), strategy
+
+    # fan-out proof: the dominant source's salt buckets (hash31(id) div s)
+    # span >1 value, so its rank window splits across >1 task partition
+    ssize = (M31 + 8 - 1) // 8
+    big_buckets = {
+        hash31_py(strfold_py(f"r{i}"), 42 + POOL_SEED_OFF) // ssize
+        for i in range(120)
+        if i % 10
+    }
+    assert len(big_buckets) > 1

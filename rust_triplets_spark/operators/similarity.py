@@ -398,10 +398,49 @@ def ann_ivf_topk(
 
 IVF_SEED = 7000
 
+# Auto-sized quantizers: a FIXED n_centroids makes the in-cell self-join
+# quadratic in the corpus (cells grow as corpus/n_centroids, join cost as
+# Σ cell² = corpus²/n_centroids) — measured 27-54x at a 10x scale-up
+# (SCALE.md). Deriving n_centroids from the corpus bounds cells at
+# ~target_cell_rows, making the join linear: corpus × target. Exact
+# integer arithmetic so Spark and the DuckDB oracle (a scalar subquery
+# over the same table) agree at every boundary.
+TARGET_CELL_ROWS = 1000
+
+
+def auto_cells(rows: int, target_cell_rows: int = TARGET_CELL_ROWS, floor: int = 8) -> int:
+    """ceil(rows / target) with a floor — integer-exact in both engines."""
+    return max(floor, (rows + target_cell_rows - 1) // target_cell_rows)
+
+
+def _auto_cells_sql(table: str, target_cell_rows: int, floor: int) -> str:
+    return (
+        f"(SELECT greatest({floor}, (count(*) + {target_cell_rows - 1}) "
+        f"// {target_cell_rows}) FROM {table})"
+    )
+
+
+def recommended_planes(
+    rows: int, target_bucket_rows: int = TARGET_CELL_ROWS, floor: int = 4
+) -> int:
+    """Hyperplane count for the LSH family (:func:`ann_bucketed_topk`,
+    :func:`embedding_neardup_pairs`): buckets = 2^planes, so a FIXED plane
+    count is the same quadratic trap as a fixed n_centroids. Pick
+    planes = ceil(log2(rows / target_bucket_rows)) so expected bucket
+    occupancy stays ~target. The per-plane sign bits are unrolled into the
+    expression tree (and the static oracle SQL) at plan-build time, which
+    is why the LSH queries take an explicit plane count instead of a
+    data-dependent auto mode — size it with this helper."""
+    import math
+
+    buckets_needed = max(1, (rows + target_bucket_rows - 1) // target_bucket_rows)
+    return max(floor, math.ceil(math.log2(buckets_needed)) if buckets_needed > 1 else floor)
+
 
 def ivf_seeded_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
-    n_centroids: int = 16, nprobe: int = 2, seed: int = IVF_SEED,
+    n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
+    target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> DataFrame:
     """IVF ANN with a hash-seeded coarse quantizer: the centroids are the
     ``n_centroids`` corpus vectors with the smallest ``hash31(id, seed)``
@@ -414,8 +453,14 @@ def ivf_seeded_topk(
 
     Scale shape: the centroid frame is ``n_centroids`` rows (broadcast);
     distance scoring is a narrow map over corpus × n_centroids; the only
-    wide exchanges are the per-id argmin window and the (cell) equi-join —
-    Σ cell² candidate cost, never corpus²."""
+    wide exchanges are the per-id argmin window and the (cell) equi-join.
+    ``n_centroids=None`` derives it from the corpus (:func:`auto_cells`,
+    floor 16) so cells stay ~``target_cell_rows`` and the candidate join
+    stays LINEAR — a fixed count is quadratic once the corpus outgrows it
+    (measured 54x at a 10x scale-up, SCALE.md). The count() behind auto
+    mode is a parquet-footer read, not a scan."""
+    if n_centroids is None:
+        n_centroids = auto_cells(df.count(), target_cell_rows, floor=16)
     base = df.select(
         F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
@@ -491,12 +536,19 @@ def _ivf_pick_key(seed: int):
 
 def ivf_seeded_topk_sql(
     table: str, id_sql: str, vec_sql: str, k: int = 5,
-    n_centroids: int = 16, nprobe: int = 2, seed: int = IVF_SEED,
+    n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
+    target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> str:
     """DuckDB twin of :func:`ivf_seeded_topk` — same seeded centroid pick,
-    same integer distances, same tie-breaks."""
+    same integer distances, same tie-breaks; ``n_centroids=None`` becomes
+    the same integer-exact auto_cells arithmetic as a scalar subquery."""
     from rust_triplets_spark.functions.hashing import hash31_sql
 
+    n_cent_sql = (
+        _auto_cells_sql("b", target_cell_rows, floor=16)
+        if n_centroids is None
+        else str(n_centroids)
+    )
     q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
     return f"""
 WITH b AS MATERIALIZED (
@@ -508,7 +560,7 @@ WITH b AS MATERIALIZED (
 ), cent AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY {hash31_sql('id', seed)}, id) AS BIGINT) AS cell,
          v AS cv
-  FROM b QUALIFY cell <= {n_centroids}
+  FROM b QUALIFY cell <= {n_cent_sql}
 ), ranked AS MATERIALIZED (
   SELECT n.id, n.v, n.nn, c.cell,
          row_number() OVER (
@@ -538,7 +590,8 @@ WHERE rank <= {k}
 
 def seeded_cells(
     df: DataFrame, id_col: str, vec_col: str,
-    n_centroids: int = 16, seed: int = IVF_SEED,
+    n_centroids: int | None = 16, seed: int = IVF_SEED,
+    target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> DataFrame:
     """Coarse cell assignment with the hash-seeded quantizer (the
     zero-iteration k-means of :func:`ivf_seeded_topk`): centroids are the
@@ -550,7 +603,11 @@ def seeded_cells(
 
     Scale shape: centroid frame is ``n_centroids`` rows (broadcast); the
     d2 scoring is a narrow map over corpus × n_centroids; the argmin is a
-    per-id window — one hash exchange on id."""
+    per-id window — one hash exchange on id. ``n_centroids=None`` derives
+    the count from the corpus (:func:`auto_cells`, floor 8) so downstream
+    in-cell joins stay linear (see :data:`TARGET_CELL_ROWS`)."""
+    if n_centroids is None:
+        n_centroids = auto_cells(df.count(), target_cell_rows, floor=8)
     base = df.select(
         F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
@@ -587,7 +644,8 @@ def seeded_cells(
 
 def semdedup_keep(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9,
-    n_centroids: int = 16, seed: int = IVF_SEED,
+    n_centroids: int | None = 16, seed: int = IVF_SEED,
+    target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> DataFrame:
     """SemDedup-style embedding-cluster dedup (Abbas et al. 2023, public):
     cluster the corpus with a coarse quantizer, score pairwise cosine only
@@ -601,13 +659,16 @@ def semdedup_keep(
 
     The embedding-level analog of minhash-based ``neardup_clusters``:
     candidate cost is Σ cell² (cells ≈ corpus / n_centroids), never
-    corpus². At 100 TB, n_centroids scales with corpus so cells stay
-    bounded; the in-cell self-join is an equi-join on cell and the
-    dominance test is one aggregate — no iteration, no driver state."""
+    corpus². ``n_centroids=None`` (the scale default) derives the count
+    from the corpus so cells stay ~``target_cell_rows`` and the in-cell
+    self-join is LINEAR — a fixed count re-grows cells with the corpus and
+    measured 27x at a 10x scale-up (SCALE.md). The self-join is an
+    equi-join on cell and the dominance test one aggregate — no
+    iteration, no driver state."""
     from rust_triplets_spark.functions.caching import cache_scoped
 
     cells = cache_scoped(
-        seeded_cells(df, id_col, vec_col, n_centroids, seed),
+        seeded_cells(df, id_col, vec_col, n_centroids, seed, target_cell_rows),
         "similarity.semdedup.cells",
         eager=True,  # both self-join sides must read materialized blocks
     )
@@ -642,12 +703,20 @@ def semdedup_keep(
 
 def semdedup_keep_sql(
     table: str, id_sql: str, vec_sql: str, threshold: float = 0.9,
-    n_centroids: int = 16, seed: int = IVF_SEED,
+    n_centroids: int | None = 16, seed: int = IVF_SEED,
+    target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> str:
     """DuckDB twin of :func:`semdedup_keep` — same seeded centroids, same
-    integer d2 cell assignment, same min-id survivor rule."""
+    integer d2 cell assignment, same min-id survivor rule;
+    ``n_centroids=None`` becomes the same auto_cells arithmetic as a
+    scalar subquery."""
     from rust_triplets_spark.functions.hashing import hash31_sql
 
+    n_cent_sql = (
+        _auto_cells_sql("b", target_cell_rows, floor=8)
+        if n_centroids is None
+        else str(n_centroids)
+    )
     q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
     return f"""
 WITH b AS MATERIALIZED (
@@ -659,7 +728,7 @@ WITH b AS MATERIALIZED (
 ), cent AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY {hash31_sql('id', seed)}, id) AS BIGINT) AS cell,
          v AS cv
-  FROM b QUALIFY cell <= {n_centroids}
+  FROM b QUALIFY cell <= {n_cent_sql}
 ), assigned AS MATERIALIZED (
   SELECT id, v, nn, cell FROM (
     SELECT n.id, n.v, n.nn, c.cell,

@@ -1935,7 +1935,7 @@ def ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ann_ivf_topk",
-    ivf_seeded_topk_sql("embeddings", "vec_id", "embedding", k=3, n_centroids=16, nprobe=2),
+    ivf_seeded_topk_sql("embeddings", "vec_id", "embedding", k=3, n_centroids=None, nprobe=2),
 )
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path, hash-exact flavor: seeded coarse quantizer
@@ -1948,7 +1948,7 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness row is hash-exact rather than rows-only."""
     return ivf_seeded_topk(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        k=3, n_centroids=16, nprobe=2,
+        k=3, n_centroids=None, nprobe=2,
     )
 
 
@@ -3211,17 +3211,19 @@ from rust_triplets_spark.operators.similarity import (  # noqa: E402
 @_register(
     "semdedup_clusters",
     semdedup_keep_sql("embeddings", "vec_id", "embedding",
-                      threshold=0.3, n_centroids=8),
+                      threshold=0.3, n_centroids=None),
 )
 def semdedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup-style embedding dedup: seeded coarse quantizer cells +
     in-cell cosine thresholding + min-id survivor → per-document
     (id, cell, keep). The embedding analog of minhash_dedup_keep.
+    n_centroids=None (auto_cells) keeps cells ~1000 rows at any corpus
+    size — the linear scale path, identical arithmetic in the oracle.
     (Threshold 0.3 is tuned to the synthetic fixture — its random
     embeddings top out near cos 0.5; real corpora would use ~0.9+.)"""
     return semdedup_keep(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.3, n_centroids=8,
+        threshold=0.3, n_centroids=None,
     )
 
 
@@ -3261,9 +3263,11 @@ _CHECK_FIRST = [
     "semdedup_clusters",
     "minhash_dedup_keep",
     # changed this round (round 5): q5 broadcast hints narrowed; jsonl id
-    # fallback rewritten to per-file windows + broadcast offsets
+    # fallback rewritten to per-file windows + broadcast offsets; IVF
+    # quantizer switched to corpus-derived auto n_centroids (SCALE.md)
     "q5_local_supplier_volume",
     "jsonl_records",
+    "ann_ivf_topk",
     # last driver-green in r2/r3; all 42 re-verified locally in r4
     "chunk_rotation",
     "round_robin_interleave",

@@ -427,3 +427,28 @@ def test_minhash_dedup_keep_marks_cluster_reps(spark):
     assert out[1] == (1, True, 2)
     assert out[2] == (1, False, 2)
     assert out[3] == (3, True, 1)
+
+
+def test_auto_cells_arithmetic_and_floor():
+    from rust_triplets_spark.operators.similarity import auto_cells, recommended_planes
+
+    assert auto_cells(500, 1000, floor=8) == 8       # floor wins
+    assert auto_cells(20_000, 1000, floor=8) == 20
+    assert auto_cells(20_001, 1000, floor=8) == 21   # exact ceil boundary
+    assert auto_cells(10**9, 1000, floor=16) == 10**6
+    assert recommended_planes(2_000, 1000) == 4      # floor
+    assert recommended_planes(20_000, 1000) == 5     # ceil(log2(20))
+    assert recommended_planes(10**9, 1000) == 20
+
+
+def test_semdedup_auto_cells_equals_explicit_at_floor(spark):
+    """At corpora below target_cell_rows x floor, auto mode must produce
+    the exact frame the old fixed default produced (driver continuity)."""
+    from rust_triplets_spark.operators.similarity import semdedup_keep
+
+    rows = [(i, [float((i * 7) % 13), float((i * 5) % 11), 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fixed = semdedup_keep(df, "vec_id", "embedding", threshold=0.8, n_centroids=8)
+    auto = semdedup_keep(df, "vec_id", "embedding", threshold=0.8, n_centroids=None)
+    key = lambda r: r["id"]
+    assert sorted(fixed.collect(), key=key) == sorted(auto.collect(), key=key)

@@ -104,12 +104,16 @@ BENCH_QUERIES = [
     # round 5 additions
     "semdedup_clusters",
     "minhash_dedup_keep",
+    "cluster_aware_splits",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0  # non-numeric dir suffix (custom scale dirs) — not fatal
 
     from rust_triplets_spark.plans import driver_queries as DQ
     from rust_triplets_spark.session import get_spark

@@ -142,3 +142,63 @@ def with_split(
         .withColumn(out_col, F.coalesce(F.col("__ov_split"), derived))
         .drop("__ov_id", "__ov_split")
     )
+
+
+def cluster_aware_splits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+    ratios: tuple[float, float, float] = DEFAULT_RATIOS,
+    pairs: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Leakage-free split assignment: every near-duplicate CLUSTER lands
+    on one side. Deriving the label from the raw id lets two near-copies
+    of a document straddle train/test — the classic eval-contamination
+    path a plain hash split cannot see. Here the label is derived from the
+    cluster REPRESENTATIVE (connected components over MinHash-LSH pairs,
+    :func:`~rust_triplets_spark.operators.dedup.neardup_clusters`), so all
+    members inherit one label while singletons reduce to the ordinary
+    id-hash split. Returns ``(id, rep, cluster_size, split)``.
+
+    Determinism contract unchanged: the label is a pure function of
+    ``(rep, seed, ratios)`` and reps are id-stable fixpoints, so labels
+    stay stable as the corpus grows — unless new documents join a cluster
+    ACROSS the old boundary, which is exactly the case that must re-label
+    (the alternative IS leakage). Scale shape = neardup_clusters
+    (O(log n) label propagation, bucketed pairs) + pure column arithmetic.
+    """
+    from rust_triplets_spark.operators.dedup import neardup_clusters
+
+    labels = neardup_clusters(df, id_col, text_col, pairs=pairs, max_iter=max_iter)
+    return labels.select(
+        "id",
+        "rep",
+        "cluster_size",
+        split_label_col(F.col("rep"), seed, ratios, id_is_string=False).alias("split"),
+    )
+
+
+def cluster_aware_splits_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    seed: int = 42,
+    ratios: tuple[float, float, float] = DEFAULT_RATIOS,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    minhash_seed: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`cluster_aware_splits`: the recursive-CTE
+    closure of :func:`~rust_triplets_spark.operators.dedup
+    .neardup_clusters_sql` with the split cut applied to ``rep``."""
+    from rust_triplets_spark.operators.dedup import MINHASH_SEED, neardup_clusters_sql
+
+    clusters = neardup_clusters_sql(
+        table, id_sql, text_sql, num_hashes, bands, shingle_n,
+        minhash_seed if minhash_seed is not None else MINHASH_SEED,
+    )
+    label = split_label_sql("rep", seed, ratios, id_is_string=False)
+    return f"SELECT id, rep, cluster_size, {label} AS split FROM ({clusters})"

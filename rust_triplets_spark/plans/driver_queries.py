@@ -3227,6 +3227,24 @@ def semdedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.splits import (  # noqa: E402
+    cluster_aware_splits, cluster_aware_splits_sql,
+)
+
+
+@_register(
+    "cluster_aware_splits",
+    cluster_aware_splits_sql("documents", "doc_id", "text"),
+)
+def cluster_aware_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free splits: near-dup clusters (MinHash-LSH connected
+    components) inherit one split label derived from the cluster rep, so
+    no pair of near-duplicates straddles train/test — the contamination
+    path a plain id-hash split cannot see. Singletons reduce to the
+    ordinary deterministic split."""
+    return cluster_aware_splits(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @_register(
     "minhash_dedup_keep",
     minhash_dedup_keep_sql("documents", "doc_id", "text"),
@@ -3262,6 +3280,7 @@ _CHECK_FIRST = [
     # new this round (round 5)
     "semdedup_clusters",
     "minhash_dedup_keep",
+    "cluster_aware_splits",
     # changed this round (round 5): q5 broadcast hints narrowed; jsonl id
     # fallback rewritten to per-file windows + broadcast offsets; IVF
     # quantizer switched to corpus-derived auto n_centroids (SCALE.md)

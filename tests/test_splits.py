@@ -96,3 +96,35 @@ def test_file_split_store_roundtrip_and_guards(spark, tmp_path):
         FileSplitStore(str(tmp_path / "store"), seed=7).load(spark)
     with pytest.raises(ValueError, match="ratio mismatch"):
         FileSplitStore(str(tmp_path / "store"), seed=42, ratios=(0.5, 0.25, 0.25)).load(spark)
+
+
+def test_cluster_aware_splits_no_neardup_leakage(spark):
+    """Near-dup cluster members share ONE split label; singletons get the
+    plain deterministic id split."""
+    from rust_triplets_spark.operators.dedup import minhash_lsh_pairs
+    from rust_triplets_spark.operators.splits import (
+        cluster_aware_splits, split_label_col,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base.replace("today", "tomorrow")),
+            (3, "entirely different text about query planners and shuffles"),
+            (4, base.replace("quick", "rapid"))]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in cluster_aware_splits(df, "id", "text").collect()}
+    assert len(out) == 4
+    # the near-dup family {1,2,4} forms one cluster -> one label
+    fam = {out[i]["rep"] for i in (1, 2, 4)}
+    assert fam == {1}
+    assert out[1]["split"] == out[2]["split"] == out[4]["split"]
+    # singleton: label == plain id-hash split of its own id (rep == id)
+    plain = df.where(F.col("id") == 3).select(
+        split_label_col(F.col("id"), 42).alias("s")).collect()[0]["s"]
+    assert out[3]["split"] == plain and out[3]["rep"] == 3
+
+    # leakage audit: NO minhash candidate pair may straddle splits
+    pairs = minhash_lsh_pairs(df, "id", "text").collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert out[p["a"]]["split"] == out[p["b"]]["split"]

@@ -391,14 +391,23 @@ SELECT id, {sig} AS simhash FROM agg
 def simhash_band_pairs(
     df: DataFrame, id_col: str, text_col: str,
     bits: int = 32, bands: int = 4, seed: int = SIMHASH_SEED,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-duplicate candidates: split each signature into
     ``bands`` equal bit-bands; pairs (a < b) sharing ≥ 1 exact band are
     candidates (Hamming distance ≤ bits - bits/bands guaranteed to be
     caught when distance < bands). Returns (a, b, hamming) distinct.
 
-    Scale shape: band explode + equi-join on (band, value) — the classic
-    linear-cost simhash index; never an all-pairs comparison."""
+    Scale shape: band explode + equi-join on (band, value). ``max_bucket``
+    is the stop-band guard (the :func:`ngram_jaccard_pairs` ``max_df``
+    analog): a (band, value) bucket holding more than ``max_bucket`` docs
+    contributes bucket² pairs while carrying no discriminative signal —
+    low-entropy corpora (boilerplate-heavy, tiny vocabularies) routinely
+    produce such heavy-hitter band values, and one of them turns the
+    linear index quadratic (the sf1 scale run produced 336M candidate
+    pairs from exactly this, SCALE.md). Oversized buckets are dropped
+    BEFORE the self-join; docs still pair through their other, selective
+    bands. Guard disabled with ``max_bucket=None``."""
     if bits % bands:
         raise ValueError("bits must divide into equal bands")
     r = bits // bands
@@ -426,6 +435,17 @@ def simhash_band_pairs(
         ).select("id", "simhash", F.col("__b.band").alias("band"), F.col("__b.val").alias("val")),
         "dedup.simhash_banded", eager=True,
     )
+    if max_bucket is not None:
+        # stop-band guard: aggregate + broadcast semi-filter, not a window
+        # (the banded frame is corpus x bands — a count window would
+        # re-shuffle it; the distinct (band, val) frame is tiny)
+        keep = (
+            banded.groupBy("band", "val")
+            .agg(F.count("*").alias("__bc"))
+            .where(F.col("__bc") <= max_bucket)
+            .select("band", "val")
+        )
+        banded = banded.join(F.broadcast(keep), ["band", "val"], "left_semi")
     left = banded.select("band", "val", F.col("id").alias("a"), F.col("simhash").alias("__sa"))
     right = banded.select("band", "val", F.col("id").alias("b"), F.col("simhash").alias("__sb"))
     return (
@@ -442,6 +462,7 @@ def simhash_band_pairs(
 def simhash_band_pairs_sql(
     table: str, id_sql: str, text_sql: str,
     bits: int = 32, bands: int = 4, seed: int = SIMHASH_SEED,
+    max_bucket: int = 1000,
 ) -> str:
     r = bits // bands
     mask = (1 << r) - 1
@@ -450,12 +471,20 @@ def simhash_band_pairs_sql(
         f"SELECT id, simhash, {b} AS band, (simhash >> {b * r}) & {mask} AS val FROM sigs"
         for b in range(bands)
     )
+    guard = (
+        f"banded_f AS MATERIALIZED (SELECT id, simhash, band, val FROM "
+        f"(SELECT *, count(*) OVER (PARTITION BY band, val) AS bc FROM banded) "
+        f"WHERE bc <= {max_bucket})"
+        if max_bucket is not None
+        else "banded_f AS (SELECT * FROM banded)"
+    )
     return f"""
 WITH sigs AS MATERIALIZED ({sig_sql}),
-banded AS MATERIALIZED ({band_selects})
+banded AS MATERIALIZED ({band_selects}),
+{guard}
 SELECT DISTINCT l.id AS a, r.id AS b,
        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-FROM banded l JOIN banded r ON l.band = r.band AND l.val = r.val AND l.id < r.id
+FROM banded_f l JOIN banded_f r ON l.band = r.band AND l.val = r.val AND l.id < r.id
 """
 
 

@@ -452,3 +452,22 @@ def test_semdedup_auto_cells_equals_explicit_at_floor(spark):
     auto = semdedup_keep(df, "vec_id", "embedding", threshold=0.8, n_centroids=None)
     key = lambda r: r["id"]
     assert sorted(fixed.collect(), key=key) == sorted(auto.collect(), key=key)
+
+
+def test_simhash_stop_band_guard(spark):
+    """max_bucket drops over-populated (band, value) buckets before the
+    self-join (the quadratic heavy-hitter guard); None disables it."""
+    from rust_triplets_spark.operators.dedup import simhash_band_pairs
+
+    # identical docs: every band bucket holds all 3 ids
+    df = spark.createDataFrame(
+        [(i, "same words every time here") for i in range(1, 4)],
+        "id long, text string",
+    )
+    unguarded = simhash_band_pairs(df, "id", "text", max_bucket=None).collect()
+    assert {(r["a"], r["b"]) for r in unguarded} == {(1, 2), (1, 3), (2, 3)}
+    guarded = simhash_band_pairs(df, "id", "text", max_bucket=2).collect()
+    assert guarded == []  # all buckets oversized -> no candidates
+    # bucket-size boundary: max_bucket == occupancy keeps the bucket
+    boundary = simhash_band_pairs(df, "id", "text", max_bucket=3).collect()
+    assert {(r["a"], r["b"]) for r in boundary} == {(1, 2), (1, 3), (2, 3)}

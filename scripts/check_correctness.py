@@ -78,6 +78,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # bounded memory + disk spill: heavyweight oracles (bm25's postings
+    # self-join at sf1) otherwise grow unbounded and get OOM-killed with
+    # the whole process — a spilling oracle is slow but finishes, and a
+    # failed query stays a per-query FAIL instead of killing the gate.
+    try:
+        con.execute("SET memory_limit='40GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    except Exception:
+        pass  # older duckdb without these pragmas
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

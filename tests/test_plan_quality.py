@@ -227,3 +227,27 @@ def test_semdedup_in_cell_join_is_equi_join(spark):
             assert "BuildRight, Cross" in line, line
     assert "BroadcastHashJoin [cell" in plan or "SortMergeJoin [cell" in plan
     assert "SortMergeJoin [id" in plan or "BroadcastHashJoin [id" in plan
+
+
+def test_round5_cluster_frames_no_cartesian(spark):
+    """cluster_aware_splits + minhash_dedup_keep: the pair generation and
+    label propagation must stay equi-joins — no cartesian or broadcast
+    nested loop anywhere in either plan."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    for q in ["cluster_aware_splits", "minhash_dedup_keep"]:
+        plan = _physical(DQ.QUERIES[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_simhash_stop_band_filter_is_broadcast_semi(spark):
+    """The max_bucket guard must reach the banded frame as a broadcast
+    semi-join of the tiny (band, val) keep-list — not re-shuffle the
+    corpus-x-bands frame through a count window."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["simhash_band_pairs"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

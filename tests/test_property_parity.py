@@ -131,3 +131,21 @@ def test_normalize_whitespace_py_duck_property(toks, duck):
         [s],
     ).fetchone()[0]
     assert duck_v == " ".join(t for t in s.split())
+
+
+@_settings
+@given(
+    rows=st.integers(min_value=0, max_value=10**12),
+    target=st.integers(min_value=1, max_value=10**6),
+    floor=st.integers(min_value=1, max_value=64),
+)
+def test_auto_cells_py_duck_property(rows, target, floor):
+    """auto_cells must agree bit-for-bit with the oracle's scalar-subquery
+    arithmetic at every (rows, target) boundary — a one-off at a ceil
+    boundary would desync centroid counts and fail every downstream hash."""
+    from rust_triplets_spark.operators.similarity import auto_cells
+
+    duck_v = duckdb.sql(
+        f"SELECT greatest({floor}, ({rows} + {target - 1}) // {target})"
+    ).fetchone()[0]
+    assert auto_cells(rows, target, floor) == duck_v

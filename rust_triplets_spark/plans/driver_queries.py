@@ -3329,10 +3329,9 @@ _CHECK_FIRST = [
     "split_counts_for_total",
     "ann_lsh_buckets",
     "sliding_window_chunks",
+    "epoch_shuffle",
     # changed late in round 5: stop-band guard (max_bucket) added after the
-    # sf1 scale run exploded its candidate set; epoch_shuffle ceded the
-    # slot (its code path is covered by r4-green epoch_batch_plan + local
-    # exact-value runs at three SFs)
+    # sf1 scale run exploded its candidate set
     "simhash_band_pairs",
 ]
 

@@ -136,6 +136,7 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "720"))
     t_start = time.time()
     times: dict[str, float] = {}
+    pass_counts: dict[str, int] = {}  # timings actually taken per query
     failures: dict[str, str] = {}
     passes_run = 0
     for pass_i in range(passes):
@@ -158,6 +159,7 @@ def main() -> None:
                 ).save()
                 dt = round(time.time() - t0, 3)
                 times[name] = min(times.get(name, dt), dt)
+                pass_counts[name] = pass_counts.get(name, 0) + 1
             except Exception as exc:  # noqa: BLE001
                 msg = f"{type(exc).__name__}: {exc}"[:500]
                 failures[name] = msg
@@ -192,6 +194,12 @@ def main() -> None:
         # warmed multi-pass minimums — flagged explicitly so consumers don't
         # have to infer the regime from `passes`.
         "cold": passes_run == 1,
+        # per-query pass counts: the intra-pass budget break can leave TAIL
+        # queries with fewer (even single, i.e. cold) timings than the head
+        # while the global flags say warm — consumers (scale_report.py)
+        # compare ratios per-query and need to know which numbers are
+        # min-of-N and which are one cold shot.
+        "query_passes": pass_counts,
     }
     if failures:
         out["failures"] = failures

@@ -405,9 +405,15 @@ def simhash_band_pairs(
     low-entropy corpora (boilerplate-heavy, tiny vocabularies) routinely
     produce such heavy-hitter band values, and one of them turns the
     linear index quadratic (the sf1 scale run produced 336M candidate
-    pairs from exactly this, SCALE.md). Oversized buckets are dropped
-    BEFORE the self-join; docs still pair through their other, selective
-    bands. Guard disabled with ``max_bucket=None``."""
+    pairs from exactly this, SCALE.md). Oversized buckets are pulled out
+    of the self-join BEFORE it runs; instead of disappearing (which would
+    let exactly the heaviest duplicate families escape detection — a doc
+    family large enough to saturate EVERY band would yield zero pairs),
+    each doc in an oversized bucket is paired with the bucket's min-id
+    representative. That keeps the family connected (downstream
+    connected-components recovers the full cluster through the hub) at
+    ``bucket - 1`` pairs per bucket instead of ``bucket²``. Guard disabled
+    with ``max_bucket=None``."""
     if bits % bands:
         raise ValueError("bits must divide into equal bands")
     r = bits // bands
@@ -435,28 +441,50 @@ def simhash_band_pairs(
         ).select("id", "simhash", F.col("__b.band").alias("band"), F.col("__b.val").alias("val")),
         "dedup.simhash_banded", eager=True,
     )
+    chain = None
     if max_bucket is not None:
         # stop-band guard: aggregate + broadcast semi-filter, not a window
         # (the banded frame is corpus x bands — a count window would
         # re-shuffle it; the distinct (band, val) frame is tiny)
-        keep = (
+        stats = (
             banded.groupBy("band", "val")
-            .agg(F.count("*").alias("__bc"))
-            .where(F.col("__bc") <= max_bucket)
-            .select("band", "val")
+            .agg(F.count("*").alias("__bc"), F.min("id").alias("__rep"))
+        )
+        keep = stats.where(F.col("__bc") <= max_bucket).select("band", "val")
+        big = stats.where(F.col("__bc") > max_bucket).select("band", "val", "__rep")
+        # representative chain for mega-buckets: attach the rep's signature
+        # (broadcast the tiny bucket list into the cached sigs, result is
+        # one row per oversized bucket), then broadcast THAT into the
+        # banded frame — linear, never bucket².  __rep = min(id) < id, so
+        # (a, b) ordering holds by construction.
+        big_rep = sigs.select(
+            F.col("id").alias("__rep"), F.col("simhash").alias("__repsig")
+        ).join(F.broadcast(big), "__rep")
+        chain = (
+            banded.join(F.broadcast(big_rep), ["band", "val"])
+            .where(F.col("id") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("a"),
+                F.col("id").alias("b"),
+                F.bit_count(
+                    F.col("__repsig").bitwiseXOR(F.col("simhash"))
+                ).cast("long").alias("hamming"),
+            )
         )
         banded = banded.join(F.broadcast(keep), ["band", "val"], "left_semi")
     left = banded.select("band", "val", F.col("id").alias("a"), F.col("simhash").alias("__sa"))
     right = banded.select("band", "val", F.col("id").alias("b"), F.col("simhash").alias("__sb"))
-    return (
+    pairs = (
         left.join(right, ["band", "val"], "inner")
         .where(F.col("a") < F.col("b"))
         .select(
             "a", "b",
             F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long").alias("hamming"),
         )
-        .distinct()
     )
+    if chain is not None:
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()
 
 
 def simhash_band_pairs_sql(
@@ -471,20 +499,41 @@ def simhash_band_pairs_sql(
         f"SELECT id, simhash, {b} AS band, (simhash >> {b * r}) & {mask} AS val FROM sigs"
         for b in range(bands)
     )
-    guard = (
-        f"banded_f AS MATERIALIZED (SELECT id, simhash, band, val FROM "
-        f"(SELECT *, count(*) OVER (PARTITION BY band, val) AS bc FROM banded) "
-        f"WHERE bc <= {max_bucket})"
-        if max_bucket is not None
-        else "banded_f AS (SELECT * FROM banded)"
-    )
+    if max_bucket is None:
+        return f"""
+WITH sigs AS MATERIALIZED ({sig_sql}),
+banded AS MATERIALIZED ({band_selects})
+SELECT DISTINCT l.id AS a, r.id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM banded l JOIN banded r ON l.band = r.band AND l.val = r.val AND l.id < r.id
+"""
+    # guarded: small buckets full self-join; oversized buckets contribute a
+    # min-id representative chain (rep, id) instead of bucket² pairs —
+    # mirrors the Spark side exactly.
     return f"""
 WITH sigs AS MATERIALIZED ({sig_sql}),
 banded AS MATERIALIZED ({band_selects}),
-{guard}
-SELECT DISTINCT l.id AS a, r.id AS b,
-       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-FROM banded_f l JOIN banded_f r ON l.band = r.band AND l.val = r.val AND l.id < r.id
+stats AS MATERIALIZED (
+  SELECT band, val, count(*) AS bc, min(id) AS rep
+  FROM banded GROUP BY band, val),
+banded_f AS MATERIALIZED (
+  SELECT b.id, b.simhash, b.band, b.val
+  FROM banded b JOIN stats s
+    ON b.band = s.band AND b.val = s.val AND s.bc <= {max_bucket}),
+chain AS (
+  SELECT s.rep AS a, b.id AS b,
+         CAST(bit_count(xor(rs.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded b
+  JOIN stats s ON b.band = s.band AND b.val = s.val AND s.bc > {max_bucket}
+  JOIN sigs rs ON rs.id = s.rep
+  WHERE b.id <> s.rep)
+SELECT DISTINCT a, b, hamming FROM (
+  SELECT l.id AS a, r.id AS b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+  FROM banded_f l JOIN banded_f r
+    ON l.band = r.band AND l.val = r.val AND l.id < r.id
+  UNION ALL
+  SELECT a, b, hamming FROM chain)
 """
 
 

@@ -3338,14 +3338,20 @@ _CHECK_FIRST = [
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
+    # ValueError (not assert): these import-time guards are the last line of
+    # defense against the silent-window-drop failure mode and must survive
+    # `python -O` (asserts are stripped under optimization).
     missing = [n for n in _CHECK_FIRST if n not in QUERIES]
-    assert not missing, f"_CHECK_FIRST names unknown queries: {missing}"
-    assert len(_CHECK_FIRST) <= DRIVER_CHECK_CAP, (
-        f"_CHECK_FIRST lists {len(_CHECK_FIRST)} queries but the driver "
-        f"checks only the first {DRIVER_CHECK_CAP} — trim the list or a "
-        "query silently falls out of the window"
-    )
-    assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST), "duplicate names"
+    if missing:
+        raise ValueError(f"_CHECK_FIRST names unknown queries: {missing}")
+    if len(_CHECK_FIRST) > DRIVER_CHECK_CAP:
+        raise ValueError(
+            f"_CHECK_FIRST lists {len(_CHECK_FIRST)} queries but the driver "
+            f"checks only the first {DRIVER_CHECK_CAP} — trim the list or a "
+            "query silently falls out of the window"
+        )
+    if len(set(_CHECK_FIRST)) != len(_CHECK_FIRST):
+        raise ValueError("_CHECK_FIRST contains duplicate names")
     order = list(_CHECK_FIRST) + [n for n in QUERIES if n not in _CHECK_FIRST]
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}

@@ -253,8 +253,14 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
     # (Concurrent snapshots of *different* manifests into one source_id
     # dir remain unsupported — callers key cache_dir/source_id per
     # dataset revision.)
+    # Also sweep orphaned .tmp files: a crashed download before os.replace
+    # leaves a partial *.parquet.tmp that no later run would ever reuse
+    # (fresh downloads re-create their own tmp and replace over it), so any
+    # tmp still present once this manifest fully succeeded is garbage.
     for name in os.listdir(dest_dir):
-        if name.endswith(".parquet") and name not in expected:
+        if name.endswith(".tmp") or (
+            name.endswith(".parquet") and name not in expected
+        ):
             os.remove(os.path.join(dest_dir, name))
     return dest_dir
 

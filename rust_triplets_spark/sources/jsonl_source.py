@@ -96,9 +96,14 @@ def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame
     each file is read as a single split (small files, or compressed /
     ``maxPartitionBytes``-bounded reads) — once Spark splits one file
     across tasks, split packing order is not guaranteed to follow byte
-    offsets. Indexes also shift when skipped empty-text rows precede a
-    row. Production corpora should map a real ``id_field``; the fallback
-    exists for ad-hoc corpora, matching the reference's line-number ids.
+    offsets. This is ENFORCED at runtime: the offsets aggregation (already
+    part of the plan, zero extra scans) counts distinct scan partitions per
+    file and the plan raises with a remediation message if any file was
+    read in more than one split, instead of silently emitting ids that no
+    longer follow line order. Indexes also shift when skipped empty-text
+    rows precede a row. Production corpora should map a real ``id_field``;
+    the fallback exists for ad-hoc corpora, matching the reference's
+    line-number ids.
     """
     schema = _nested(
         [
@@ -151,8 +156,13 @@ def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame
     # the single-split-per-file stability contract.
     fname = F.input_file_name()
     w_file = Window.partitionBy("__file").orderBy(F.monotonically_increasing_id())
-    indexed = out.withColumn("__file", fname).withColumn(
-        "__i", F.row_number().over(w_file) - 1
+    # __pid is captured at SCAN time (narrow projection over the file read,
+    # before the window shuffle): >1 distinct pid for one file means Spark
+    # split that file across tasks and the line-order contract is void.
+    indexed = (
+        out.withColumn("__file", fname)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__i", F.row_number().over(w_file) - 1)
     )
     w_off = (
         Window.orderBy("__file")
@@ -160,8 +170,39 @@ def read_jsonl_records(spark: SparkSession, cfg: JsonlSourceConfig) -> DataFrame
     )
     offsets = (
         indexed.groupBy("__file")
-        .agg(F.count("*").alias("__n"))
-        .select("__file", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.countDistinct("__pid").alias("__splits"),
+        )
+        .select(
+            "__file",
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+            "__splits",
+        )
+        # fail LOUDLY instead of numbering out of line order: the guard is
+        # folded into __off (not a pruned side column) so Catalyst cannot
+        # optimize it away.
+        .select(
+            "__file",
+            F.when(F.col("__splits") == 1, F.col("__off"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("jsonl fallback-id path: file "),
+                        F.col("__file"),
+                        F.lit(" was read in "),
+                        F.col("__splits").cast("string"),
+                        F.lit(
+                            " splits, so row-index ids would not follow "
+                            "line order. Map cfg.id_field, or raise "
+                            "spark.sql.files.maxPartitionBytes above the "
+                            "largest file size."
+                        ),
+                    )
+                )
+            )
+            .alias("__off"),
+        )
     )
     return indexed.join(F.broadcast(offsets), "__file").select(
         F.concat(

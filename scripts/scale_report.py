@@ -24,18 +24,28 @@ def main() -> None:
     big = json.load(open(sys.argv[2]))
     data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     qs, qb = small["queries"], big["queries"]
+    # per-query pass counts (bench.py `query_passes`): the intra-pass budget
+    # break can leave tail queries with a single COLD timing while head
+    # queries report warmed min-of-N — a cold/warm mismatch inflates (or
+    # deflates) the ratio by the one-shot JIT cost, so surface it per row.
+    ps = small.get("query_passes", {})
+    pb = big.get("query_passes", {})
     common = sorted(set(qs) & set(qb), key=lambda n: -qb[n])
-    print(f"| query | t(sf{small['sf']}) s | t(sf{big['sf']}) s | ratio | vs {data_ratio:.0f}x |")
-    print("|---|---|---|---|---|")
+    print(f"| query | t(sf{small['sf']}) s | t(sf{big['sf']}) s | ratio | passes | vs {data_ratio:.0f}x |")
+    print("|---|---|---|---|---|---|")
     flagged = []
     for n in common:
         a, b = qs[n], qb[n]
         r = b / a if a > 0 else float("inf")
         # jitter guard: a sub-0.5s baseline can double on noise alone
         mark = "**SUPER-LINEAR**" if (r > data_ratio * 1.5 and b > 5.0) else "ok"
+        cold = (ps.get(n, 0) == 1) != (pb.get(n, 0) == 1)
+        passes = f"{ps.get(n, '?')}/{pb.get(n, '?')}"
+        if cold:
+            mark += " (cold/warm mismatch)"
         if mark != "ok":
             flagged.append(n)
-        print(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | {mark} |")
+        print(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | {passes} | {mark} |")
     ts, tb = sum(qs[n] for n in common), sum(qb[n] for n in common)
     print(f"\ntotals over {len(common)} common queries: "
           f"{ts:.1f}s -> {tb:.1f}s = {tb/ts:.2f}x (data {data_ratio:.0f}x)")

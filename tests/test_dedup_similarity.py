@@ -455,8 +455,11 @@ def test_semdedup_auto_cells_equals_explicit_at_floor(spark):
 
 
 def test_simhash_stop_band_guard(spark):
-    """max_bucket drops over-populated (band, value) buckets before the
-    self-join (the quadratic heavy-hitter guard); None disables it."""
+    """max_bucket pulls over-populated (band, value) buckets out of the
+    self-join (the quadratic heavy-hitter guard) and replaces their pairs
+    with a min-id representative chain, so the heaviest duplicate families
+    stay CONNECTED (bucket-1 pairs, not bucket² and not zero); None
+    disables the guard."""
     from rust_triplets_spark.operators.dedup import simhash_band_pairs
 
     # identical docs: every band bucket holds all 3 ids
@@ -466,8 +469,28 @@ def test_simhash_stop_band_guard(spark):
     )
     unguarded = simhash_band_pairs(df, "id", "text", max_bucket=None).collect()
     assert {(r["a"], r["b"]) for r in unguarded} == {(1, 2), (1, 3), (2, 3)}
+    # all buckets oversized -> representative chain only: every doc pairs
+    # with the bucket min-id (1), NOT the full clique — and crucially not []
+    # (zero pairs would let the mega-cluster escape dedup entirely)
     guarded = simhash_band_pairs(df, "id", "text", max_bucket=2).collect()
-    assert guarded == []  # all buckets oversized -> no candidates
+    assert {(r["a"], r["b"]) for r in guarded} == {(1, 2), (1, 3)}
+    assert all(r["hamming"] == 0 for r in guarded)  # identical docs
     # bucket-size boundary: max_bucket == occupancy keeps the bucket
     boundary = simhash_band_pairs(df, "id", "text", max_bucket=3).collect()
     assert {(r["a"], r["b"]) for r in boundary} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_stop_band_chain_connects_mega_cluster(spark):
+    """Downstream connected-components over the guarded pairs must recover
+    the FULL duplicate family through the hub (the r5 guard dropped the
+    bucket outright: a family saturating every band produced zero pairs
+    and escaped dedup — ADVICE r5)."""
+    from rust_triplets_spark.operators.dedup import simhash_band_pairs
+
+    rows = [(i, "boilerplate header repeated verbatim") for i in range(1, 8)]
+    rows += [(100, "a completely different and unique document body")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = simhash_band_pairs(df, "id", "text", max_bucket=3).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # the 7-doc family is linear in size: hub (min id 1) chained to all
+    assert got == {(1, i) for i in range(2, 8)}

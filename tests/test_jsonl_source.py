@@ -81,3 +81,33 @@ def test_row_index_ids_multi_file_unique_and_name_ordered(spark, tmp_path):
         "m::row_3": "b one",
         "m::row_4": "b two",
     }
+
+
+def test_row_index_ids_multi_split_file_fails_loudly(spark, tmp_path):
+    """A file large enough to split across scan tasks must RAISE on the
+    fallback-id path (line-order contract void), not silently mis-number.
+    Forces splitting via spark.sql.files.maxPartitionBytes << file size."""
+    import json as _json
+
+    p = tmp_path / "big.jsonl"
+    p.write_text(
+        "\n".join(_json.dumps({"body": f"row {i} " + "x" * 200})
+                  for i in range(2000)) + "\n"
+    )
+    cfg = JsonlSourceConfig(source_id="big", path=str(p), text_field="body")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        with pytest.raises(Exception) as ei:
+            read_jsonl_records(spark, cfg).collect()
+        assert "splits" in str(ei.value)
+        # sanity: same data with a real id_field is fine even when split
+        cfg_id = JsonlSourceConfig(
+            source_id="big", path=str(p), text_field="body", id_field="body"
+        )
+        assert read_jsonl_records(spark, cfg_id).count() == 2000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "semdedup_clusters",
     "minhash_dedup_keep",
     "cluster_aware_splits",
+    # round 6 additions
+    "ann_ivf_float_topk",
 ]
 
 

@@ -31,6 +31,36 @@ def _dot(a, b) -> F.Column:
     )
 
 
+def _cosine_batch_udf(qv, nv) -> F.Column:
+    """Arrow-vectorized float64 cosine over candidate batches: one numpy
+    ``einsum`` per ~10k-row Arrow batch instead of an interpreted
+    higher-order expression per candidate (``F.aggregate``/``zip_with``
+    never enter whole-stage codegen — measured ~µs/candidate interpreted
+    vs ~ns/candidate here). This is the deploy kernel for the ANN family;
+    the quantized-integer expression kernels stay as the oracle-checkable
+    twins (module docstring). The UDF is built lazily (a typed, not
+    DDL-string, return type would also work) so importing this module
+    never requires an active SparkSession."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos(q, n):
+        import numpy as np
+        import pandas as pd
+
+        if len(q) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(q.to_numpy())
+        b = np.stack(n.to_numpy())
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b)
+        )
+        return pd.Series(num / den)
+
+    return _cos(qv, nv)
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -290,14 +320,30 @@ def ann_bucketed_topk(
 
 def ann_ivf_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
-    n_centroids: int = 16, nprobe: int = 2, seed: int = 7000, max_iter: int = 10,
-    fit_sample_target: int = 100_000,
+    n_centroids: int | None = None, nprobe: int = 2, seed: int = 7000,
+    max_iter: int = 10, fit_sample_target: int = 100_000,
+    kernel: str = "pandas",
 ) -> DataFrame:
-    """IVF ANN: a k-means coarse quantizer (MLlib, trained once) splits the
-    corpus into cells; each query probes its ``nprobe`` nearest centroids
-    and runs the exact cosine kernel within those cells only — join cost
-    ~ corpus x (nprobe / n_centroids) x avg cell, the classic IVF
-    trade-off next to the hyperplane-LSH path (:func:`ann_bucketed_topk`).
+    """IVF ANN, the PRODUCTION variant: a k-means coarse quantizer (MLlib,
+    trained once) splits the corpus into cells; each query probes its
+    ``nprobe`` nearest centroids and runs the exact cosine kernel within
+    those cells only — join cost ~ corpus x nprobe x avg cell, the classic
+    IVF trade-off next to the hyperplane-LSH path
+    (:func:`ann_bucketed_topk`).
+
+    ``n_centroids=None`` (default) derives the quantizer size from the
+    corpus (:func:`auto_cells`, ~:data:`TARGET_CELL_ROWS` rows/cell) — a
+    FIXED cell count is the corpus²/n_cells quadratic trap SCALE.md
+    measured at 27-54x on a 10x scale-up.
+
+    ``kernel`` picks the in-cell scoring path: ``"pandas"`` (default)
+    scores candidate batches with an Arrow-vectorized numpy kernel (one
+    ``einsum`` per batch — the deploy path; higher-order Spark expressions
+    like ``F.aggregate`` never enter whole-stage codegen and cost ~µs per
+    candidate interpreted); ``"expr"`` keeps the pure-expression float
+    kernel for environments where Arrow/pandas workers are unavailable.
+    Both kernels are exact float64 cosine — they differ only in summation
+    order (pairwise numpy vs sequential fold), i.e. final-ulp.
 
     The coarse quantizer is fit on a DETERMINISTIC hash sample of at most
     ~``fit_sample_target`` rows (``hash31(id) % step == 0`` — id-stable and
@@ -309,15 +355,19 @@ def ann_ivf_topk(
     Scale notes: the trained centroid table is tiny (n_centroids x dim) and
     ships as a literal expression — probe selection is row-local, the only
     shuffle is the (cell) equi-join; with ``nprobe == n_centroids`` results
-    equal the brute-force baseline exactly (pytest-pinned). Iterative
-    training is why THIS variant has no SQL oracle twin; the driver-checked
-    oracle query uses :func:`ivf_seeded_topk` (zero-iteration quantizer,
-    same search kernel)."""
+    equal the brute-force baseline exactly (pytest-pinned, both kernels).
+    Iterative training is why THIS variant has no SQL oracle twin; the
+    driver-checked hash-exact query uses :func:`ivf_seeded_topk`
+    (zero-iteration quantizer, same search shape), and the driver covers
+    this variant rows-only plus a pytest recall floor vs
+    :func:`cosine_topk` ground truth."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from rust_triplets_spark.functions.hashing import hash31_col
 
+    if kernel not in ("pandas", "expr"):
+        raise ValueError(f"kernel must be 'pandas' or 'expr', got {kernel!r}")
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("__arr"),
@@ -325,6 +375,8 @@ def ann_ivf_topk(
     train = base.withColumn("features", array_to_vector("__arr"))
     fit_df = train
     rows = train.count()
+    if n_centroids is None:
+        n_centroids = auto_cells(rows)
     if rows > fit_sample_target:
         step = rows // fit_sample_target + 1
         fit_df = train.where(F.pmod(hash31_col(F.col("id"), seed), F.lit(step)) == 0)
@@ -373,16 +425,21 @@ def ann_ivf_topk(
         ).alias("cell"),
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
     cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
-    cos = dot(F.col("__qv"), F.col("__arr")) / (
-        F.sqrt(dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(dot(F.col("__arr"), F.col("__arr")))
-    )
-    scored = cand.withColumn("cos_sim", cos)
+    if kernel == "pandas":
+        scored = cand.withColumn(
+            "cos_sim", _cosine_batch_udf(F.col("__qv"), F.col("__arr"))
+        )
+    else:
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+
+        cos = dot(F.col("__qv"), F.col("__arr")) / (
+            F.sqrt(dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(dot(F.col("__arr"), F.col("__arr")))
+        )
+        scored = cand.withColumn("cos_sim", cos)
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

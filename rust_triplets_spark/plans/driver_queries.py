@@ -633,6 +633,7 @@ from rust_triplets_spark.operators.denoiser import (  # noqa: E402
     DenoiserConfig, denoise_full_sql, denoise_gates12_col, denoise_gates12_sql,
 )
 from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    ann_ivf_topk,
     cosine_topk,
     cosine_topk_sql,
     ivf_seeded_topk,
@@ -1949,6 +1950,25 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_seeded_topk(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=3, n_centroids=None, nprobe=2,
+    )
+
+
+@_register("ann_ivf_float_topk")  # rows-only: MLlib-trained quantizer has no SQL twin
+def ann_ivf_float_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, the PRODUCTION/deploy flavor: MLlib-trained coarse
+    quantizer (sample-based fit, auto-sized cells) + Arrow-vectorized
+    numpy cosine kernel (operators/similarity.ann_ivf_topk,
+    kernel='pandas'). Iterative k-means training makes it
+    non-SQL-expressible, so the driver records a rows-only check here;
+    correctness is pinned by pytest instead: exact equality to brute
+    force at nprobe == n_centroids, pandas == expr kernel parity, and a
+    recall floor vs cosine_topk ground truth
+    (tests/test_dedup_similarity.py). The hash-exact seeded-quantizer
+    twin of the same search shape is the `ann_ivf_topk` query; the
+    README ANN table maps which kernel to deploy vs which to audit."""
+    return ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=3, n_centroids=None, nprobe=2, kernel="pandas",
     )
 
 

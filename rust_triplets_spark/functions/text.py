@@ -301,3 +301,41 @@ def fingerprint_sql(col: str, seed: int = 42) -> str:
     )
     mixed = mix31_sql([weighted, f"len({toks})"], seed)
     return f"CAST(CASE WHEN len({toks}) > 0 THEN {mixed} ELSE 0 END AS BIGINT)"
+
+
+def fingerprint_agg_sql(table: str, id_sql: str, text_sql: str, seed: int = 42) -> str:
+    """Full-query DuckDB twin of :func:`fingerprint_col` that hash-
+    accumulates ROW-WISE instead of through nested list lambdas.
+
+    The scalar :func:`fingerprint_sql` inlines ``tokens_sql`` (a regexp
+    split) inside a per-token lambda whose ``hash31_str_sql`` body iterates
+    per CHARACTER — DuckDB re-evaluates the tokenizer for every character
+    access, which measured 26 min at sf1 (SCALE.md). This twin tokenizes
+    once per document, UNNESTs to (doc, position, token) rows so each
+    token is a plain VARCHAR column hashed exactly once, and folds with a
+    modular SUM. ``sum(x) % M31`` equals the sequential
+    ``(acc + x) % M31`` fold because modular addition is associative and
+    every addend is already reduced mod M31 (and the unreduced BIGINT sum
+    cannot overflow: < M31 × token_count ≤ 2^31 × 2^32). Returns
+    (doc_id, fingerprint) — value-identical to the scalar twin, pinned by
+    test_text_functions parity."""
+    from rust_triplets_spark.functions.hashing import mix31_sql
+
+    th = hash31_str_sql("tok", seed)
+    mixed = mix31_sql(["w", "n"], seed)
+    return f"""
+WITH __fp_toks AS (
+  SELECT CAST({id_sql} AS BIGINT) AS doc_id, {tokens_sql(text_sql)} AS tokens
+  FROM {table}
+), __fp_rows AS (
+  SELECT doc_id, tokens[j] AS tok, CAST(j AS BIGINT) AS j
+  FROM __fp_toks, UNNEST(range(1, len(tokens) + 1)) AS r(j)
+), __fp_agg AS (
+  SELECT doc_id, sum(({th} * (j % {M31})) % {M31}) % {M31} AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM __fp_rows GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(CASE WHEN a.doc_id IS NOT NULL THEN {mixed} ELSE 0 END AS BIGINT) AS fingerprint
+FROM __fp_toks t LEFT JOIN __fp_agg a ON a.doc_id = t.doc_id
+"""

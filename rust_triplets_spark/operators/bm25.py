@@ -221,18 +221,28 @@ def bm25_topk_sql(
     split_sql: str | None = None,
     k: int = BM25_SEARCH_TOP_K,
 ) -> str:
+    """DuckDB twin of :func:`bm25_topk`, structured EXACTLY like the Spark
+    plan: (1) ``dl`` rides along inside the pre-aggregated postings key so no
+    per-hit doc-length join exists; (2) stop-terms are pruned and idf is
+    attached on the SMALL q_terms side (queries × df_stats × src_stats)
+    BEFORE the postings join; (3) split isolation is a join condition on the
+    hit join, not a post-aggregation filter. The previous twin joined five
+    frames at hit scale with the stop filter inside — at sf1 that
+    materialized the full postings self-join and exhausted a 40 GB oracle
+    budget; this shape keeps the only hit-scale frame to
+    (pruned q_terms × postings) with arithmetic-only payload."""
     split_sel = f", {split_sql} AS split" if split_sql else ""
     split_q = ", split AS qsplit" if split_sql else ""
-    split_grp = ", qsplit" if split_sql else ""
-    split_join = (
-        "JOIN (SELECT did, split AS dsplit FROM base) cs ON cs.did = s.did AND s.qsplit = cs.dsplit"
-        if split_sql
-        else ""
+    split_carry = ", split" if split_sql else ""
+    split_grp = ", q.qsplit" if split_sql else ""
+    split_on = " AND p.split = q.qsplit" if split_sql else ""
+    idf = (
+        "ln((CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / "
+        "(CAST(df AS DOUBLE) + 0.5) + 1.0)"
     )
-    idf = "ln((CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
     tf_part = (
-        f"(CAST(tf AS DOUBLE) * {K1 + 1.0!r}) / "
-        f"(CAST(tf AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl AS DOUBLE) / avgdl))"
+        f"(CAST(p.tf AS DOUBLE) * {K1 + 1.0!r}) / "
+        f"(CAST(p.tf AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(p.dl AS DOUBLE) / q.avgdl))"
     )
     return f"""
 WITH base AS MATERIALIZED (
@@ -240,36 +250,40 @@ WITH base AS MATERIALIZED (
          {analyze_sql(text_sql)} AS terms
   FROM {table}
 ), postings AS MATERIALIZED (
-  SELECT source, t.term, did, CAST(count(*) AS BIGINT) AS tf
-  FROM base, UNNEST(terms) AS t(term) GROUP BY source, t.term, did
-), doclen AS MATERIALIZED (
-  SELECT did, source, CAST(len(terms) AS BIGINT) AS dl FROM base
+  SELECT source, t.term, did, dl{split_carry}, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT did, source{split_carry}, CAST(len(terms) AS BIGINT) AS dl, terms FROM base),
+       UNNEST(terms) AS t(term)
+  GROUP BY source, t.term, did, dl{split_carry}
 ), src_stats AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS N, avg(CAST(dl AS DOUBLE)) AS avgdl
-  FROM doclen GROUP BY source
+  SELECT source, CAST(count(*) AS BIGINT) AS N,
+         avg(CAST(len(terms) AS DOUBLE)) AS avgdl
+  FROM base GROUP BY source
 ), df_stats AS (
-  SELECT source, term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY source, term
-), queries AS MATERIALIZED (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS df
+  FROM postings GROUP BY source, term
+), queries AS (
   SELECT did AS qid, source{split_q}, t.term
-  FROM (SELECT did, source{split_sel and ', split' or ''}, list_distinct(list_slice(terms, 1, {BM25_QUERY_TOKEN_LIMIT})) AS qterms FROM base),
+  FROM (SELECT did, source{split_carry},
+               list_distinct(list_slice(terms, 1, {BM25_QUERY_TOKEN_LIMIT})) AS qterms
+        FROM base),
        UNNEST(qterms) AS t(term)
-), scored AS MATERIALIZED (
-  SELECT q.qid{split_grp and ', q.qsplit' or ''}, p.did,
-         sum({idf} * {tf_part}) AS score
+), q_terms AS MATERIALIZED (
+  SELECT q.qid, q.source, q.term{split_grp}, ss.avgdl, {idf} AS idf
   FROM queries q
-  JOIN postings p ON p.source = q.source AND p.term = q.term
-  JOIN src_stats ss ON ss.source = q.source
   JOIN df_stats dfs ON dfs.source = q.source AND dfs.term = q.term
-  JOIN doclen dlen ON dlen.did = p.did
+  JOIN src_stats ss ON ss.source = q.source
   WHERE CAST(df AS DOUBLE) <= {STOP_TERM_DF_RATIO!r} * CAST(N AS DOUBLE)
-  GROUP BY q.qid{split_grp and ', q.qsplit' or ''}, p.did
-), s AS (
-  SELECT scored.* FROM scored WHERE qid <> did
+), scored AS (
+  SELECT q.qid, p.did, sum(q.idf * {tf_part}) AS score
+  FROM q_terms q
+  JOIN postings p ON p.source = q.source AND p.term = q.term{split_on}
+  WHERE q.qid <> p.did
+  GROUP BY q.qid, p.did
 )
 SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_q FROM (
-  SELECT s.qid, s.did, round(s.score, 9) AS score_q,
-         row_number() OVER (PARTITION BY s.qid ORDER BY round(s.score, 9) DESC, s.did) AS rank
-  FROM s {split_join}
+  SELECT qid, did, round(score, 9) AS score_q,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, did) AS rank
+  FROM scored
 )
 WHERE rank <= {k}
 """

@@ -413,7 +413,15 @@ def simhash_band_pairs(
     representative. That keeps the family connected (downstream
     connected-components recovers the full cluster through the hub) at
     ``bucket - 1`` pairs per bucket instead of ``bucket²``. Guard disabled
-    with ``max_bucket=None``."""
+    with ``max_bucket=None``.
+
+    Residual recall caveat (not lossless): hub pairs carry the SAME
+    ``hamming`` column as clique pairs and are filtered by whatever
+    threshold the caller applies downstream. Two members of an oversized
+    bucket at hamming 0 from each other but > threshold from the min-id
+    rep lose their connection (the full self-join would have paired them
+    directly). Callers applying tight hamming cutoffs over low-entropy
+    corpora should raise ``max_bucket`` rather than rely on the chain."""
     if bits % bands:
         raise ValueError("bits must divide into equal bands")
     r = bits // bands

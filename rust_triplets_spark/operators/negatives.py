@@ -75,6 +75,15 @@ SRC_SEED_OFF = 606  # source ordering within a split
 
 NULL_DATE = "§null§"
 
+# auto-salting policy (salt_buckets="auto", the default): the rank pass
+# buckets on hash31(source) — constant per source — so ONE dominant
+# (split, source) pool runs its whole window in one task. The auto path
+# measures the largest pool with a column-pruned count and fans it out when
+# it exceeds this single-task comfort bound (rows per window task; the rank
+# payload is a few small columns, so 4M rows ≈ low hundreds of MB sorted).
+AUTO_SALT_TASK_ROWS = 4_000_000
+AUTO_SALT_MAX_BUCKETS = 256
+
 STRATEGIES = ("wrong_article", "wrong_publication_date", "qa_mismatch")
 
 
@@ -84,6 +93,27 @@ def _fold(col, is_string: bool):
 
 def _fold_sql(sql: str, is_string: bool) -> str:
     return strfold_sql(sql) if is_string else f"CAST({sql} AS BIGINT)"
+
+
+def _resolve_auto_salt(base: DataFrame) -> int | None:
+    """Decide the rank fan-out from the largest (split, source) pool.
+
+    Returns ``None`` (no salting — plan identical to the historical
+    default) while every pool fits one comfortable window task, else
+    enough buckets to bring the dominant pool back under
+    ``AUTO_SALT_TASK_ROWS`` rows per task (capped — past a few hundred
+    tasks per pool the counts frame grows for no win). Output is
+    salt-invariant either way; this only picks parallelism."""
+    top_row = (
+        base.groupBy("split", "source")
+        .count()
+        .agg(F.max("count").alias("top"))
+        .first()
+    )
+    top = (top_row["top"] if top_row else None) or 0
+    if top <= AUTO_SALT_TASK_ROWS:
+        return None
+    return min(AUTO_SALT_MAX_BUCKETS, -(-top // AUTO_SALT_TASK_ROWS))
 
 
 def negative_pick(
@@ -96,20 +126,26 @@ def negative_pick(
     seed: int = 42,
     variant: int = 0,
     id_is_string: bool = True,
-    salt_buckets: int | None = None,
+    salt_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """One negative per anchor row. Returns ``(id, negative_id, tier)``.
 
-    ``salt_buckets``: optional skew fan-out for the ranking pass. The rank
-    buckets on ``hash31(source)`` — constant per source — so ONE dominant
-    source concentrates its whole row mass in one window task. With
-    ``salt_buckets`` set, the bucket id becomes the exact order prefix
-    plus a range bucket of ``hash31(id)`` (the next order component), so a
-    dominant source fans out over up to ``salt_buckets`` tasks while the
-    output stays row-for-row IDENTICAL (pytest-pinned:
+    ``salt_buckets``: skew fan-out for the ranking pass. The rank buckets
+    on ``hash31(source)`` — constant per source — so ONE dominant source
+    concentrates its whole row mass in one window task. With salting, the
+    bucket id becomes the exact order prefix plus a range bucket of
+    ``hash31(id)`` (the next order component), so a dominant source fans
+    out over up to ``salt_buckets`` tasks while the output stays
+    row-for-row IDENTICAL (pytest-pinned:
     tests/test_sampling.py::test_negative_pick_salted_equals_unsalted).
-    Enable when one (source, split) pool can exceed a comfortable
-    single-task size (~a few million rows)."""
+
+    ``"auto"`` (the default) measures the largest (split, source) pool with
+    one column-pruned count and salts only when it exceeds
+    ``AUTO_SALT_TASK_ROWS`` — small corpora keep the unsalted plan (and its
+    driver-hash) bit-for-bit, dominant sources at scale fan out with no
+    caller opt-in. The probe is a Spark action at plan-build time (a
+    3-column scan + partial agg); pass an int or ``None`` to skip it when
+    the caller already knows the skew shape."""
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "wrong_publication_date" and not date_col:
@@ -135,6 +171,11 @@ def negative_pick(
     base = base.withColumn(
         "__srck", hash31_col(strfold_col("source"), seed + SRC_SEED_OFF)
     ).withColumn("__oh", hash31_col(F.col("__idf"), seed + POOL_SEED_OFF))
+
+    if salt_buckets == "auto":
+        salt_buckets = _resolve_auto_salt(base)
+    elif isinstance(salt_buckets, str):
+        raise ValueError(f"salt_buckets must be an int, None, or 'auto', got {salt_buckets!r}")
 
     # hierarchical order within split; for wrong_date the per-source order
     # is additionally date-bucket-contiguous (bucket hash before datek)

@@ -50,8 +50,38 @@ def _cosine_batch_udf(qv, nv) -> F.Column:
 
         if len(q) == 0:
             return pd.Series([], dtype="float64")
-        a = np.stack(q.to_numpy())
-        b = np.stack(n.to_numpy())
+
+        def _stack(s, side):
+            # loud malformed-input guard (parity with the expr kernel is
+            # only defined over non-null fixed-dim vectors — the expr twin
+            # yields null cos_sim for a null vector, but np.stack would
+            # either throw an opaque shape error or silently build an
+            # object array and corrupt the einsum)
+            if s.isnull().values.any():
+                raise ValueError(
+                    f"float cosine kernel: null {side} embedding in batch — "
+                    "this kernel requires non-null fixed-dimension vectors; "
+                    "filter nulls (or use the expression kernel, which "
+                    "yields null cos_sim for them) before scoring"
+                )
+            try:
+                arr = np.stack(s.to_numpy())
+            except ValueError as exc:
+                lens = {len(v) for v in s}
+                raise ValueError(
+                    f"float cosine kernel: ragged {side} embedding lengths "
+                    f"{sorted(lens)} in batch — all vectors must share one "
+                    "dimension"
+                ) from exc
+            if arr.dtype == object:
+                raise ValueError(
+                    f"float cosine kernel: {side} embeddings contain null "
+                    "elements — vectors must be fully numeric"
+                )
+            return arr
+
+        a = _stack(q, "query")
+        b = _stack(n, "candidate")
         num = np.einsum("ij,ij->i", a, b)
         den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
             np.einsum("ij,ij->i", b, b)
@@ -245,13 +275,43 @@ WHERE rank <= {k}
 """
 
 
+def _check_lsh_sizing(
+    df: DataFrame, n_planes: int, caller: str, strict: bool
+) -> None:
+    """Fixed-plane-count guard: buckets = 2^planes, so a plane count that a
+    corpus outgrows turns the in-bucket self-join quadratic — the exact
+    fixed-parameter trap ``auto_cells`` closed for IVF (54× at a 10× scale-
+    up, SCALE.md). The per-plane sign bits are unrolled into the expression
+    tree (and the static oracle SQL) at plan-build time, so the plane count
+    can't be data-dependent — instead this warns (raises with
+    ``strict_planes=True``) when ``2^n_planes × TARGET_CELL_ROWS < rows``,
+    citing :func:`recommended_planes` for the right value. The row probe is
+    ``df.count()`` — a parquet-footer read for file-backed frames."""
+    import warnings
+
+    rows = df.count()
+    if (1 << n_planes) * TARGET_CELL_ROWS >= rows:
+        return
+    msg = (
+        f"{caller}: n_planes={n_planes} gives 2^{n_planes}={1 << n_planes} "
+        f"LSH buckets for {rows} rows — expected bucket occupancy "
+        f"~{rows >> n_planes} exceeds the ~{TARGET_CELL_ROWS}-row target and "
+        f"the in-bucket self-join grows quadratically; use "
+        f"recommended_planes({rows}) = {recommended_planes(rows)}"
+    )
+    if strict:
+        raise ValueError(msg)
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9,
-    n_planes: int = 8, seed: int = 7000,
+    n_planes: int = 8, seed: int = 7000, strict_planes: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: pairs (a < b) in the
     same LSH bucket with cosine ≥ threshold. The dedup counterpart of
     :func:`ann_bucketed_topk` — Σ bucket² join cost, never corpus²."""
+    _check_lsh_sizing(df, n_planes, "embedding_neardup_pairs", strict_planes)
     buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed)
     base = df.select(
         F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
@@ -286,11 +346,12 @@ FROM scored WHERE qid < nid AND cos_sim >= {threshold!r}
 
 def ann_bucketed_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
-    n_planes: int = 8, seed: int = 7000,
+    n_planes: int = 8, seed: int = 7000, strict_planes: bool = False,
 ) -> DataFrame:
     """Scale-path ANN: cosine top-k WITHIN each vector's LSH bucket — the
     cross join shrinks from |corpus|² to Σ bucket². Recall is traded for
     cost; brute-force :func:`cosine_topk` is the exact baseline."""
+    _check_lsh_sizing(df, n_planes, "ann_bucketed_topk", strict_planes)
     buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed)
     base = df.select(
         F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")

@@ -170,6 +170,10 @@ def read_hf_records(spark: SparkSession, cfg: HfSourceConfig) -> DataFrame:
 
 HF_MANIFEST_URL = "https://datasets-server.huggingface.co/parquet?dataset={dataset}"
 LIVE_HF_ENV = "RUST_TRIPLETS_LIVE_HF"
+# orphaned-.tmp sweep age gate: a tmp YOUNGER than this may belong to a
+# concurrent same-manifest download still in flight (deterministic tmp
+# names) — only provably stale leftovers from crashed runs are removed
+TMP_SWEEP_AGE_S = 3600.0
 
 
 def select_manifest_shards(manifest: dict, cfg: HfSourceConfig) -> list[str]:
@@ -255,13 +259,27 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
     # dataset revision.)
     # Also sweep orphaned .tmp files: a crashed download before os.replace
     # leaves a partial *.parquet.tmp that no later run would ever reuse
-    # (fresh downloads re-create their own tmp and replace over it), so any
-    # tmp still present once this manifest fully succeeded is garbage.
+    # (fresh downloads re-create their own tmp and replace over it). Only
+    # tmp files older than TMP_SWEEP_AGE_S are removed: a CONCURRENT run of
+    # the same manifest may have an in-flight tmp right now, and deleting
+    # it would turn its os.replace into FileNotFoundError (same-manifest
+    # concurrency is already racy — deterministic tmp names — but the
+    # age gate keeps the sweep from widening that window into a hard
+    # crash). Races on the remove itself are tolerated: the other
+    # contender may have published/removed first.
+    import time as _time
+
+    now = _time.time()
     for name in os.listdir(dest_dir):
-        if name.endswith(".tmp") or (
-            name.endswith(".parquet") and name not in expected
-        ):
-            os.remove(os.path.join(dest_dir, name))
+        path = os.path.join(dest_dir, name)
+        try:
+            if name.endswith(".tmp"):
+                if now - os.path.getmtime(path) > TMP_SWEEP_AGE_S:
+                    os.remove(path)
+            elif name.endswith(".parquet") and name not in expected:
+                os.remove(path)
+        except FileNotFoundError:
+            pass
     return dest_dir
 
 

@@ -551,3 +551,69 @@ def test_ivf_recall_floor_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_lsh_plane_sizing_guard(spark):
+    """Fixed-plane-count loophole (VERDICT r5/r6): ann_bucketed_topk /
+    embedding_neardup_pairs must warn when 2^n_planes × TARGET_CELL_ROWS <
+    rows (citing recommended_planes), raise under strict_planes=True, and
+    stay silent when the plane count is adequate."""
+    import warnings
+
+    import pytest
+
+    from rust_triplets_spark.operators.similarity import (
+        TARGET_CELL_ROWS,
+        ann_bucketed_topk,
+        embedding_neardup_pairs,
+        recommended_planes,
+    )
+
+    # 2500 rows, 2-dim vectors: n_planes=1 gives 2 buckets × 1000 target
+    # < 2500 rows (guard trips); n_planes=8 gives 256 buckets (silent)
+    emb = spark.range(2500).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(7).cast("float"), F.rand(8).cast("float")).alias("embedding"),
+    )
+    assert (1 << 1) * TARGET_CELL_ROWS < 2500
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ann_bucketed_topk(emb, "vec_id", "embedding", n_planes=8)
+        embedding_neardup_pairs(emb, "vec_id", "embedding", n_planes=8)
+
+    with pytest.warns(RuntimeWarning, match="recommended_planes"):
+        ann_bucketed_topk(emb, "vec_id", "embedding", n_planes=1)
+    with pytest.raises(ValueError, match="recommended_planes"):
+        embedding_neardup_pairs(
+            emb, "vec_id", "embedding", n_planes=1, strict_planes=True
+        )
+    assert recommended_planes(100_000) >= 7  # ceil(log2(100)) = 7
+
+
+def test_float_cosine_kernel_rejects_malformed_vectors(spark):
+    """ADVICE r6 (similarity.py:53): the Arrow/numpy kernel must fail
+    LOUDLY (naming the cause) on null or ragged embeddings instead of an
+    opaque np.stack shape error / silent object-array divergence from the
+    expression kernel."""
+    import pytest
+
+    from rust_triplets_spark.operators.similarity import _cosine_batch_udf
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.5, 0.5])], "id long, q array<double>, n array<double>"
+    )
+    assert good.select(_cosine_batch_udf(F.col("q"), F.col("n"))).first()[0] > 0
+
+    nulled = spark.createDataFrame(
+        [(1, [1.0, 0.0], None)], "id long, q array<double>, n array<double>"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        nulled.select(_cosine_batch_udf(F.col("q"), F.col("n"))).collect()
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0], [1.0, 0.0])],
+        "id long, q array<double>, n array<double>",
+    ).coalesce(1)  # both rows must share one Arrow batch to be ragged
+    with pytest.raises(Exception, match="ragged|dimension"):
+        ragged.select(_cosine_batch_udf(F.col("q"), F.col("n"))).collect()

@@ -112,3 +112,25 @@ def test_classlabel_resolution_through_label_map(offline_manifest, tmp_path, spa
     positives = {r["id"]: r["sections"][1]["text"] for r in rows}
     assert positives["hf_demo_qa::10"] == "engine"   # topic=0
     assert positives["hf_demo_qa::20"] == "planner"  # topic=1
+
+
+def test_tmp_sweep_is_age_gated(offline_manifest, tmp_path):
+    """ADVICE r6: the orphaned-.tmp sweep must not delete a FRESH tmp (a
+    concurrent same-manifest run's in-flight download) — only tmps older
+    than TMP_SWEEP_AGE_S are garbage from crashed runs."""
+    from rust_triplets_spark.sources import hf_source as hf
+
+    cache = str(tmp_path / "cache")
+    dest = hf.snapshot_hf_dataset(_cfg(), cache)
+
+    fresh = os.path.join(dest, "shard-00001-cafecafe.parquet.tmp")
+    stale = os.path.join(dest, "shard-00000-deadbeef.parquet.tmp")
+    open(fresh, "wb").write(b"inflight")
+    open(stale, "wb").write(b"crashed")
+    old = os.path.getmtime(stale) - hf.TMP_SWEEP_AGE_S - 10
+    os.utime(stale, (old, old))
+
+    hf.snapshot_hf_dataset(_cfg(), cache)
+    assert os.path.exists(fresh), "fresh in-flight tmp must survive the sweep"
+    assert not os.path.exists(stale), "stale crashed tmp must be removed"
+    os.remove(fresh)

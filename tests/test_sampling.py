@@ -469,3 +469,56 @@ def test_negative_pick_salted_equals_unsalted(spark):
         if i % 10
     }
     assert len(big_buckets) > 1
+
+
+def test_negative_pick_auto_salt(spark, monkeypatch):
+    """The 'auto' default (no caller opt-in) must (a) keep small corpora on
+    the exact unsalted plan, (b) fan a dominant source out over >1 rank
+    bucket once its pool exceeds AUTO_SALT_TASK_ROWS, and (c) stay
+    row-for-row identical to the unsalted pick either way."""
+    from rust_triplets_spark.operators import negatives as N
+
+    rows = []
+    for i in range(120):
+        src = "big" if i % 10 else f"tiny{i % 3}"
+        split = "test" if i % 17 == 0 else "train"
+        date = f"2024-0{1 + (i % 3)}" if i % 4 else None
+        rows.append((f"r{i}", src, split, date))
+    df = spark.createDataFrame(rows, "id string, source string, split string, datec string")
+
+    base_cols = dict(id_col="id", source_col="source", split_col="split")
+
+    # (a) small corpus: probe resolves to None → unsalted plan verbatim
+    probe = df.select(
+        F.col("id"), F.col("source"), F.col("split")
+    )
+    assert N._resolve_auto_salt(probe) is None
+    auto = N.negative_pick(df, "id", "source", "split", "qa_mismatch")
+    manual = N.negative_pick(df, "id", "source", "split", "qa_mismatch", salt_buckets=None)
+    key = lambda r: r["id"]
+    assert sorted(auto.collect(), key=key) == sorted(manual.collect(), key=key)
+
+    # (b)+(c) dominant pool over the (patched) task bound: auto resolves to
+    # >1 buckets, and the picked negatives are still identical
+    monkeypatch.setattr(N, "AUTO_SALT_TASK_ROWS", 20)
+    assert N._resolve_auto_salt(probe) and N._resolve_auto_salt(probe) > 1
+    for strategy, date_col in [
+        ("wrong_article", "datec"),
+        ("wrong_publication_date", "datec"),
+        ("qa_mismatch", None),
+    ]:
+        salted_auto = N.negative_pick(
+            df, "id", "source", "split", strategy, date_col=date_col
+        )
+        unsalted = N.negative_pick(
+            df, "id", "source", "split", strategy, date_col=date_col, salt_buckets=None
+        )
+        assert sorted(salted_auto.collect(), key=key) == sorted(
+            unsalted.collect(), key=key
+        ), strategy
+
+    # explicit garbage string rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt_buckets"):
+        N.negative_pick(df, "id", "source", "split", "qa_mismatch", salt_buckets="yes")

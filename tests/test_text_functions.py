@@ -64,3 +64,44 @@ def test_lang_id_on_clear_text(spark):
     )
     got = {r["id"]: r[1] for r in df.select("id", lang_id_col("text")).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_agg_sql_matches_scalar_twin():
+    """The row-wise aggregating fingerprint twin (fingerprint_agg_sql,
+    added because the scalar twin's nested list lambdas re-tokenize per
+    character — 26 min at sf1) must be value-identical to the scalar
+    fingerprint_sql, including the zero-token → 0 path."""
+    import duckdb
+
+    from rust_triplets_spark.functions.text import (
+        fingerprint_agg_sql,
+        fingerprint_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE documents AS SELECT * FROM (VALUES
+          (1, 'the quick brown fox jumps over the lazy dog'),
+          (2, 'the quick  brown   fox'),
+          (3, ''),
+          (4, '   '),
+          (5, 'one'),
+          (6, 'fox quick the brown'),
+          (7, 'répété tokens répété with unicode ¶ marks')
+        ) AS t(doc_id, text)
+        """
+    )
+    scalar = dict(
+        con.execute(
+            "SELECT CAST(doc_id AS BIGINT), "
+            f"{fingerprint_sql('text')} FROM documents"
+        ).fetchall()
+    )
+    agg = dict(
+        con.execute(fingerprint_agg_sql("documents", "doc_id", "text")).fetchall()
+    )
+    assert agg == scalar
+    assert scalar[3] == 0 and scalar[4] == 0
+    # order-awareness sanity: same bag of tokens, different order → different fp
+    assert scalar[2] != scalar[6]

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "cluster_aware_splits",
     # round 6 additions
     "ann_ivf_float_topk",
+    # round 7 additions
+    "training_shards",
 ]
 
 

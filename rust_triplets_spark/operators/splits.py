@@ -86,6 +86,7 @@ class FileSplitStore:
     def __init__(self, path: str, seed: int, ratios: tuple[float, float, float] = DEFAULT_RATIOS):
         validate_ratios(ratios)
         self.path, self.seed, self.ratios = path, seed, tuple(ratios)
+        self._migrations = 0  # bumped by save_with_migration_audit
 
     def _meta_path(self) -> str:
         import os
@@ -101,9 +102,24 @@ class FileSplitStore:
         assignments.select(
             F.col("id").cast("string").alias("id"), F.col("split").cast("string").alias("split")
         ).write.mode("overwrite").parquet(os.path.join(self.path, "assignments"))
+        # a plain save() must not reset the migration counter a previous
+        # save_with_migration_audit recorded (fresh instances start at 0)
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                self._migrations = max(
+                    self._migrations, int(json.load(f).get("migrations", 0))
+                )
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"seed": self.seed, "ratios": list(self.ratios), "version": 1}, f)
+            json.dump(
+                {
+                    "seed": self.seed,
+                    "ratios": list(self.ratios),
+                    "version": 1,
+                    "migrations": self._migrations,
+                },
+                f,
+            )
         os.replace(tmp, self._meta_path())
 
     def load(self, spark) -> DataFrame:
@@ -118,6 +134,69 @@ class FileSplitStore:
         if tuple(meta["ratios"]) != self.ratios:
             raise ValueError(f"ratio mismatch: store {meta['ratios']} != config {list(self.ratios)}")
         return spark.read.parquet(os.path.join(self.path, "assignments"))
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._meta_path())
+
+    def save_with_migration_audit(
+        self, spark, new_splits: DataFrame
+    ) -> DataFrame | None:
+        """Persist new (cluster-aware) assignments AND record every id whose
+        label moved as an explicit override row — the auditable trail for
+        the one legal relabel: corpus growth merging near-dup clusters
+        ACROSS the old split boundary (``cluster_aware_splits`` docstring —
+        keeping the old label there IS leakage, so the relabel must happen,
+        but it must never happen silently).
+
+        ``new_splits`` needs columns (id, split) and may carry (rep,
+        cluster_size) — carried into the audit when present. Moved rows are
+        written under ``overrides/migration=N`` BEFORE the assignments
+        directory is overwritten (the diff plan reads the old parquet — a
+        distributed write, never a driver collect), then the assignments
+        and meta are replaced. Returns the moved frame read back from the
+        audit dir, or ``None`` on first save. The full audit history loads
+        with :meth:`load_migration_audit`."""
+        import json
+        import os
+
+        extra = [c for c in ("rep", "cluster_size") if c in new_splits.columns]
+        new_asn = new_splits.select(
+            F.col("id").cast("string").alias("id"),
+            F.col("split").cast("string").alias("split"),
+            *extra,
+        )
+        moved_dir = None
+        if self.exists():
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+            migration = int(meta.get("migrations", 0)) + 1
+            old = self.load(spark).select(
+                F.col("id").cast("string").alias("id"),
+                F.col("split").alias("old_split"),
+            )
+            moved = (
+                old.join(new_asn.withColumnRenamed("split", "new_split"), "id", "inner")
+                .where(F.col("old_split") != F.col("new_split"))
+            )
+            moved_dir = os.path.join(self.path, "overrides", f"migration={migration}")
+            moved.write.mode("overwrite").parquet(moved_dir)
+            self._migrations = migration
+        self.save(new_asn)
+        if moved_dir is not None:
+            return spark.read.parquet(moved_dir)
+        return None
+
+    def load_migration_audit(self, spark) -> DataFrame | None:
+        """All recorded relabel rows across migrations (None if none) —
+        the ``migration`` partition column orders the history."""
+        import os
+
+        base = os.path.join(self.path, "overrides")
+        if not os.path.exists(base):
+            return None
+        return spark.read.option("basePath", base).parquet(base)
 
 
 def with_split(

@@ -3277,6 +3277,32 @@ def minhash_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_keep(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _training_shards_oracle() -> str:
+    from rust_triplets_spark.sinks.shards import shard_assignment_sql
+
+    return (
+        "SELECT CAST(id AS BIGINT) AS doc_id, shard, pos FROM ("
+        + shard_assignment_sql("documents", "doc_id", 8)
+        + ")"
+    )
+
+
+@_register("training_shards", _training_shards_oracle())
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export plan (sinks/shards.py): shard
+    membership + in-shard shuffle position for every document, both pure
+    (id, seed) functions — the at-rest twin of the reference's shuffled
+    batch serving (src/sampler/mod.rs epoch order). The rank is the
+    range-bucketed parallel rank, never a single-partition sort;
+    write_training_shards materializes this as shard=K parquet dirs."""
+    from rust_triplets_spark.sinks.shards import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assignment(docs, "doc_id", 8).select(
+        F.col("id").cast("long").alias("doc_id"), "shard", "pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
@@ -3304,6 +3330,8 @@ _CHECK_FIRST = [
     "bm25_topk",
     "bm25_hard_negatives",
     "doc_fingerprint",
+    # new this round (round 7): deterministic training-shard export
+    "training_shards",
     # changed round 6, kept pinned: simhash stop-band rep-chain; float-IVF
     # rows-only query (registered r6 but left OUT of the window — ADVICE r6;
     # this is its first driver check)
@@ -3359,7 +3387,8 @@ _CHECK_FIRST = [
     "event_gap_quantiles",
     "source_vocab_stats",
     "source_vocab_overlap",
-    "top_tokens_per_source",
+    # top_tokens_per_source displaced by training_shards (window is full at
+    # 50); it stays local-gate-verified and rotates in next round
 ]
 
 

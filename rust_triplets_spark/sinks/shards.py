@@ -1,0 +1,124 @@
+"""Training-shard export: deterministic global shuffle → N shards.
+
+The last step of a training-data pipeline is writing the packed/filtered
+corpus as N shard files in a pseudo-random order (data loaders stream
+shards sequentially, so the shuffle must be IN the layout — reading in
+row-group order must already be shuffled). The reference never exports
+(its pull-API serves batches straight from memory, src/sampler/mod.rs);
+this is the Spark-native equivalent of that contract at rest: the shard
+and the in-shard position are pure functions of ``(id, seed)`` — the same
+stable-id determinism as split assignment (src/splits.rs:623-637), so
+re-running the export over a grown corpus keeps every old row's shard
+stable and is resumable/verifiable row-by-row.
+
+Scale shape: shard = ``hash31(id, seed) % n_shards`` (row-local);
+in-shard position = rank of an independent order hash within the shard,
+computed by :func:`~rust_triplets_spark.functions.ordering
+.bucketed_position` — range-bucketed parallel rank, never a
+single-partition sort. The write repartitions BY SHARD (one exchange) and
+sorts within partitions, so each output file is one contiguous,
+internally-shuffled shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import (
+    hash31_col,
+    hash31_sql,
+    hash31_str_col,
+)
+
+SHARD_SEED_OFF = 701  # shard membership
+ORDER_SEED_OFF = 702  # intra-shard shuffle order
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    id_is_string: bool = False,
+) -> DataFrame:
+    """(id, shard, pos): deterministic shard + in-shard shuffle position.
+
+    ``shard`` is uniform over [0, n_shards); ``pos`` is the 0-based rank
+    of ``hash31(id, seed + ORDER_SEED_OFF)`` within the shard (ties broken
+    by id) — an order uncorrelated with shard membership, ingest order, or
+    any corpus attribute, which is exactly what "globally shuffled" means
+    here. Both are pure (id, seed) functions; the DuckDB twin
+    (:func:`shard_assignment_sql`) hash-matches exactly."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from rust_triplets_spark.functions.ordering import bucketed_position
+
+    h = hash31_str_col(id_col, seed + SHARD_SEED_OFF) if id_is_string else hash31_col(
+        F.col(id_col), seed + SHARD_SEED_OFF
+    )
+    oh = hash31_str_col(id_col, seed + ORDER_SEED_OFF) if id_is_string else hash31_col(
+        F.col(id_col), seed + ORDER_SEED_OFF
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+        oh.alias("__oh"),
+    )
+    ranked = bucketed_position(
+        base, "__oh", tiebreak=["id"], part_cols=["shard"], out_col="pos"
+    )
+    return ranked.select("id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def shard_assignment_sql(
+    table: str,
+    id_sql: str,
+    n_shards: int,
+    seed: int = 42,
+    id_is_string: bool = False,
+) -> str:
+    """DuckDB twin of :func:`shard_assignment` (plain window form — the
+    oracle does not need the bucketed-rank decomposition)."""
+    from rust_triplets_spark.functions.hashing import strfold_sql
+
+    idf = strfold_sql("id") if id_is_string else "CAST(id AS BIGINT)"
+    h = hash31_sql(idf, seed + SHARD_SEED_OFF)
+    oh = hash31_sql(idf, seed + ORDER_SEED_OFF)
+    return f"""
+SELECT id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, id) - 1 AS BIGINT) AS pos
+FROM (
+  SELECT id, CAST(((({h}) % {n_shards}) + {n_shards}) % {n_shards} AS BIGINT) AS shard,
+         {oh} AS oh
+  FROM (SELECT {id_sql} AS id FROM {table})
+)
+"""
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    id_is_string: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Export ``df`` as ``shard=K`` parquet directories, each internally
+    ordered by the deterministic shuffle position. One exchange
+    (repartition by shard), one in-partition sort; readers stream a shard
+    in row-group order and observe the shuffled order directly.
+
+    ``id_col`` must be unique (the stable-ID contract every split/epoch
+    operator already relies on) — duplicate ids would fan out through the
+    assignment join."""
+    asn = shard_assignment(df, id_col, n_shards, seed, id_is_string)
+    payload = df.join(asn.withColumnRenamed("id", id_col), id_col)
+    (
+        payload.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

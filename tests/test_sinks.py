@@ -72,3 +72,45 @@ def test_partitioned_parquet_prunes(warehouse_spark, tmp_path):
     plan = _physical(back)
     assert "PartitionFilters: [isnotnull(split" in plan or "split=train" in plan
     assert back.count() == 240
+
+
+def test_training_shards_roundtrip_and_stability(spark, tmp_path):
+    """write_training_shards: every shard directory holds exactly the ids
+    shard_assignment maps to it, rows inside a shard file are in shuffle
+    order, and growing the corpus never moves an old id's shard (the
+    stable-ID determinism contract)."""
+    from pyspark.sql import functions as F
+
+    from rust_triplets_spark.sinks.shards import (
+        shard_assignment,
+        write_training_shards,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", n_shards=4)
+
+    asn = {r["id"]: (r["shard"], r["pos"]) for r in
+           shard_assignment(df, "doc_id", 4).collect()}
+    assert {s for s, _ in asn.values()} == {0, 1, 2, 3}
+
+    back = spark.read.parquet(out)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in back.collect()}
+    assert got == asn
+    # in-file order == shuffle order (readers stream row groups in order)
+    for shard in range(4):
+        rows = spark.read.parquet(f"{out}/shard={shard}").collect()
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss)
+        # shuffled, not ingest order
+        ids = [r["doc_id"] for r in rows]
+        assert ids != sorted(ids)
+
+    # corpus growth: old ids keep their shard; positions only shift
+    grown = spark.range(800).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    asn2 = {r["id"]: r["shard"] for r in shard_assignment(grown, "doc_id", 4).collect()}
+    assert all(asn2[i] == s for i, (s, _) in asn.items())

@@ -128,3 +128,53 @@ def test_cluster_aware_splits_no_neardup_leakage(spark):
     assert pairs, "fixture must contain near-dup pairs"
     for p in pairs:
         assert out[p["a"]]["split"] == out[p["b"]]["split"]
+
+
+def test_cluster_split_migration_audit(spark, tmp_path):
+    """VERDICT r5 #6: corpus growth that merges near-dup clusters ACROSS an
+    old split boundary must relabel (keeping the old label is leakage) but
+    never silently — moved ids land as explicit override rows the store
+    can replay. The audit frame must equal the label diff exactly."""
+    from rust_triplets_spark.operators.splits import (
+        FileSplitStore,
+        cluster_aware_splits,
+    )
+
+    docs = [(i, f"document number {i} with unique content {i * 7}") for i in range(40)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    no_pairs = spark.createDataFrame([], "a long, b long")
+
+    store = FileSplitStore(str(tmp_path / "store"), seed=42)
+    first = cluster_aware_splits(df, "id", "text", pairs=no_pairs)
+    assert store.save_with_migration_audit(spark, first) is None  # first save: no audit
+    labels0 = {r["id"]: r["split"] for r in first.collect()}
+
+    # pick two singletons on opposite sides of the boundary and bridge them
+    train_id = min(i for i, s in labels0.items() if s == "train")
+    test_id = min(i for i, s in labels0.items() if s == "test")
+    bridge = spark.createDataFrame([(min(train_id, test_id), max(train_id, test_id))], "a long, b long")
+
+    second = cluster_aware_splits(df, "id", "text", pairs=bridge)
+    labels1 = {r["id"]: r["split"] for r in second.collect()}
+    expected_moved = {
+        str(i): (labels0[i], labels1[i]) for i in labels0 if labels0[i] != labels1[i]
+    }
+    assert expected_moved  # the bridge must actually move someone
+
+    moved = store.save_with_migration_audit(spark, second)
+    got = {r["id"]: (r["old_split"], r["new_split"]) for r in moved.collect()}
+    assert got == expected_moved
+    # audit rows carry the cluster context
+    assert {"rep", "cluster_size"} <= set(moved.columns)
+
+    # history loads with the migration partition; a plain save() must not
+    # reset the counter
+    audit = store.load_migration_audit(spark)
+    assert {r["migration"] for r in audit.collect()} == {1}
+    store.save(second)
+    store2 = FileSplitStore(str(tmp_path / "store"), seed=42)
+    third = store2.save_with_migration_audit(spark, second)
+    assert third.count() == 0  # no diff — but counter advanced to 2
+    import json, os
+    meta = json.load(open(os.path.join(str(tmp_path / "store"), "split_store.json")))
+    assert meta["migrations"] == 2

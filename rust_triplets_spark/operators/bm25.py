@@ -23,9 +23,20 @@ not bit parity, per the determinism contract.
 Scale guards (both engines, part of the spec):
 - query truncated to ``BM25_QUERY_TOKEN_LIMIT`` DISTINCT terms;
 - stop-terms pruned: df > ``STOP_TERM_DF_RATIO`` × N carries ~zero idf but
-  quadratic join cost, so they are dropped from the postings join;
-- scores ranked on ``round(score, 9)`` — ln() differs by ≤ 1 ulp between
-  libms, and the quantization makes cross-engine ordering stable.
+  quadratic join cost, so they are dropped from the postings join.
+
+Determinism: each PER-TERM contribution ``idf × tf_part`` is quantized to
+the 1e-9 grid as an int64 (``round(term × QSCALE)``) and the per-(query,
+doc) score is the EXACT integer sum of those — order-free, so the score is
+bit-identical run-to-run at any parallelism AND across engines (the same
+trick the similarity kernels use). A double sum would drift with Spark's
+partial-aggregation order: at sf1 a single (qid, did) group landed on
+opposite sides of a ``round(·, 9)`` boundary between two otherwise
+identical runs — the quantize-THEN-sum form closed exactly that. Residual
+cross-engine risk is one ln() ulp landing within half a grid step of a
+rounding boundary per distinct (N, df, tf, dl) combination — ~1e-6 per
+combination, and combinations are vocabulary-shaped, not hit-shaped.
+``score_q`` = integer sum / QSCALE (one exact IEEE division).
 
 Bench note: the synthetic test corpus has a ~31-term vocabulary, so every
 (source, term) posting bucket is corpus-scale and the hit join measures at
@@ -49,6 +60,7 @@ BM25_QUERY_TOKEN_LIMIT = 64  # src/constants.rs:154
 BM25_SEARCH_TOP_K = 32  # src/constants.rs:143
 BM25_ROTATE_TOP_K = 3  # src/constants.rs:135
 STOP_TERM_DF_RATIO = 0.85
+QSCALE = 1_000_000_000  # per-term 1e-9 quantization grid (module doc)
 
 
 def analyze_col(text_col) -> F.Column:
@@ -82,7 +94,9 @@ def bm25_scores(
 ) -> DataFrame:
     """Score every (query-doc, candidate-doc) pair within a source via
     BM25, query truncated to the first ``BM25_QUERY_TOKEN_LIMIT`` distinct
-    analyzed terms. Returns (qid, did, score) for hits only."""
+    analyzed terms. Returns (qid, did, score) for hits only; ``score`` is
+    the exact int64 sum of per-term contributions on the 1/QSCALE grid
+    (module doc) — divide by ``QSCALE`` for the float score."""
     base = docs.select(
         F.col(id_col).cast("long").alias("did"),
         F.col(source_col).alias("source"),
@@ -155,8 +169,11 @@ def bm25_scores(
         + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl"))
     )
     group_cols = ["qid", "did"] + (["qsplit"] if split_col else [])
+    # per-term quantize THEN exact integer sum — order-free (module doc)
     return (
-        joined.withColumn("__s", F.col("__idf") * tf_part)
+        joined.withColumn(
+            "__s", F.round(F.col("__idf") * tf_part * F.lit(float(QSCALE))).cast("long")
+        )
         .groupBy(*group_cols)
         .agg(F.sum("__s").alias("score"))
     )
@@ -175,9 +192,10 @@ def bm25_topk(
     bm25_backend.rs:243-249). Returns (qid, rank, did, score_q)."""
     scores = bm25_scores(docs, id_col, source_col, text_col, split_col)
     scores = scores.where(F.col("qid") != F.col("did"))
-    # split isolation already applied inside bm25_scores (pre-join filter)
-    score_q = F.round(F.col("score"), 9)
-    w = Window.partitionBy("qid").orderBy(score_q.desc(), F.col("did").asc())
+    # split isolation already applied inside bm25_scores (pre-join filter);
+    # rank on the exact integer score, report score_q = score / QSCALE
+    score_q = F.col("score").cast("double") / F.lit(float(QSCALE))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did").asc())
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -274,15 +292,16 @@ WITH base AS MATERIALIZED (
   JOIN src_stats ss ON ss.source = q.source
   WHERE CAST(df AS DOUBLE) <= {STOP_TERM_DF_RATIO!r} * CAST(N AS DOUBLE)
 ), scored AS (
-  SELECT q.qid, p.did, sum(q.idf * {tf_part}) AS score
+  SELECT q.qid, p.did,
+         sum(CAST(round(q.idf * {tf_part} * {float(QSCALE)!r}) AS BIGINT)) AS score
   FROM q_terms q
   JOIN postings p ON p.source = q.source AND p.term = q.term{split_on}
   WHERE q.qid <> p.did
   GROUP BY q.qid, p.did
 )
 SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_q FROM (
-  SELECT qid, did, round(score, 9) AS score_q,
-         row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, did) AS rank
+  SELECT qid, did, CAST(score AS DOUBLE) / {float(QSCALE)!r} AS score_q,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
   FROM scored
 )
 WHERE rank <= {k}
@@ -462,13 +481,15 @@ def bm25_topk_from_index(index: Bm25Index, k: int = BM25_SEARCH_TOP_K) -> DataFr
         + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl"))
     )
     scores = (
-        joined.withColumn("__s", F.col("__idf") * tf_part)
+        joined.withColumn(
+            "__s", F.round(F.col("__idf") * tf_part * F.lit(float(QSCALE))).cast("long")
+        )
         .groupBy("qid", "did")
         .agg(F.sum("__s").alias("score"))
         .where(F.col("qid") != F.col("did"))
     )
-    score_q = F.round(F.col("score"), 9)
-    w = Window.partitionBy("qid").orderBy(score_q.desc(), F.col("did").asc())
+    score_q = F.col("score").cast("double") / F.lit(float(QSCALE))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did").asc())
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -192,6 +192,79 @@ FROM exploded GROUP BY 1, 2, 3
 """
 
 
+def session_agg_native(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+    int_unit: str = "ns",
+) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` — works on both
+    batch and streaming frames (same expression, so the batch run IS the
+    streaming run's oracle). Returns (user_id, n_events, start_us, end_us)
+    per session.
+
+    Boundary semantics: ``session_window`` starts a NEW session when the
+    gap is ``>= gap_seconds`` (windows merge only while they strictly
+    overlap), whereas :func:`sessionize`'s gaps-and-islands form uses
+    ``> gap``. Identical everywhere except events exactly ``gap`` apart.
+    Scale: native streaming state (state-store backed, RocksDB-able) —
+    preferred over the ``applyInPandasWithState`` tracker for plain
+    gap sessionization; the tracker remains for genuinely custom state."""
+    ev = ensure_epoch_us(events, ts_col, int_unit)
+    with_ts = ev.withColumn(
+        "__event_time", F.timestamp_seconds(F.expr(f"{ts_col} div {US_PER_SEC}"))
+    )
+    return (
+        with_ts.groupBy(
+            F.session_window("__event_time", f"{gap_seconds} seconds").alias("__w"),
+            F.col(user_col).cast("long").alias("user_id"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(ts_col).cast("long").alias("start_us"),
+            F.max(ts_col).cast("long").alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+
+
+def stream_session_agg_native(
+    spark,
+    source_dir: str,
+    schema,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    int_unit: str = "ns",
+):
+    """Streaming twin of :func:`session_agg_native`: file source →
+    watermark → native session window. Append output mode — a session row
+    emits once, when the watermark passes its close (finite sources
+    therefore hold their LAST sessions open until a later event advances
+    the watermark; tests flush with a far-future sentinel row, production
+    streams advance naturally)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    ev = ensure_epoch_us(raw, ts_col, int_unit)
+    with_ts = ev.withColumn(
+        "__event_time", F.timestamp_seconds(F.expr(f"{ts_col} div {US_PER_SEC}"))
+    )
+    return (
+        with_ts.withWatermark("__event_time", watermark)
+        .groupBy(
+            F.session_window("__event_time", f"{gap_seconds} seconds").alias("__w"),
+            F.col(user_col).cast("long").alias("user_id"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(ts_col).cast("long").alias("start_us"),
+            F.max(ts_col).cast("long").alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+
+
 def stream_tumbling_agg(
     spark,
     source_dir: str,

@@ -144,3 +144,70 @@ def test_stream_resume_equality_sf1(spark, tmp_path):
     }
     assert {(float(k[0]), k[1]): v for k, v in got.items()} == batch
     assert len(batch) > 100
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """session_agg_native is ONE expression for batch and streaming — the
+    batch run is the streaming run's oracle. Append mode emits a session
+    when the watermark passes its close; the test flushes with far-future
+    sentinel rows (excluded from comparison)."""
+    import shutil as _shutil
+
+    from rust_triplets_spark.streaming.windows import (
+        session_agg_native,
+        sessionize,
+        stream_session_agg_native,
+    )
+
+    base = 1_700_000_000
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = base + u * 37
+        for s in range(3):           # 3 sessions per user
+            for k in range(4):       # 4 events per session, 300 s apart
+                rows.append((eid, (t + k * 300) * 1_000_000_000, "c", 1.0, u))
+                eid += 1
+            t += 4 * 300 + 1800 + 61  # > gap, never exactly == gap
+    SCHEMA_U = T.StructType(SCHEMA.fields + [T.StructField("user_id", T.LongType())])
+    df = spark.createDataFrame(rows, SCHEMA_U)
+
+    src = str(tmp_path / "src")
+    df.coalesce(2).write.parquet(src)
+
+    want = {
+        (r["user_id"], r["start_us"], r["end_us"]): r["n_events"]
+        for r in session_agg_native(df, gap_seconds=1800).collect()
+    }
+    assert len(want) == 15
+    # gaps-and-islands twin agrees off the exact-gap boundary
+    isl = {
+        (r["user_id"], r["start_us"], r["end_us"]): r["n_events"]
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert isl == want
+
+    sdf = stream_session_agg_native(
+        spark, src, SCHEMA_U, gap_seconds=1800, watermark="1 hour"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # two sentinel files, each later than everything + gap + watermark, so
+    # the post-sentinel batch finds the watermark past every real session
+    for i, off in enumerate((900_000, 950_000)):
+        spark.createDataFrame(
+            [(10_000 + i, (base + off) * 1_000_000_000, "c", 1.0, 999)], SCHEMA_U
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM native_sessions WHERE user_id < 999").collect()
+    }
+    q.stop()
+    assert got == want

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "ann_ivf_float_topk",
     # round 7 additions
     "training_shards",
+    "training_funnel",
+    "fuzzy_decontamination",
+    "batch_pad_with_reuse",
 ]
 
 

@@ -991,3 +991,63 @@ def minhash_dedup_keep_sql(
 SELECT id, rep, (id = rep) AS keep, cluster_size
 FROM ({clusters})
 """
+
+
+def minhash_signature_array_col(
+    text_col, num_hashes: int = 32, shingle_n: int = 3, seed: int = MINHASH_SEED,
+):
+    """ROW-LOCAL MinHash signature: ``array<bigint>`` of the k per-shingle
+    minima — value-identical to :func:`minhash_signatures`'s aggregate
+    (same hash31 → mix31_step fold, pinned by pytest), but computed as a
+    pure column expression with no explode/groupBy.
+
+    This exists for STREAMING: signatures via aggregation would make every
+    downstream op a stateful streaming aggregate, while a row-local
+    expression keeps the query map-only (append mode, no watermark, no
+    state store). The cost is the known higher-order-function penalty
+    (CodegenFallback, no CSE across the k mins — the measured reason
+    :func:`minhash_signatures` uses the aggregate shape for batch); in a
+    stream that price buys statelessness, and each row pays it once at
+    ingest. Docs with < shingle_n tokens yield NULL (the aggregate's
+    no-row analog)."""
+    from rust_triplets_spark.functions.hashing import mix31_step_col
+
+    sh = shingle_fingerprints_col(text_col, shingle_n, seed)
+
+    # closure factory, NOT `lambda s, i=i: ...` — F.transform dispatches on
+    # lambda ARITY, so a two-parameter lambda (even with a default) is
+    # called as (element, index) and the array index silently overrides
+    # the bound slot number, collapsing all k slots to one value
+    def _slot(i: int):
+        return lambda s: mix31_step_col(hash31_col(s, seed), F.lit(i), seed)
+
+    mins = [
+        F.array_min(F.transform(sh, _slot(i))).cast("long")
+        for i in range(num_hashes)
+    ]
+    return F.when(F.size(sh) > 0, F.array(*mins))
+
+
+def minhash_band_structs_col(
+    sig_col, num_hashes: int, bands: int,
+):
+    """``array<struct<band int, sig bigint>>`` over a row-local signature
+    array (:func:`minhash_signature_array_col`) — the same band mix as
+    :func:`minhash_lsh_pairs` (``mix31(mh[b*r .. b*r+r-1], BAND_SEED+b)``),
+    ready for one explode into (band, sig) join keys."""
+    from rust_triplets_spark.functions.hashing import mix31_col
+
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            mix31_col(
+                [F.element_at(sig_col, b * r + j + 1) for j in range(r)],
+                BAND_SEED + b,
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return F.array(*structs)

@@ -274,3 +274,111 @@ def prefetched_batch_iterator(
         id_is_string, checkpoint_path, stats=None,
     )
     return BatchPrefetcher(it, capacity=capacity, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# pad_with_reuse — the reference's fixed-size batch contract
+# (src/sampler/mod.rs:3091-3100): a short-but-non-empty batch is cycled
+# until it reaches batch_size. Appended item j is seed[j % n] placed at
+# slot n + j, and (n + j) % n == j % n, so the whole contract collapses to
+# a closed form: slot s ∈ [0, batch_size) holds the item at position
+# s % n, reused ⇔ s ≥ n. No loop, no driver state — one lateral sequence
+# explode whose fan-out is exactly ceil(batch_size / n) per row.
+# ---------------------------------------------------------------------------
+
+
+def pad_with_reuse(
+    ordered: DataFrame, batch_size: int, pos_col: str = "position"
+) -> DataFrame:
+    """Cycle an ordered sample frame up to ``batch_size`` rows.
+
+    Input must carry a dense 0-based ``pos_col``. Returns every input
+    column plus ``(slot, reused)``; empty input stays empty and an input
+    already ≥ ``batch_size`` passes through with one slot per row — both
+    exactly the reference's guards (items.is_empty() / len >= target).
+
+    Scale shape: one single-row count aggregate broadcast onto the frame
+    (the only "global" the closed form needs), then a row-local sequence
+    explode. Padding is a small-batch contract — the fan-out ceil(B/n) is
+    large only when n is small, so the work is bounded by batch_size."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    n1 = ordered.select(F.count("*").cast("long").alias("__n"))
+    w = ordered.crossJoin(F.broadcast(n1))
+    p = F.col(pos_col).cast("long")
+    copies = F.when(F.col("__n") >= batch_size, F.lit(1)).otherwise(
+        F.expr(f"({batch_size - 1} - {pos_col}) div __n + 1")
+    )
+    slot = (p + F.col("__k") * F.col("__n")).cast("long")
+    return (
+        w.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (copies - 1).cast("long"))
+            ).alias("__k"),
+        )
+        .select(
+            slot.alias("slot"),
+            (slot >= F.col("__n")).alias("reused"),
+            *ordered.columns,
+        )
+    )
+
+
+def pad_with_reuse_sql(
+    inner_sql: str, batch_size: int, pos_sql: str = "position"
+) -> str:
+    """DuckDB twin of :func:`pad_with_reuse` (lateral ``range`` form).
+    ``inner_sql`` is a full SELECT producing the ordered frame."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    return f"""
+WITH pr_in AS MATERIALIZED (
+  SELECT i.*, count(*) OVER () AS __n FROM ({inner_sql}) i
+)
+SELECT CAST({pos_sql} + t.k * __n AS BIGINT) AS slot,
+       ({pos_sql} + t.k * __n) >= __n AS reused,
+       pr_in.* EXCLUDE (__n)
+FROM pr_in, UNNEST(range(0, CASE WHEN __n >= {batch_size} THEN 1
+                              ELSE (({batch_size - 1} - {pos_sql}) // __n) + 1
+                         END)) AS t(k)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exhaustion retry — the reference's pull loop retries a batch request up
+# to EXHAUSTION_RETRY_LIMIT (= 2) times, forcing a source refresh between
+# attempts (src/sampler/mod.rs:2853-2864, src/constants.rs:81). Only the
+# IO loop is stateful in this engine, so the retry lives here as a
+# driver-side combinator over any fetch/refresh pair (e.g. an
+# IngestionManager.refresh + a batch build over its records).
+# ---------------------------------------------------------------------------
+
+EXHAUSTION_RETRY_LIMIT = 2  # src/constants.rs:81
+
+
+class Exhausted(RuntimeError):
+    """A fetch produced no rows / raised exhaustion (SamplerError::Exhausted)."""
+
+
+def fetch_with_exhaustion_retry(
+    fetch, refresh, limit: int = EXHAUSTION_RETRY_LIMIT, stats=None
+):
+    """Call ``fetch()``; on :class:`Exhausted`, call ``refresh()`` and
+    retry, up to ``limit`` extra attempts — then re-raise the LAST
+    exhaustion. ``refresh`` runs between attempts only (never after the
+    final failure), exactly the reference's loop shape. ``stats`` (an
+    optional ``telemetry.PrefetcherStats``) counts errors on final
+    exhaustion."""
+    last: Exhausted | None = None
+    for attempt in range(limit + 1):
+        try:
+            return fetch()
+        except Exhausted as exc:
+            last = exc
+            if attempt < limit:
+                refresh()
+    if stats is not None:
+        stats.errors += 1
+    assert last is not None
+    raise last

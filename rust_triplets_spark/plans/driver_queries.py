@@ -3304,6 +3304,111 @@ def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# the whole pipeline as ONE plan: dedup survivors → leakage-free train cut →
+# token packing → deterministic shard layout (plans/funnel.py). The stages
+# are each oracle-checked on their own; this query checks their COMPOSITION
+# — the "a user of the reference could run their whole pipeline here" proof.
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.plans.funnel import (  # noqa: E402
+    training_manifest,
+    training_manifest_sql,
+)
+
+
+@_register(
+    "training_funnel",
+    training_manifest_sql("documents", "doc_id", "text", "source"),
+)
+def training_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set materialization: near-dup clusters → min-id
+    keep ∧ train-split gate (label from the cluster REP, so near-copies
+    never straddle the cut) → per-source token packing → globally shuffled
+    shard layout. One manifest row per surviving document with its context
+    window and shard slot — the at-rest twin of the reference's
+    ingest→split→sample loop (src/sampler/mod.rs), reproducible from
+    (corpus, seed) alone."""
+    return training_manifest(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+from rust_triplets_spark.operators.decontam import (  # noqa: E402
+    fuzzy_decontaminate,
+    fuzzy_decontaminate_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# pad_with_reuse — previously a SURVEY-documented drop, now closed: the
+# reference's fixed-size batch contract as a closed-form cyclic reuse
+# (plans/batches.py). The pool is a ~1% id-hash slice so BOTH branches are
+# exercised across scales: at small sf the pool is short and cycles; past
+# the point the slice exceeds the batch size the frame passes through.
+# ---------------------------------------------------------------------------
+
+from rust_triplets_spark.plans.batches import (  # noqa: E402
+    pad_with_reuse,
+    pad_with_reuse_sql,
+)
+
+_PAD_BATCH = 256
+_PAD_POOL_PRED_SQL = f"({hash31_sql('CAST(doc_id AS BIGINT)', SEED)} % 100) = 0"
+
+
+@_register(
+    "batch_pad_with_reuse",
+    pad_with_reuse_sql(
+        epoch_order_sql(
+            "documents", "doc_id", "source", epoch=0, seed=SEED,
+            id_is_string=False, where=_PAD_POOL_PRED_SQL,
+        ),
+        _PAD_BATCH,
+    ),
+)
+def batch_pad_with_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size batch padding (src/sampler/mod.rs:3091-3100): the epoch
+    order over a small pool cycled to exactly 256 slots — slot s holds the
+    item at position s mod n, ``reused`` marks the cycled tail. Empty pool
+    → empty batch; pool ≥ 256 → passthrough (both reference guards)."""
+    docs = _t(spark, sf_dir, "documents", heavy=False)
+    pool = docs.where(
+        F.pmod(hash31_col(F.col("doc_id").cast("long"), SEED), F.lit(100)) == 0
+    )
+    ordered = epoch_order(
+        pool, "doc_id", "source", epoch=0, seed=SEED, id_is_string=False
+    ).select(
+        F.col("position").cast("long").alias("position"),
+        F.col("id").cast("long").alias("id"),
+        "source",
+    )
+    return pad_with_reuse(ordered, _PAD_BATCH)
+
+
+@_register(
+    "fuzzy_decontamination",
+    fuzzy_decontaminate_sql(
+        f"SELECT * FROM documents WHERE NOT ({eval_holdout_pred_sql('doc_id')})",
+        f"SELECT * FROM documents WHERE {eval_holdout_pred_sql('doc_id')}",
+        "doc_id",
+        "text",
+    ),
+)
+def fuzzy_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup decontamination: the exact-13-gram check
+    (`decontamination`) misses paraphrased/lightly-edited benchmark leaks;
+    this runs the dedup family's LSH machinery ACROSS the train/eval cut
+    and reports per-train-doc candidate count, ≥threshold match count, and
+    best signature-agreement Jaccard estimate (exact dyadic n/32 — the
+    DuckDB twin hash-matches bit-for-bit)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = eval_holdout_pred_col("doc_id")
+    return fuzzy_decontaminate(
+        docs.where(~pred), docs.where(pred), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
 # re-ordered here: queries that have never had a CORRECTNESS row (or were
@@ -3330,8 +3435,15 @@ _CHECK_FIRST = [
     "bm25_topk",
     "bm25_hard_negatives",
     "doc_fingerprint",
-    # new this round (round 7): deterministic training-shard export
+    # new this round (round 7): deterministic training-shard export; the
+    # end-to-end funnel composition; fuzzy (MinHash) decontamination —
+    # never driver-checked, so they take window priority (displacing
+    # event_gap_quantiles + source_vocab_overlap, which stay local-gate
+    # verified and rotate back in next round)
     "training_shards",
+    "training_funnel",
+    "fuzzy_decontamination",
+    "batch_pad_with_reuse",
     # changed round 6, kept pinned: simhash stop-band rep-chain; float-IVF
     # rows-only query (registered r6 but left OUT of the window — ADVICE r6;
     # this is its first driver check)
@@ -3384,11 +3496,9 @@ _CHECK_FIRST = [
     "source_token_budget",
     "temperature_source_mix",
     "budgeted_source_sample",
-    "event_gap_quantiles",
-    "source_vocab_stats",
-    "source_vocab_overlap",
-    # top_tokens_per_source displaced by training_shards (window is full at
-    # 50); it stays local-gate-verified and rotates in next round
+    # top_tokens_per_source, event_gap_quantiles, source_vocab_overlap,
+    # source_vocab_stats displaced by this round's four new queries (window
+    # is full at 50); they stay local-gate-verified and rotate in next round
 ]
 
 

@@ -1,0 +1,115 @@
+"""Streaming fuzzy decontamination — flag benchmark near-dups AT INGEST.
+
+Batch twin: :func:`rust_triplets_spark.operators.decontam
+.fuzzy_decontaminate`. A continuously-arriving corpus can't wait for a
+nightly decontamination sweep; this flags each incoming document against a
+(small, static) benchmark index inside the ingest stream itself.
+
+Shape: the benchmark side is indexed ONCE as (eval_id, band, sig) LSH
+buckets — benchmark sets are MBs against a 100 TB/day feed, so the index
+is a broadcast stream-static join side. The stream side computes its
+MinHash signature ROW-LOCALLY (:func:`~rust_triplets_spark.operators
+.dedup.minhash_signature_array_col` — value-identical to the batch
+aggregate, pinned by pytest) so the whole query is map-only: band explode
+→ stream-static inner join → append sink. No watermark, no state store,
+no shuffle on the stream side; each micro-batch flags independently. A
+doc colliding with the same eval doc in several bands emits one row per
+band (stateless by design — DISTINCT would need state); consumers dedup
+on (id, eval_id) or act on first sight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.operators.dedup import (
+    MINHASH_SEED,
+    minhash_band_structs_col,
+    minhash_signature_array_col,
+)
+
+
+def fuzzy_eval_index(
+    evaldf: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """Static benchmark index: one (eval_id, band, sig) row per band.
+    Built with the same row-local expressions as the stream side, so both
+    sides' band signatures agree bit-for-bit."""
+    sig = minhash_signature_array_col(F.col(text_col), num_hashes, shingle_n, seed)
+    return (
+        evaldf.select(
+            F.col(id_col).cast("long").alias("eval_id"), sig.alias("__sig")
+        )
+        .where(F.col("__sig").isNotNull())
+        .select(
+            "eval_id",
+            F.explode(minhash_band_structs_col(F.col("__sig"), num_hashes, bands)).alias(
+                "__b"
+            ),
+        )
+        .select("eval_id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
+    )
+
+
+def fuzzy_decontam_flags(
+    df: DataFrame,
+    eval_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """(id, eval_id, band) candidate flags for ``df`` against a
+    :func:`fuzzy_eval_index`. ``df`` may be a STREAMING frame (the whole
+    transformation is map-only + a stream-static broadcast join → append
+    mode) or a batch frame — same expressions, same results (the parity
+    the tests pin). Parameters must match the ones the index was built
+    with; a mismatch silently yields no collisions, so callers should
+    thread one config object through both."""
+    sig = minhash_signature_array_col(F.col(text_col), num_hashes, shingle_n, seed)
+    banded = (
+        df.select(F.col(id_col).cast("long").alias("id"), sig.alias("__sig"))
+        .where(F.col("__sig").isNotNull())
+        .select(
+            "id",
+            F.explode(minhash_band_structs_col(F.col("__sig"), num_hashes, bands)).alias(
+                "__b"
+            ),
+        )
+        .select("id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
+    )
+    return banded.join(F.broadcast(eval_index), ["band", "sig"]).select(
+        "id", "eval_id", "band"
+    )
+
+
+def stream_fuzzy_decontam(
+    spark,
+    source_dir: str,
+    schema,
+    evaldf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """File-stream convenience wrapper: readStream over ``source_dir`` →
+    :func:`fuzzy_decontam_flags` against an index built from ``evaldf``."""
+    idx = fuzzy_eval_index(
+        evaldf, id_col, text_col, num_hashes, bands, shingle_n, seed
+    )
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return fuzzy_decontam_flags(
+        raw, idx, id_col, text_col, num_hashes, bands, shingle_n, seed
+    )

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "training_funnel",
     "fuzzy_decontamination",
     "batch_pad_with_reuse",
+    "ann_ivfpq_topk",
+    "bigram_lm_quality",
 ]
 
 

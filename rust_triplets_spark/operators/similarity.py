@@ -866,3 +866,344 @@ WITH b AS MATERIALIZED (
 SELECT a.id, a.cell, (d.id IS NULL) AS keep
 FROM assigned a LEFT JOIN dominated d ON d.id = a.id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized candidates inside probed cells — the memory
+# scale path. At 100 TB the ANN bottleneck is not compute but the bytes a
+# candidate row drags through the probe join: a 1024-dim float vector is
+# 4 KB/row, while an m-subvector PQ code is m bytes + a shared codebook.
+# This kernel stores each corpus vector as its per-subspace nearest
+# codeword and scores queries ASYMMETRICALLY (exact query vs reconstructed
+# candidate — classic ADC), so the candidate side of the probe join
+# carries only the reconstruction.
+# ---------------------------------------------------------------------------
+
+PQ_PICK_STEP = 1  # codebook pick uses hash31(id, seed + PQ_PICK_STEP) so the
+# codeword sample decorrelates from the coarse-centroid sample at the same seed
+
+
+def _pq_codebook(base: DataFrame, m: int, sub: int, n_codes: int, seed: int):
+    """(j, code, __csv): per-subspace codewords — the ``n_codes`` corpus
+    vectors with the smallest ``hash31(id, seed + PQ_PICK_STEP)``, sliced
+    into their m subvectors (zero-iteration k-means, the seeded-quantizer
+    trick). m × n_codes rows — always broadcast."""
+    from rust_triplets_spark.functions.hashing import hash31_col
+
+    picked = (
+        base.select("id", "__v", hash31_col(F.col("id"), seed + PQ_PICK_STEP).alias("__pk"))
+        .orderBy(F.col("__pk").asc(), F.col("id").asc())
+        .limit(n_codes)
+    )
+    coded = picked.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("__pk").asc(), F.col("id").asc()))
+        .cast("long")
+        .alias("code"),
+        "__v",
+    )
+    slices = [
+        F.struct(
+            F.lit(j).cast("long").alias("j"),
+            F.slice(F.col("__v"), j * sub + 1, sub).alias("__csv"),
+        )
+        for j in range(m)
+    ]
+    return coded.select(
+        "code", F.explode(F.array(*slices)).alias("__s")
+    ).select(F.col("__s.j").alias("j"), "code", F.col("__s.__csv").alias("__csv"))
+
+
+def pq_reconstruct(
+    base: DataFrame, m: int, sub: int, n_codes: int, seed: int,
+) -> DataFrame:
+    """(id, __rv, __rn): each corpus vector replaced by its PQ
+    reconstruction — per subspace j, the codeword subvector minimizing the
+    EXACT integer squared distance (ties → lowest code id), concatenated
+    back in subspace order.
+
+    Scale shape: corpus × (m·n_codes) narrow map against the broadcast
+    codebook, argmin per (id, j) window (one hash exchange), then one
+    groupBy(id) that stitches the m winning subvectors — all corpus-linear;
+    the codebook never exceeds m × n_codes rows."""
+    cb = _pq_codebook(base, m, sub, n_codes, seed)
+    d2 = F.aggregate(
+        F.zip_with(F.col("__sv"), F.col("__csv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    doc_slices = [
+        F.struct(
+            F.lit(j).cast("long").alias("j"),
+            F.slice(F.col("__v"), j * sub + 1, sub).alias("__sv"),
+        )
+        for j in range(m)
+    ]
+    sub_rows = base.select(
+        "id", F.explode(F.array(*doc_slices)).alias("__s")
+    ).select("id", F.col("__s.j").alias("j"), F.col("__s.__sv").alias("__sv"))
+    best = (
+        sub_rows.join(F.broadcast(cb), "j")
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("id", "j").orderBy(
+                    F.col("__d2").asc(), F.col("code").asc()
+                )
+            ),
+        )
+        .where(F.col("__r") == 1)
+        .select("id", "j", "__csv")
+    )
+    recon = (
+        best.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "__csv"))),
+                    lambda s: s.getField("__csv"),
+                )
+            ).alias("__rv")
+        )
+        .withColumn("__rn", _dot(F.col("__rv"), F.col("__rv")))
+    )
+    return recon
+
+
+def ivfpq_seeded_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    m: int = 8, n_codes: int = 16, dim: int | None = None,
+    n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
+    rerank: int | None = None,
+    target_cell_rows: int = TARGET_CELL_ROWS,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse seeded cells + ``nprobe`` probing exactly as
+    :func:`ivf_seeded_topk`, but candidates are scored against their PQ
+    RECONSTRUCTION (``cos(query, reconstruct(candidate))`` — asymmetric
+    distance). Returns (qid, rank, nid, cos_sim); the cosine runs on
+    integer-exact dot/norms of the quantized query and the integer
+    reconstruction, so the result hash-matches the DuckDB twin.
+
+    ``rerank=R`` enables the standard two-stage deployment: ADC keeps each
+    query's top-R candidates (coarse but cheap — the candidate join never
+    touches full vectors), then the EXACT integer-cosine kernel re-scores
+    only those R rows and keeps k. ADC alone resolves cluster structure,
+    not intra-cluster noise (its reconstruction error is bounded by the
+    codebook, not the data — the recall pytest pins both regimes), so
+    top-k-of-equals within a tight cluster needs the rerank. ``None``
+    returns raw ADC ranking.
+
+    Degenerate-to-exact property (pinned by pytest): with ``n_codes ≥``
+    corpus rows every subspace reconstructs its own subvector (d2 = 0) and
+    this collapses to :func:`ivf_seeded_topk` bit-for-bit.
+
+    ``dim`` (embedding width) must be divisible by ``m``; when None it is
+    read from one corpus row. ``n_centroids=None`` derives the cell count
+    from the corpus (:func:`auto_cells`) — same linearity contract as the
+    other IVF kernels."""
+    if rerank is not None and rerank < k:
+        raise ValueError(f"ivfpq: rerank={rerank} must be >= k={k}")
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("ivfpq: empty corpus — cannot infer embedding dim")
+        dim = row["d"]
+    if dim % m:
+        raise ValueError(f"ivfpq: dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    if n_centroids is None:
+        n_centroids = auto_cells(df.count(), target_cell_rows, floor=16)
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
+    picked = (
+        base.select("id", "__v", _ivf_pick_key(seed).alias("__pk"))
+        .orderBy(F.col("__pk").asc(), F.col("id").asc())
+        .limit(n_centroids)
+    )
+    cent = picked.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("__pk").asc(), F.col("id").asc()))
+        .cast("long")
+        .alias("cell"),
+        F.col("__v").alias("__cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ranked = cache_scoped(
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__cr",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("__d2").asc(), F.col("cell").asc())
+            ),
+        )
+        .where(F.col("__cr") <= max(1, nprobe))
+        .select("id", "__v", "__n", "cell", "__cr"),
+        "similarity.ivfpq.ranked",
+        eager=True,  # probe + assigned sides must both read materialized blocks
+    )
+    recon = pq_reconstruct(base, m, sub, n_codes, seed)
+    assigned = (
+        ranked.where(F.col("__cr") == 1).select("id", "cell").join(recon, "id")
+    )
+    probes = ranked.where(F.col("__cr") <= nprobe).select(
+        F.col("id").alias("qid"), F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"), "cell",
+    )
+    cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__rn").cast("double"))
+    )
+    scored = cand.withColumn("__dot", _dot(F.col("__qv"), F.col("__rv"))).withColumn(
+        "cos_sim", cos
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    F.col("id").alias("nid"), "cos_sim")
+        )
+    # stage 2: exact rerank of the ADC top-R — re-fetch the R candidates'
+    # true vectors (R × queries rows, never corpus × probes) and rank by
+    # the exact integer cosine
+    adc_top = (
+        scored.withColumn("__ar", F.row_number().over(w))
+        .where(F.col("__ar") <= rerank)
+        .select("qid", "__qv", "__qn", "id")
+    )
+    exact_cos = F.col("__xd").cast("double") / (
+        F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__n").cast("double"))
+    )
+    rescored = (
+        adc_top.join(base, "id")
+        .withColumn("__xd", _dot(F.col("__qv"), F.col("__v")))
+        .withColumn("cos_sim", exact_cos)
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("long").alias("rank"),
+                F.col("id").alias("nid"), "cos_sim")
+    )
+
+
+def ivfpq_seeded_topk_sql(
+    table: str, id_sql: str, vec_sql: str, dim: int, k: int = 5,
+    m: int = 8, n_codes: int = 16,
+    n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
+    rerank: int | None = None,
+    target_cell_rows: int = TARGET_CELL_ROWS,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_seeded_topk` — same seeded picks, same
+    integer subspace argmins, same reconstruction, same tie-breaks, same
+    optional exact-rerank stage. ``dim`` is required (the m slice
+    expressions are generated at SQL-build time)."""
+    from rust_triplets_spark.functions.hashing import hash31_sql
+
+    if dim % m:
+        raise ValueError(f"ivfpq: dim={dim} not divisible by m={m} subspaces")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"ivfpq: rerank={rerank} must be >= k={k}")
+    sub = dim // m
+    if rerank is None:
+        final = f"""
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
+FROM (SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+      FROM scored)
+WHERE rank <= {k}"""
+    else:
+        final = f""", adc_top AS (
+  SELECT qid, qv, qn, nid
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS ar
+        FROM scored)
+  WHERE ar <= {rerank}
+), rescored AS (
+  SELECT t.qid, t.nid,
+         CAST(CAST(list_sum(list_transform(range(1, len(t.qv) + 1), i -> t.qv[i] * x.v[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(t.qn AS DOUBLE)) * sqrt(CAST(x.nn AS DOUBLE))) AS cos_sim
+  FROM adc_top t JOIN n x ON x.id = t.nid
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
+FROM (SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+      FROM rescored)
+WHERE rank <= {k}"""
+    n_cent_sql = (
+        _auto_cells_sql("b", target_cell_rows, floor=16)
+        if n_centroids is None
+        else str(n_centroids)
+    )
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    cb_slices = " UNION ALL ".join(
+        f"SELECT code, {j} AS j, v[{j * sub + 1}:{(j + 1) * sub}] AS csv FROM pq_coded"
+        for j in range(m)
+    )
+    doc_slices = " UNION ALL ".join(
+        f"SELECT id, {j} AS j, v[{j * sub + 1}:{(j + 1) * sub}] AS sv FROM b"
+        for j in range(m)
+    )
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table}
+), n AS MATERIALIZED (
+  SELECT id, v,
+         CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS BIGINT) AS nn
+  FROM b
+), pq_coded AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY {hash31_sql('id', seed + PQ_PICK_STEP)}, id) AS BIGINT) AS code,
+         v
+  FROM b QUALIFY code <= {n_codes}
+), pq_cb AS MATERIALIZED ({cb_slices}),
+pq_docsub AS MATERIALIZED ({doc_slices}),
+pq_best AS MATERIALIZED (
+  SELECT id, j, csv FROM (
+    SELECT d.id, d.j, c.csv,
+           row_number() OVER (
+             PARTITION BY d.id, d.j
+             ORDER BY CAST(list_sum(list_transform(range(1, {sub} + 1),
+                           i -> (d.sv[i] - c.csv[i]) * (d.sv[i] - c.csv[i]))) AS BIGINT), c.code
+           ) AS r
+    FROM pq_docsub d JOIN pq_cb c ON d.j = c.j
+  ) WHERE r = 1
+), pq_recon AS MATERIALIZED (
+  SELECT id, flatten(list(csv ORDER BY j)) AS rv FROM pq_best GROUP BY id
+), pq_rn AS MATERIALIZED (
+  SELECT id, rv,
+         CAST(list_sum(list_transform(range(1, len(rv) + 1), i -> rv[i] * rv[i])) AS BIGINT) AS rn
+  FROM pq_recon
+), cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY {hash31_sql('id', seed)}, id) AS BIGINT) AS cell,
+         v AS cv
+  FROM b QUALIFY cell <= {n_cent_sql}
+), ranked AS MATERIALIZED (
+  SELECT n.id, n.v, n.nn, c.cell,
+         row_number() OVER (
+           PARTITION BY n.id
+           ORDER BY CAST(list_sum(list_transform(range(1, len(n.v) + 1),
+                         i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) AS BIGINT), c.cell
+         ) AS cr
+  FROM n, cent c
+), assigned AS (
+  SELECT r.id, r.cell, p.rv, p.rn
+  FROM ranked r JOIN pq_rn p ON p.id = r.id WHERE r.cr = 1
+),
+probes AS (SELECT id AS qid, v AS qv, nn AS qn, cell FROM ranked WHERE cr <= {nprobe}),
+scored AS (
+  SELECT p.qid, p.qv, p.qn, a.id AS nid,
+         CAST(CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.rv[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.rn AS DOUBLE))) AS cos_sim
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.qid
+){final}
+"""

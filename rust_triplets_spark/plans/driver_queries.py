@@ -1972,6 +1972,59 @@ def ann_ivf_float_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    ivfpq_seeded_topk,
+    ivfpq_seeded_topk_sql,
+)
+
+
+@_register(
+    "ann_ivfpq_topk",
+    ivfpq_seeded_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        k=3, m=8, n_codes=16, n_centroids=None, nprobe=2, rerank=16,
+    ),
+)
+def ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (new r7): candidates carry an m-byte product-quantized
+    code instead of the full vector — the MEMORY scale path for 100 TB
+    embedding corpora (a 1024-dim float vector is 4 KB/candidate-row;
+    the PQ reconstruction is codebook-shaped). Two stages, both
+    integer-exact and hash-matched by the DuckDB twin: asymmetric-distance
+    (exact query × reconstructed candidate) candidate generation inside
+    nprobe seeded cells, then exact-cosine rerank of the ADC top-16
+    (operators/similarity.ivfpq_seeded_topk). Degenerate-to-exact and
+    recall-floor contracts are pytest-pinned (tests/test_lm_pq.py).
+    Registered this round — local-gate verified; rotates into the driver
+    window next round (the r7 window shipped full at 50)."""
+    return ivfpq_seeded_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64,
+        k=3, m=8, n_codes=16, n_centroids=None, nprobe=2, rerank=16,
+    )
+
+
+from rust_triplets_spark.operators.lm_quality import (  # noqa: E402
+    bigram_lm_scores,
+    bigram_lm_scores_sql,
+)
+
+
+@_register(
+    "bigram_lm_quality",
+    bigram_lm_scores_sql("documents", "doc_id", "text"),
+)
+def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality scores (new r7): per-document
+    average negative log-likelihood under an add-α smoothed bigram model
+    over token fingerprints — the CCNet-style statistical quality gate
+    (boilerplate scores low, gibberish high) beyond the rule-based
+    quality_score. Per-type -ln P is quantized to the 1e-9 grid and
+    integer-summed per doc, so scores are order-free and the DuckDB twin
+    hash-matches (operators/lm_quality.py). Registered this round —
+    local-gate verified; rotates into the driver window next round."""
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @_register(
     "embedding_neardup_pairs",
     embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding",

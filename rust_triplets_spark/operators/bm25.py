@@ -26,7 +26,10 @@ Scale guards (both engines, part of the spec):
   quadratic join cost, so they are dropped from the postings join.
 
 Determinism: each PER-TERM contribution ``idf × tf_part`` is quantized to
-the 1e-9 grid as an int64 (``round(term × QSCALE)``) and the per-(query,
+the 1e-9 grid as an int64 (``floor(term × QSCALE + 0.5)`` — half-up round
+written as floor because Spark's Round on doubles allocates a BigDecimal
+per row, measured ~1.5× on the hit join; contributions are positive and
+both engines use the identical floor expression) and the per-(query,
 doc) score is the EXACT integer sum of those — order-free, so the score is
 bit-identical run-to-run at any parallelism AND across engines (the same
 trick the similarity kernels use). A double sum would drift with Spark's
@@ -172,7 +175,13 @@ def bm25_scores(
     # per-term quantize THEN exact integer sum — order-free (module doc)
     return (
         joined.withColumn(
-            "__s", F.round(F.col("__idf") * tf_part * F.lit(float(QSCALE))).cast("long")
+            # floor(x + 0.5), NOT F.round: Spark's Round on doubles allocates
+            # a BigDecimal PER ROW (measured ~1.5x on the hit-scale join at
+            # sf0.1); floor is codegen-native. Contributions are strictly
+            # positive, and the twin uses the identical floor form, so the
+            # two engines shift together on any half-grid edge.
+            "__s",
+            F.floor(F.col("__idf") * tf_part * F.lit(float(QSCALE)) + F.lit(0.5)).cast("long")
         )
         .groupBy(*group_cols)
         .agg(F.sum("__s").alias("score"))
@@ -293,7 +302,7 @@ WITH base AS MATERIALIZED (
   WHERE CAST(df AS DOUBLE) <= {STOP_TERM_DF_RATIO!r} * CAST(N AS DOUBLE)
 ), scored AS (
   SELECT q.qid, p.did,
-         sum(CAST(round(q.idf * {tf_part} * {float(QSCALE)!r}) AS BIGINT)) AS score
+         sum(CAST(floor(q.idf * {tf_part} * {float(QSCALE)!r} + 0.5) AS BIGINT)) AS score
   FROM q_terms q
   JOIN postings p ON p.source = q.source AND p.term = q.term{split_on}
   WHERE q.qid <> p.did
@@ -482,7 +491,13 @@ def bm25_topk_from_index(index: Bm25Index, k: int = BM25_SEARCH_TOP_K) -> DataFr
     )
     scores = (
         joined.withColumn(
-            "__s", F.round(F.col("__idf") * tf_part * F.lit(float(QSCALE))).cast("long")
+            # floor(x + 0.5), NOT F.round: Spark's Round on doubles allocates
+            # a BigDecimal PER ROW (measured ~1.5x on the hit-scale join at
+            # sf0.1); floor is codegen-native. Contributions are strictly
+            # positive, and the twin uses the identical floor form, so the
+            # two engines shift together on any half-grid edge.
+            "__s",
+            F.floor(F.col("__idf") * tf_part * F.lit(float(QSCALE)) + F.lit(0.5)).cast("long")
         )
         .groupBy("qid", "did")
         .agg(F.sum("__s").alias("score"))

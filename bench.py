@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "batch_pad_with_reuse",
     "ann_ivfpq_topk",
     "bigram_lm_quality",
+    "ccnet_quality_buckets",
+    "kmv_source_vocab",
 ]
 
 
@@ -152,7 +154,20 @@ def main() -> None:
         if pass_i > 0 and time.time() - t_start > budget_s:
             break
         passes_run += 1
-        for name in BENCH_QUERIES:
+        # re-measurement passes take the LEAST-measured queries first (ties
+        # in list order): if the budget stops a pass mid-list, starvation is
+        # spread evenly instead of the tail queries shipping a cold-only
+        # min (r7: 6 tail queries reported pass-1 JIT times 2-6x their warm
+        # cost and read as regressions)
+        order = (
+            BENCH_QUERIES
+            if pass_i == 0
+            else sorted(
+                BENCH_QUERIES,
+                key=lambda n: (pass_counts.get(n, 0), BENCH_QUERIES.index(n)),
+            )
+        )
+        for name in order:
             # intra-pass budget check from pass 2 on: pass 1 always runs to
             # completion (every query needs at least one timing), but a
             # re-measurement pass stops mid-list rather than overshoot the

@@ -191,3 +191,96 @@ SELECT i.id,
 FROM (SELECT CAST({id_sql} AS BIGINT) AS id FROM {table}) i
 LEFT JOIN lm_doc d ON i.id = d.id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality bucketing — the LM score turned into the artifact the
+# pipeline actually ships: per-source head/middle/tail tertiles (CCNet
+# buckets by perplexity against the reference LM; head ≈ cleanest third).
+# ---------------------------------------------------------------------------
+
+BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def quality_buckets(
+    df: DataFrame, id_col: str, text_col: str, source_col: str,
+    n_buckets: int = 3, seed: int = LM_SEED,
+) -> DataFrame:
+    """Per-source quality buckets over :func:`bigram_lm_scores`:
+    ``(id, source, avg_nll, bucket)`` where ``bucket`` splits each
+    source's SCORED documents into ``n_buckets`` contiguous rank bands by
+    ascending ``avg_nll`` (ties → id) — band b covers 1-indexed ranks
+    ``(b·n div B, (b+1)·n div B]``, pure integer arithmetic, so bands are
+    exact and the band sizes differ by at most one. 3 buckets get CCNet's
+    head/middle/tail names; other counts get ``b0..b{B-1}``. Documents
+    with no transitions (< 2 tokens) land in ``unscored`` and do not
+    consume band capacity.
+
+    Scale shape: the LM pass (module doc) plus ONE per-source rank window
+    over the scored frame — the same audit-grade exact-rank trade as
+    ``quality.group_quantiles`` (its docstring covers the
+    approx_percentile alternative for few-giant-group layouts)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    names = BUCKET_NAMES if n_buckets == 3 else tuple(
+        f"b{i}" for i in range(n_buckets)
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(source_col).alias("source")
+    )
+    scores = bigram_lm_scores(df, id_col, text_col, seed).select("id", "avg_nll")
+    scored = src.join(scores, "id")
+    w = Window.partitionBy("source").orderBy(F.col("avg_nll").asc(), F.col("id").asc())
+    ranked = scored.where(F.col("avg_nll").isNotNull()).select(
+        "id", "source", "avg_nll",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("__n"),
+    )
+    # band of 1-indexed rank rn in n rows: smallest b with rn <= (b+1)·n/B
+    # ⇔ b = (rn·B − 1) div n — integer-exact, sizes differ by ≤ 1
+    band = ((F.col("__rn") * n_buckets - 1) / F.col("__n")).cast("long")
+    bucket = F.element_at(
+        F.array(*[F.lit(nm) for nm in names]), (band + 1).cast("int")
+    )
+    out = ranked.select("id", "source", "avg_nll", bucket.alias("bucket"))
+    unscored = scored.where(F.col("avg_nll").isNull()).select(
+        "id", "source", "avg_nll", F.lit("unscored").alias("bucket")
+    )
+    return out.unionByName(unscored)
+
+
+def quality_buckets_sql(
+    table: str, id_sql: str, text_sql: str, source_sql: str,
+    n_buckets: int = 3, seed: int = LM_SEED,
+) -> str:
+    """DuckDB twin of :func:`quality_buckets`."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    names = BUCKET_NAMES if n_buckets == 3 else tuple(
+        f"b{i}" for i in range(n_buckets)
+    )
+    names_sql = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    lm = bigram_lm_scores_sql(table, id_sql, text_sql, seed)
+    return f"""
+WITH qb_scores AS MATERIALIZED ({lm}),
+qb_src AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {source_sql} AS source FROM {table}
+),
+qb_scored AS (
+  SELECT s.id, s.source, q.avg_nll FROM qb_src s JOIN qb_scores q ON s.id = q.id
+),
+qb_ranked AS (
+  SELECT id, source, avg_nll,
+         row_number() OVER (PARTITION BY source ORDER BY avg_nll, id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM qb_scored WHERE avg_nll IS NOT NULL
+)
+SELECT id, source, avg_nll,
+       ({names_sql})[CAST((rn * {n_buckets} - 1) // n AS BIGINT) + 1] AS bucket
+FROM qb_ranked
+UNION ALL
+SELECT id, source, avg_nll, 'unscored' AS bucket
+FROM qb_scored WHERE avg_nll IS NULL
+"""

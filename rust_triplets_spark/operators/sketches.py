@@ -1,0 +1,136 @@
+"""Deterministic cardinality sketches (KMV / k-minimum-values).
+
+At 100 TB, "how many distinct tokens / urls / shingles per source" is a
+sizing input for everything downstream (vocabulary joins, stop-term
+thresholds, LSH band budgets) — but an exact per-group countDistinct
+shuffles every distinct value. The classic bounded-state answer is a
+sketch. Spark's built-in ``approx_count_distinct`` is HyperLogLog++ —
+partial-aggregable but NOT reproducible across engines (binary-specific
+hashing), so it can't be oracle-checked. KMV (Bar-Yossef et al. 2002) is
+the sketch that CAN: keep the k smallest values of a uniform hash; with
+``U_(k)`` the k-th smallest as a fraction of hash space, the unbiased
+estimate is ``(k-1) / U_(k)``. Every input to that division is an exact
+integer here (hash31 values on the [0, M31) grid), so the estimate is
+bit-identical across engines — a deterministic, mergeable, exactly
+auditable cardinality summary.
+
+Scale shape: the (group, hash) DISTINCT is vocabulary-shaped after
+map-side partial aggregation; the k-smallest pass is a per-group rank
+window over that deduplicated frame. This is the audit-grade exact-rank
+trade documented at ``quality.group_quantiles`` — for few-giant-group
+layouts at full corpus scale, the same sketch folds into a custom
+partial aggregate; this declarative form keeps the oracle property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.hashing import M31, hash31_str_col, hash31_str_sql
+from rust_triplets_spark.functions.text import tokens_col, tokens_sql
+
+KMV_SEED = 3_000_017
+KMV_K = 256  # default sketch size: relative error ~ 1/sqrt(k-1) ≈ 6%
+
+
+def kmv_distinct_tokens(
+    df: DataFrame, group_col: str, text_col: str,
+    k: int = KMV_K, seed: int = KMV_SEED,
+) -> DataFrame:
+    """Per-group KMV estimate of the distinct-TOKEN count:
+    ``(group, k_used, kth_hash, est_distinct)``.
+
+    ``k_used`` is the number of sketch slots filled (< k means the group
+    had fewer distinct hashes than slots — the estimate is then the EXACT
+    distinct-hash count and ``kth_hash`` is the largest seen). The
+    estimate inherits hash-collision granularity: two distinct tokens on
+    the same 31-bit hash count once (identically in both engines)."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
+    hashed = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tokens_col(F.col(text_col)),
+                    lambda t: hash31_str_col(t, seed),
+                )
+            )
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("group").orderBy(F.col("h").asc())
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(M31)) / F.col("kth_hash").cast("double")
+    )
+    return sk.select("group", "k_used", "kth_hash", est.alias("est_distinct"))
+
+
+def kmv_distinct_tokens_sql(
+    table: str, group_sql: str, text_sql: str,
+    k: int = KMV_K, seed: int = KMV_SEED,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct_tokens` — same hash grid, same
+    rank cut, same exact-integer division."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
+    toks = tokens_sql(text_sql)
+    th = f"list_distinct(list_transform({toks}, t -> {hash31_str_sql('t', seed)}))"
+    return f"""
+WITH kmv_hashed AS MATERIALIZED (
+  SELECT DISTINCT {group_sql} AS grp, t.h AS h
+  FROM {table}, UNNEST({th}) AS t(h)
+), kmv_sk AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(max(h) AS BIGINT) AS kth_hash
+  FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM kmv_hashed
+  ) WHERE rn <= {k}
+  GROUP BY grp
+)
+SELECT grp AS "group", k_used, kth_hash,
+       CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+            ELSE {float(k - 1)!r} * {float(M31)!r} / CAST(kth_hash AS DOUBLE)
+       END AS est_distinct
+FROM kmv_sk
+"""
+
+
+def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge per-partition/per-day KMV sketches stored as exploded
+    ``(group, h)`` rows back into one sketch per group — the property
+    that makes KMV incremental: the union's k smallest hashes are the k
+    smallest of the concatenated sketch rows, so daily sketches combine
+    without touching the raw corpus. Input: ``(group, h)``; output
+    matches :func:`kmv_distinct_tokens`."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2, got {k}")
+    w = Window.partitionBy("group").orderBy(F.col("h").asc())
+    sk = (
+        sketches.select("group", "h").distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(M31)) / F.col("kth_hash").cast("double")
+    )
+    return sk.select("group", "k_used", "kth_hash", est.alias("est_distinct"))

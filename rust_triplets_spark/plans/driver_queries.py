@@ -2025,6 +2025,51 @@ def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+from rust_triplets_spark.operators.lm_quality import (  # noqa: E402
+    quality_buckets,
+    quality_buckets_sql,
+)
+
+
+@_register(
+    "ccnet_quality_buckets",
+    quality_buckets_sql("documents", "doc_id", "text", "source"),
+)
+def quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (new r7): each source's documents
+    split into head/middle/tail tertiles by ascending bigram-LM avg_nll
+    (head ≈ cleanest third — CCNet ships exactly this artifact), exact
+    integer rank-band arithmetic so band sizes differ by at most one;
+    < 2-token documents land in 'unscored' without consuming band
+    capacity (operators/lm_quality.quality_buckets). Registered this
+    round — local-gate verified; rotates into the driver window next
+    round."""
+    return quality_buckets(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    kmv_distinct_tokens,
+    kmv_distinct_tokens_sql,
+)
+
+
+@_register(
+    "kmv_source_vocab",
+    kmv_distinct_tokens_sql("documents", "source", "text"),
+)
+def kmv_source_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token cardinality sketch per source (new r7): the
+    deterministic, mergeable, ORACLE-CHECKABLE alternative to HLL
+    approx_count_distinct — estimate = (k-1)·M31/kth_smallest_hash, every
+    input an exact integer so the estimate is bit-identical across
+    engines (operators/sketches.py; merge property pytest-pinned).
+    Registered this round — local-gate verified; rotates into the driver
+    window next round."""
+    return kmv_distinct_tokens(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 @_register(
     "embedding_neardup_pairs",
     embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding",

@@ -1,0 +1,110 @@
+"""Streaming bigram-LM quality scoring: the broadcast-model scorer must
+equal the batch operator exactly (unpruned), back off sanely when pruned,
+and produce identical rows from a file stream."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=0, text="the cat sat on the mat"),
+        Row(doc_id=1, text="the cat sat on the cat"),
+        Row(doc_id=2, text="one"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text="zz yy xx ww vv uu"),
+        Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _scores(df):
+    return {
+        r.id: (r.n_transitions, r.nll_q, r.avg_nll) for r in df.collect()
+    }
+
+
+def test_unpruned_model_scorer_equals_batch_operator(spark):
+    from rust_triplets_spark.operators.lm_quality import bigram_lm_scores
+    from rust_triplets_spark.streaming.quality import (
+        bigram_lm_model,
+        score_with_model,
+    )
+
+    docs = _corpus(spark)
+    model = bigram_lm_model(docs, "doc_id", "text")
+    got = _scores(score_with_model(docs, model, "doc_id", "text"))
+    expect = _scores(bigram_lm_scores(docs, "doc_id", "text"))
+    assert got == expect
+
+
+def test_pruned_model_backoff_is_pessimistic(spark):
+    """Pruning drops a type's exact nll in favor of the smoothing floor,
+    which is always >= the trained value — a pruned model can only score
+    documents WORSE (higher nll), never better. Unseen docs vs the model
+    corpus go through the same backoff branches."""
+    from rust_triplets_spark.streaming.quality import (
+        bigram_lm_model,
+        score_with_model,
+    )
+
+    docs = _corpus(spark)
+    full = bigram_lm_model(docs, "doc_id", "text")
+    pruned = bigram_lm_model(docs, "doc_id", "text", max_types=3)
+    assert len(pruned.types) == 3 and len(full.types) > 3
+    assert pruned.ctx == full.ctx and pruned.v == full.v
+    sf = _scores(score_with_model(docs, full, "doc_id", "text"))
+    sp = _scores(score_with_model(docs, pruned, "doc_id", "text"))
+    assert set(sf) == set(sp)
+    for i in sf:
+        if sf[i][1] is None:
+            assert sp[i][1] is None
+        else:
+            assert sp[i][1] >= sf[i][1], i
+    # a wholly-novel doc: every prev unseen → uniform -ln(1/V) per step
+    import math
+
+    novel = spark.createDataFrame([Row(doc_id=9, text="n1 n2 n3")], SCHEMA)
+    out = _scores(score_with_model(novel, full, "doc_id", "text"))
+    per_step = int(math.floor(math.log(float(full.v)) * 1e9 + 0.5))
+    assert out[9] == (2, 2 * per_step, 2 * per_step / 2e9)
+
+
+def test_stream_scores_equal_batch_scorer(spark):
+    from rust_triplets_spark.streaming.quality import (
+        bigram_lm_model,
+        score_with_model,
+        stream_quality_scores,
+    )
+
+    docs = _corpus(spark)
+    model = bigram_lm_model(docs, "doc_id", "text")
+    src = tempfile.mkdtemp(prefix="lmq_src_")
+    ckpt = tempfile.mkdtemp(prefix="lmq_ckpt_")
+    try:
+        docs.coalesce(2).write.mode("overwrite").parquet(src)
+        sdf = stream_quality_scores(spark, src, SCHEMA, model)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("lmq_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        got = _scores(spark.sql("SELECT * FROM lmq_out"))
+        q.stop()
+        expect = _scores(score_with_model(docs, model, "doc_id", "text"))
+        assert got == expect
+        assert any(v[1] is not None for v in got.values())
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -914,18 +914,20 @@ def _pq_codebook(base: DataFrame, m: int, sub: int, n_codes: int, seed: int):
     ).select(F.col("__s.j").alias("j"), "code", F.col("__s.__csv").alias("__csv"))
 
 
-def pq_reconstruct(
+def pq_index(
     base: DataFrame, m: int, sub: int, n_codes: int, seed: int,
 ) -> DataFrame:
-    """(id, __rv, __rn): each corpus vector replaced by its PQ
-    reconstruction — per subspace j, the codeword subvector minimizing the
-    EXACT integer squared distance (ties → lowest code id), concatenated
-    back in subspace order.
+    """(id, __codes, __rv, __rn): the PQ index frame — per subspace j the
+    codeword minimizing the EXACT integer squared distance (ties → lowest
+    code id), exposed as the m-long code array, the stitched
+    reconstruction, and its integer norm. Consumers project what they
+    need: the recon scorer carries ``__rv`` per candidate, the LUT scorer
+    carries only ``__codes`` + ``__rn``.
 
     Scale shape: corpus × (m·n_codes) narrow map against the broadcast
     codebook, argmin per (id, j) window (one hash exchange), then one
-    groupBy(id) that stitches the m winning subvectors — all corpus-linear;
-    the codebook never exceeds m × n_codes rows."""
+    groupBy(id) that stitches the m winners — all corpus-linear; the
+    codebook never exceeds m × n_codes rows."""
     cb = _pq_codebook(base, m, sub, n_codes, seed)
     d2 = F.aggregate(
         F.zip_with(F.col("__sv"), F.col("__csv"), lambda x, y: (x - y) * (x - y)),
@@ -954,28 +956,34 @@ def pq_reconstruct(
             ),
         )
         .where(F.col("__r") == 1)
-        .select("id", "j", "__csv")
+        .select("id", "j", "code", "__csv")
     )
-    recon = (
+    return (
         best.groupBy("id")
-        .agg(
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code", "__csv"))).alias("__w"))
+        .select(
+            "id",
+            F.transform(F.col("__w"), lambda s: s.getField("code")).alias("__codes"),
             F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "__csv"))),
-                    lambda s: s.getField("__csv"),
-                )
-            ).alias("__rv")
+                F.transform(F.col("__w"), lambda s: s.getField("__csv"))
+            ).alias("__rv"),
         )
         .withColumn("__rn", _dot(F.col("__rv"), F.col("__rv")))
     )
-    return recon
+
+
+def pq_reconstruct(
+    base: DataFrame, m: int, sub: int, n_codes: int, seed: int,
+) -> DataFrame:
+    """(id, __rv, __rn) projection of :func:`pq_index`."""
+    return pq_index(base, m, sub, n_codes, seed).select("id", "__rv", "__rn")
 
 
 def ivfpq_seeded_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     m: int = 8, n_codes: int = 16, dim: int | None = None,
     n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
-    rerank: int | None = None,
+    rerank: int | None = None, score_via: str = "recon",
     target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> DataFrame:
     """IVF-PQ ANN: coarse seeded cells + ``nprobe`` probing exactly as
@@ -984,6 +992,15 @@ def ivfpq_seeded_topk(
     distance). Returns (qid, rank, nid, cos_sim); the cosine runs on
     integer-exact dot/norms of the quantized query and the integer
     reconstruction, so the result hash-matches the DuckDB twin.
+
+    ``score_via``: ``"recon"`` materializes the reconstruction per
+    candidate row (fewest shuffles — right while dim is small);
+    ``"lut"`` is ADC proper — candidates carry only the m-long code array
+    and the scoring join looks partial dots up in a (qid, subspace, code)
+    table, the memory shape PQ exists for at high dim (a 1024-dim recon
+    is 4 KB per candidate row; codes are m ints). Both kernels produce
+    IDENTICAL values (Σ_j of exact int64 partial dots == the single dot),
+    so either hash-matches the twin; pytest pins the equality.
 
     ``rerank=R`` enables the standard two-stage deployment: ADC keeps each
     query's top-R candidates (coarse but cheap — the candidate join never
@@ -1004,6 +1021,8 @@ def ivfpq_seeded_topk(
     other IVF kernels."""
     if rerank is not None and rerank < k:
         raise ValueError(f"ivfpq: rerank={rerank} must be >= k={k}")
+    if score_via not in ("recon", "lut"):
+        raise ValueError(f"ivfpq: unknown score_via {score_via!r}")
     if dim is None:
         row = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if row is None:
@@ -1050,21 +1069,74 @@ def ivfpq_seeded_topk(
         "similarity.ivfpq.ranked",
         eager=True,  # probe + assigned sides must both read materialized blocks
     )
-    recon = pq_reconstruct(base, m, sub, n_codes, seed)
-    assigned = (
-        ranked.where(F.col("__cr") == 1).select("id", "cell").join(recon, "id")
-    )
-    probes = ranked.where(F.col("__cr") <= nprobe).select(
-        F.col("id").alias("qid"), F.col("__v").alias("__qv"),
-        F.col("__n").alias("__qn"), "cell",
-    )
-    cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+    idx = pq_index(base, m, sub, n_codes, seed)
     cos = F.col("__dot").cast("double") / (
         F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__rn").cast("double"))
     )
-    scored = cand.withColumn("__dot", _dot(F.col("__qv"), F.col("__rv"))).withColumn(
-        "cos_sim", cos
-    )
+    if score_via == "recon":
+        assigned = (
+            ranked.where(F.col("__cr") == 1)
+            .select("id", "cell")
+            .join(idx.select("id", "__rv", "__rn"), "id")
+        )
+        probes = ranked.where(F.col("__cr") <= nprobe).select(
+            F.col("id").alias("qid"), F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"), "cell",
+        )
+        cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+        scored = cand.withColumn(
+            "__dot", _dot(F.col("__qv"), F.col("__rv"))
+        ).withColumn("cos_sim", cos)
+    else:
+        # LUT/ADC proper: the candidate join carries only the m-long code
+        # array + an int norm — the memory shape PQ exists for (at 1024-dim
+        # the recon path ships a 4 KB vector per candidate row; this ships
+        # m ints). The query-side partial dots live in a (qid, j, code)
+        # table the scoring join looks up; Σ_j of exact int64 partial dots
+        # equals the recon path's single dot EXACTLY, so both kernels (and
+        # the recon-form DuckDB twin) are value-identical (pytest-pinned).
+        cb = _pq_codebook(base, m, sub, n_codes, seed)
+        q_slices = [
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.slice(F.col("__v"), j * sub + 1, sub).alias("__sv"),
+            )
+            for j in range(m)
+        ]
+        lut = (
+            base.select("id", F.explode(F.array(*q_slices)).alias("__s"))
+            .select(
+                F.col("id").alias("qid"),
+                F.col("__s.j").alias("j"),
+                F.col("__s.__sv").alias("__sv"),
+            )
+            .join(F.broadcast(cb), "j")
+            .select(
+                "qid", "j", "code", _dot(F.col("__sv"), F.col("__csv")).alias("__pd")
+            )
+        )
+        assigned = (
+            ranked.where(F.col("__cr") == 1)
+            .select("id", "cell")
+            .join(idx.select("id", "__codes", "__rn"), "id")
+        )
+        probes = ranked.where(F.col("__cr") <= nprobe).select(
+            F.col("id").alias("qid"), F.col("__n").alias("__qn"), "cell",
+        )
+        cand_m = (
+            probes.join(assigned, "cell")
+            .where(F.col("qid") != F.col("id"))
+            .select(
+                "qid", "id", "__qn", "__rn",
+                F.posexplode(F.col("__codes")).alias("j", "code"),
+            )
+        )
+        scored = (
+            cand_m.join(lut, ["qid", "j", "code"])
+            .groupBy("qid", "id", "__qn", "__rn")
+            .agg(F.sum("__pd").alias("__dot"))
+            .withColumn("cos_sim", cos)
+        )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
     if rerank is None:
         return (
@@ -1074,18 +1146,23 @@ def ivfpq_seeded_topk(
                     F.col("id").alias("nid"), "cos_sim")
         )
     # stage 2: exact rerank of the ADC top-R — re-fetch the R candidates'
-    # true vectors (R × queries rows, never corpus × probes) and rank by
-    # the exact integer cosine
+    # (and queries') true vectors (R × queries rows, never corpus × probes)
+    # and rank by the exact integer cosine
     adc_top = (
         scored.withColumn("__ar", F.row_number().over(w))
         .where(F.col("__ar") <= rerank)
-        .select("qid", "__qv", "__qn", "id")
+        .select("qid", "id")
+    )
+    qvecs = base.select(
+        F.col("id").alias("qid"), F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
     )
     exact_cos = F.col("__xd").cast("double") / (
         F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__n").cast("double"))
     )
     rescored = (
-        adc_top.join(base, "id")
+        adc_top.join(qvecs, "qid")
+        .join(base, "id")
         .withColumn("__xd", _dot(F.col("__qv"), F.col("__v")))
         .withColumn("cos_sim", exact_cos)
     )

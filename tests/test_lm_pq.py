@@ -222,3 +222,29 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
     # nprobe=1: neighbor must live in the query's own (nearest) cell
     for r in out:
         assert cells[r["nid"]] == cells[r["qid"]], r
+
+
+def test_ivfpq_lut_scoring_equals_recon(spark):
+    """score_via='lut' (ADC proper — candidates carry m-int codes, partial
+    dots looked up per subspace) must equal score_via='recon' bit-for-bit:
+    the integer partial-dot sums regroup the SAME exact int64 terms."""
+    from rust_triplets_spark.operators.similarity import ivfpq_seeded_topk
+
+    df = _clustered(spark)
+    kw = dict(k=3, m=4, n_codes=16, n_centroids=12, nprobe=2)
+    recon = ivfpq_seeded_topk(df, "vec_id", "embedding", **kw).collect()
+    lut = ivfpq_seeded_topk(
+        df, "vec_id", "embedding", score_via="lut", **kw
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert sorted(map(tuple, lut), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, recon), key=lambda t: (t[0], t[1])
+    )
+    # and with the exact-rerank stage on top
+    recon_r = ivfpq_seeded_topk(df, "vec_id", "embedding", rerank=10, **kw).collect()
+    lut_r = ivfpq_seeded_topk(
+        df, "vec_id", "embedding", rerank=10, score_via="lut", **kw
+    ).collect()
+    assert sorted(map(tuple, lut_r), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, recon_r), key=lambda t: (t[0], t[1])
+    )

@@ -159,3 +159,90 @@ def frame_sample_plan(
         media.where(F.col("kind") == "video")
         .select("media_id", F.posexplode(idxs).alias("sample_ord", "frame_idx"))
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _resize_image_real(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize path — used when the runtime has PIL; raises the
+    documented stub error here (no codecs in this container)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires PIL at runtime"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).resize((w, h))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in 'pixel buffer': the payload byte-stream
+    decimated/cycled to exactly w*h bytes — NOT an image, but a
+    deterministic function of (payload, w, h) with the right SIZE, so the
+    plumbing (schema, batch bounds, byte budgets, downstream joins) is
+    exercisable end-to-end without codecs."""
+    n = w * h
+    if not payload:
+        return bytes(n)
+    step = max(1, len(payload) // n)
+    out = payload[::step][:n]
+    if len(out) < n:
+        out = (out * (n // len(out) + 1))[:n]
+    return bytes(out)
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int,
+    use_stub: bool = True, batch_rows: int = 64,
+) -> DataFrame:
+    """mapInPandas resize stage — the third stub-gated kernel of the
+    multimodal family (decode → features → RESIZE → frame plan). Same
+    memory contract as :func:`extract_features`: each incoming Arrow
+    batch is sliced into ``batch_rows``-row chunks so the blob working
+    set stays bounded regardless of session Arrow conf; blobs never enter
+    a shuffle key (the output is keyed by ``media_id`` like the input).
+    Only ``kind == 'image'`` rows are resized; others pass through with
+    null dimensions (callers filter or route on ``kind``)."""
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"resize: target {target_w}x{target_h} must be >= 1x1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo : lo + batch_rows]
+                widths, heights, payloads = [], [], []
+                for kind, payload in zip(sub["kind"], sub["payload"]):
+                    if kind != "image" or payload is None:
+                        widths.append(None); heights.append(None)
+                        payloads.append(payload)
+                        continue
+                    if use_stub:
+                        payloads.append(_fake_resize(payload, target_w, target_h))
+                    else:
+                        payloads.append(
+                            _resize_image_real(payload, target_w, target_h)
+                        )
+                    widths.append(target_w); heights.append(target_h)
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "kind": sub["kind"].to_numpy(),
+                    "width": widths,
+                    "height": heights,
+                    "payload": payloads,
+                })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

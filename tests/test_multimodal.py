@@ -80,3 +80,39 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(_media(spark), every_n_frames=30, max_frames=8).collect()
     assert [r["frame_idx"] for r in sorted(plan, key=lambda r: r["sample_ord"])] == [0, 30, 60, 90]
     assert all(r["media_id"] == 4 for r in plan)
+
+
+def test_resize_stub_pipeline(spark):
+    from rust_triplets_spark.operators.multimodal import resize_media
+
+    out = {r["media_id"]: r for r in resize_media(
+        _media(spark), 4, 3, batch_rows=2
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # images get exactly w*h stand-in bytes and the target dims
+    for mid in (1, 2):
+        assert (out[mid]["width"], out[mid]["height"]) == (4, 3)
+        assert len(out[mid]["payload"]) == 12
+    # deterministic: same payload → same stand-in buffer
+    again = {r["media_id"]: r for r in resize_media(
+        _media(spark), 4, 3, batch_rows=2
+    ).collect()}
+    assert again[1]["payload"] == out[1]["payload"]
+    # non-images pass through untouched, null dims
+    assert out[3]["width"] is None and out[3]["payload"] == WAV
+    # null payload survives as null-dims passthrough
+    assert out[5]["width"] is None and out[5]["payload"] is None
+
+
+def test_resize_real_path_is_explicit_stub(spark):
+    import pytest as _pytest
+
+    from rust_triplets_spark.operators.multimodal import (
+        _resize_image_real,
+        resize_media,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        _resize_image_real(PNG, 4, 4)
+    with _pytest.raises(ValueError):
+        resize_media(_media(spark), 0, 4)

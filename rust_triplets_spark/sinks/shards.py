@@ -122,3 +122,36 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    id_is_string: bool = False,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """:func:`write_training_shards` in JSONL — the lingua franca LLM
+    training loaders actually consume. Identical deterministic layout
+    (``shard=K`` directories, rows inside each file in shuffle-``pos``
+    order, one line per record); ``compression='gzip'`` for the common
+    shipping format. ``pos`` and ``shard_id`` are written INTO each record
+    (``partitionBy`` strips the ``shard`` partition column from data
+    files, so it is duplicated under another name): a loader that
+    concatenates or re-splits files can still verify and re-derive the
+    order — the at-rest contract stays row-by-row checkable."""
+    asn = shard_assignment(df, id_col, n_shards, seed, id_is_string)
+    payload = df.join(asn.withColumnRenamed("id", id_col), id_col).withColumn(
+        "shard_id", F.col("shard")
+    )
+    w = (
+        payload.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy("shard").json(path)

@@ -114,3 +114,39 @@ def test_training_shards_roundtrip_and_stability(spark, tmp_path):
     )
     asn2 = {r["id"]: r["shard"] for r in shard_assignment(grown, "doc_id", 4).collect()}
     assert all(asn2[i] == s for i, (s, _) in asn.items())
+
+
+def test_write_jsonl_shards_layout_and_order(spark, tmp_path):
+    """JSONL export: shard=K dirs, one JSON object per line, lines inside
+    each file in shuffle-pos order, shard/pos embedded in each record and
+    matching shard_assignment exactly."""
+    import glob
+    import json
+    import os
+
+    from rust_triplets_spark.sinks.shards import shard_assignment, write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"text {i}") for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    out = str(tmp_path / "jsonl_shards")
+    write_jsonl_shards(df, out, "doc_id", n_shards=3, seed=7)
+    expect = {
+        r["id"]: (r["shard"], r["pos"])
+        for r in shard_assignment(df, "doc_id", 3, 7).collect()
+    }
+    seen = {}
+    for k in range(3):
+        files = sorted(glob.glob(os.path.join(out, f"shard={k}", "part-*")))
+        assert files, k
+        rows = []
+        for f in files:
+            with open(f) as fh:
+                rows += [json.loads(line) for line in fh if line.strip()]
+        assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
+        for r in rows:
+            seen[r["doc_id"]] = (k, r["pos"])
+            assert set(r) == {"doc_id", "source", "text", "pos", "shard_id"}
+            assert r["shard_id"] == k  # embedded copy survives concatenation
+    assert seen == expect

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "bigram_lm_quality",
     "ccnet_quality_buckets",
     "kmv_source_vocab",
+    "simhash_dedup_keep",
 ]
 
 

@@ -1051,3 +1051,62 @@ def minhash_band_structs_col(
         for b in range(bands)
     ]
     return F.array(*structs)
+
+
+def simhash_dedup_keep(
+    df: DataFrame, id_col: str, text_col: str,
+    bits: int = 32, bands: int = 4, seed: int = SIMHASH_SEED,
+    max_bucket: int = 1000, max_hamming: int = 3, max_iter: int = 20,
+) -> DataFrame:
+    """The SimHash family's dedup DECISION frame — the
+    :func:`minhash_dedup_keep` analog over :func:`simhash_band_pairs`
+    candidates filtered to ``hamming <= max_hamming``: connected
+    components + min-id survivor policy, returning ``(id, rep, keep,
+    cluster_size)`` for every document. SimHash clusters on weighted
+    bit-agreement (cheap, one 64-bit signature per doc — the crawl-scale
+    first pass), MinHash on shingle Jaccard; pipelines often run both and
+    union the keep frames.
+
+    Caveat inherited from the stop-band guard (simhash_band_pairs
+    docstring): hub pairs in oversized buckets are subject to the same
+    ``max_hamming`` filter as clique pairs, so tight thresholds over
+    low-entropy mega-families can still split a family — raise
+    ``max_bucket`` if that matters."""
+    pairs = simhash_band_pairs(
+        df, id_col, text_col, bits, bands, seed, max_bucket
+    ).where(F.col("hamming") <= max_hamming)
+    labels = neardup_clusters(df, id_col, text_col, pairs=pairs, max_iter=max_iter)
+    return labels.select(
+        "id", "rep", (F.col("id") == F.col("rep")).alias("keep"), "cluster_size"
+    )
+
+
+def simhash_dedup_keep_sql(
+    table: str, id_sql: str, text_sql: str,
+    bits: int = 32, bands: int = 4, seed: int = SIMHASH_SEED,
+    max_bucket: int = 1000, max_hamming: int = 3,
+) -> str:
+    """DuckDB twin of :func:`simhash_dedup_keep`: the same recursive-CTE
+    transitive closure as :func:`neardup_clusters_sql`, over simhash band
+    pairs filtered by the same hamming threshold."""
+    pairs_sql = simhash_band_pairs_sql(
+        table, id_sql, text_sql, bits, bands, seed, max_bucket
+    )
+    return f"""
+WITH RECURSIVE sk_edges AS MATERIALIZED (
+  SELECT a, b FROM ({pairs_sql}) WHERE hamming <= {max_hamming}
+),
+sk_und AS MATERIALIZED (
+  SELECT a, b FROM sk_edges UNION ALL SELECT b, a FROM sk_edges
+),
+sk_nodes AS MATERIALIZED (SELECT DISTINCT CAST({id_sql} AS BIGINT) AS id FROM {table}),
+sk_reach(id, r) AS (
+  SELECT id, id FROM sk_nodes
+  UNION
+  SELECT sk_reach.id, e.b FROM sk_reach JOIN sk_und e ON e.a = sk_reach.r
+),
+sk_labels AS (SELECT id, min(r) AS rep FROM sk_reach GROUP BY id)
+SELECT id, rep, (id = rep) AS keep,
+       CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+FROM sk_labels
+"""

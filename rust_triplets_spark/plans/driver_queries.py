@@ -2130,6 +2130,26 @@ def simhash_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+from rust_triplets_spark.operators.dedup import (  # noqa: E402
+    simhash_dedup_keep,
+    simhash_dedup_keep_sql,
+)
+
+
+@_register(
+    "simhash_dedup_keep",
+    simhash_dedup_keep_sql("documents", "doc_id", "text"),
+)
+def simhash_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup DECISION frame (new r7): connected components over
+    hamming<=3 band candidates + min-id survivor policy — the
+    minhash_dedup_keep analog for the signature-per-doc (crawl-scale
+    first-pass) family; pipelines run both and union the keep frames.
+    Registered this round — local-gate verified; rotates into the driver
+    window next round (the r7 window shipped full at 50)."""
+    return simhash_dedup_keep(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @_register(
     "bpe_token_stats",
     f"""

@@ -617,3 +617,22 @@ def test_float_cosine_kernel_rejects_malformed_vectors(spark):
     ).coalesce(1)  # both rows must share one Arrow batch to be ragged
     with pytest.raises(Exception, match="ragged|dimension"):
         ragged.select(_cosine_batch_udf(F.col("q"), F.col("n"))).collect()
+
+
+def test_simhash_dedup_keep_families_and_singletons(spark):
+    """Planted family: 3 near-identical docs (one token appended) cluster
+    under hamming<=3 with the min id as the sole survivor; the distinct
+    doc stays a kept singleton."""
+    from rust_triplets_spark.operators.dedup import simhash_dedup_keep
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(10, base), (11, base + " extra"), (12, base + " other"),
+            (99, " ".join(f"zz{i} qq{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in simhash_dedup_keep(
+        df, "doc_id", "text", max_bucket=None
+    ).collect()}
+    assert out[10]["keep"] and out[10]["rep"] == 10
+    assert not out[11]["keep"] and out[11]["rep"] == 10
+    assert not out[12]["keep"] and out[12]["rep"] == 10
+    assert out[99]["keep"] and out[99]["cluster_size"] == 1

@@ -35,6 +35,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Methodology version tag (emitted in the JSON): bench numbers are only
+# comparable within one methodology.
+#   v1 (rounds 1-6): scoped caches retained across passes — later passes were
+#      cache-subsidized, min-of-N measured mostly warm-cache re-execution.
+#   v2 (round 7+, commit be5432d): caches released between passes ("fair
+#      re-pass") — every pass pays its own cache materialization; totals are
+#      honest steady-state costs and read ~2x v1 on cache-heavy queries.
+BENCH_METHODOLOGY = "v2-fair-repass"
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "sliding_window_chunks",
@@ -117,7 +126,22 @@ BENCH_QUERIES = [
     "ccnet_quality_buckets",
     "kmv_source_vocab",
     "simhash_dedup_keep",
+    # round 8 additions
+    "ann_ivf_float_cells",
 ]
+
+# Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
+# ending at each era's last query IS that era's bench list. series_totals in
+# the emitted JSON sums each prefix over the queries that actually timed, so
+# any two rounds (same methodology version) compare on their common series
+# without reconstructing old lists from git history.
+_SERIES_ENDS = {
+    "r1_r3": "selector_text_samples",
+    "r4": "source_vocab_overlap",
+    "r5": "cluster_aware_splits",
+    "r6": "ann_ivf_float_topk",
+    "r7": "simhash_dedup_keep",
+}
 
 
 def main() -> None:
@@ -207,12 +231,23 @@ def main() -> None:
             del failures[name]
 
     total = round(sum(times.values()), 3)
+    series_totals = {}
+    for era, last_name in _SERIES_ENDS.items():
+        prefix = BENCH_QUERIES[: BENCH_QUERIES.index(last_name) + 1]
+        timed = [n for n in prefix if n in times]
+        series_totals[era] = {
+            "total": round(sum(times[n] for n in timed), 3),
+            "n_timed": len(timed),
+            "n_series": len(prefix),
+        }
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "methodology": BENCH_METHODOLOGY,
+        "series_totals": series_totals,
         "passes": passes_run,
         # cold=True: only one pass ran (by config or expired budget), so the
         # numbers carry one-shot JIT/codegen cost and are not comparable to

@@ -1284,3 +1284,148 @@ scored AS (
   FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.qid
 ){final}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted-quantizer cell profile — the oracle-checkable projection of the
+# float/MLlib IVF deploy path
+# ---------------------------------------------------------------------------
+
+
+def load_ivf_centroid_fixture(path: str | None = None) -> dict:
+    """Load the persisted coarse-quantizer fixture written by
+    ``scripts/gen_ivf_centroids.py`` (MLlib k-means trained once on the
+    sf0.01 embeddings with the deploy path's seed/params, centroids
+    quantized to the ``QUANT`` integer grid)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "fixtures",
+            "ivf_centroids.json",
+        )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def ivf_trained_cell_profile(
+    df: DataFrame, id_col: str, vec_col: str,
+    centroids: list[list[int]], nprobe: int = 2,
+) -> DataFrame:
+    """Cell-assignment + probe + candidate-count profile of the float-IVF
+    deploy pipeline (:func:`ann_ivf_topk`), made hash-exact by running it
+    against PERSISTED quantized centroids instead of an in-plan k-means
+    fit. Per vector: the cell it lands in (argmin integer squared distance
+    over the quantized grid, ties -> lower cell id), the exact integer
+    distance to that centroid, the second probe cell, and how many
+    candidates an ``nprobe``-probe search would score (sum of probed cell
+    occupancies minus self) — i.e. the deterministic skeleton of the ANN
+    search that the MLlib-trained ``ann_ivf_float_topk`` query runs
+    rows-only. Training once on a sample and applying the centroids
+    corpus-wide as constants is exactly the 100 TB deployment shape.
+
+    Scale shape: the centroid list is a literal expression (no join) — d2
+    scoring is a narrow map over corpus x n_centroids; the per-id argmin is
+    row-local (array_sort over n_centroids structs, no window); the only
+    exchanges are the tiny cell-size aggregate (broadcast back) and the
+    final per-id sum."""
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(ci + 1).cast("long").alias("cell"),
+            F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("cv"),
+        )
+        for ci, c in enumerate(centroids)
+    ])
+    d2 = lambda v, c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _quantize(F.col(vec_col)).alias("__v"),
+    )
+    # row-local probe ranking: sort (d2, cell) structs, keep first nprobe —
+    # the same expression-tree trick as ann_ivf_topk's probe stage
+    ranked = base.select(
+        "id",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        d2(F.col("__v"), c["cv"]).alias("d2"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            max(2, nprobe),
+        ).alias("__probes"),
+    ).select(
+        "id",
+        F.element_at("__probes", 1)["cell"].alias("cell"),
+        F.element_at("__probes", 1)["d2"].alias("d2_cell"),
+        F.element_at("__probes", 2)["cell"].alias("probe2_cell"),
+        F.slice("__probes", 1, nprobe).alias("__probe_cells"),
+    )
+    sizes = ranked.groupBy("cell").agg(F.count("*").cast("long").alias("__sz"))
+    n_cand = (
+        ranked.select("id", F.explode(F.col("__probe_cells")["cell"]).alias("cell"))
+        .join(F.broadcast(sizes), "cell")
+        .groupBy("id")
+        .agg((F.sum("__sz") - F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    return (
+        ranked.drop("__probe_cells")
+        .join(n_cand, "id")
+        .select(
+            F.col("id").alias("vec_id"), "cell", "d2_cell", "probe2_cell",
+            "n_candidates",
+        )
+    )
+
+
+def ivf_trained_cell_profile_sql(
+    table: str, id_sql: str, vec_sql: str,
+    centroids: list[list[int]], nprobe: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_trained_cell_profile`: the persisted
+    centroids inline as a VALUES list, same integer d2 / argmin / probe /
+    occupancy arithmetic — hash-exact."""
+    rows = ",\n    ".join(
+        f"({ci + 1}, {list(int(x) for x in c)!r}::BIGINT[])"
+        for ci, c in enumerate(centroids)
+    )
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table}
+), cent(cell, cv) AS (
+  VALUES
+    {rows}
+), ranked AS MATERIALIZED (
+  SELECT b.id, CAST(c.cell AS BIGINT) AS cell,
+         CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+              i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS BIGINT) AS d2,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                 i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS BIGINT), c.cell
+         ) AS cr
+  FROM b, cent c
+), sizes AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM ranked WHERE cr = 1 GROUP BY cell
+), ncand AS (
+  SELECT r.id, CAST(sum(s.sz) - 1 AS BIGINT) AS n_candidates
+  FROM ranked r JOIN sizes s ON s.cell = r.cell
+  WHERE r.cr <= {nprobe} GROUP BY r.id
+)
+SELECT a.id AS vec_id, a.cell, a.d2 AS d2_cell, p.cell AS probe2_cell,
+       n.n_candidates
+FROM (SELECT id, cell, d2 FROM ranked WHERE cr = 1) a
+JOIN (SELECT id, cell FROM ranked WHERE cr = 2) p USING (id)
+JOIN ncand n USING (id)
+"""

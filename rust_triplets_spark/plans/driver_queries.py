@@ -1973,9 +1973,40 @@ def ann_ivf_float_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    ivf_trained_cell_profile,
+    ivf_trained_cell_profile_sql,
     ivfpq_seeded_topk,
     ivfpq_seeded_topk_sql,
+    load_ivf_centroid_fixture,
 )
+
+_IVF_FIXTURE = load_ivf_centroid_fixture()
+
+
+@_register(
+    "ann_ivf_float_cells",
+    ivf_trained_cell_profile_sql(
+        "embeddings", "vec_id", "embedding",
+        _IVF_FIXTURE["centroids"], nprobe=2,
+    ),
+)
+def ann_ivf_float_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable projection of the float-IVF deploy pipeline: the
+    MLlib-trained coarse quantizer's centroids are PERSISTED to
+    fixtures/ivf_centroids.json (scripts/gen_ivf_centroids.py — same seed,
+    auto-sizing, and maxIter as `ann_ivf_float_topk`'s in-plan fit,
+    quantized to the 2^20 integer grid), and this query reproduces the
+    deterministic skeleton of the ANN search against them: per-vector cell
+    assignment (exact integer argmin), distance to the winning centroid,
+    second probe cell, and nprobe=2 candidate count. Training once on a
+    sample and applying fixed centroids corpus-wide is the real 100 TB
+    deployment shape; the residual non-SQL surface (the k-means fit itself
+    and the float cosine kernel) stays pinned by pytest (recall floor,
+    pandas==expr parity, fixture-assignment vs model.transform agreement)."""
+    return ivf_trained_cell_profile(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _IVF_FIXTURE["centroids"], nprobe=2,
+    )
 
 
 @_register(

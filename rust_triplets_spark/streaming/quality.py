@@ -25,10 +25,15 @@ pruning these branches reproduce the full model exactly.
 
 Scale shape: the model is VOCABULARY-shaped, not corpus-shaped — but raw
 web-scale vocabularies can still be hundreds of millions of bigram
-types, so ``max_types`` (top types by count; dropped types take the
-backoff branch) bounds what ships to executors. The trained counts are
-collected to the driver once per model build; everything per-row runs
-inside the Arrow batch.
+types, so BOTH collects are capped: ``max_types`` (top types by count;
+dropped types take the backoff branch) bounds the (prev, cur) map and
+``max_ctx`` (top contexts by total count; dropped contexts take the
+unseen-prev uniform branch) bounds the context map. With both set, the
+driver holds at most ``max_types + max_ctx`` rows and that is also all
+that ships to executors; kept types keep their exact trained nll even
+when their context fell under the ``max_ctx`` cut (the nll computation
+joins the full context frame in-plan). Everything per-row runs inside
+the Arrow batch.
 """
 
 from __future__ import annotations
@@ -77,38 +82,57 @@ class BigramLmModel:
 def bigram_lm_model(
     df: DataFrame, id_col: str, text_col: str,
     seed: int = LM_SEED, max_types: int | None = None,
+    max_ctx: int | None = None,
 ) -> BigramLmModel:
     """Train the bigram model batch-side and collect it to the driver.
 
     Runs the SAME counting plan as the batch operator (one token-scale
     explode → vocabulary-shaped aggregates). ``max_types`` keeps only the
-    top types by count (ties → (prev, cur) for determinism); the context
-    totals and V are always exact — pruning only widens which pairs take
-    the backoff branch."""
+    top types by count (ties → (prev, cur) for determinism); ``max_ctx``
+    keeps only the top contexts by total count (ties → prev) — together
+    they bound BOTH collects, so driver/executor memory is capped even at
+    web-scale vocabularies. V is always exact. Kept types keep their EXACT
+    trained nll regardless of ``max_ctx`` (the nll is computed via a join
+    against the full context frame, never the pruned dict); a dropped type
+    under a kept context takes the smoothing-floor backoff, and a dropped
+    context takes the unseen-prev uniform branch — the semantics
+    :meth:`BigramLmModel.nll_q_for` already defines."""
     occ = df.select(
         F.explode(_bigram_pairs_col(F.col(text_col), seed)).alias("__p")
     ).select(F.col("__p.prev").alias("prev"), F.col("__p.cur").alias("cur"))
     types = occ.groupBy("prev", "cur").agg(F.count("*").cast("long").alias("c_bc"))
-    ctx_rows = (
-        types.groupBy("prev").agg(F.sum("c_bc").cast("long").alias("c_b")).collect()
-    )
+    ctx_df = types.groupBy("prev").agg(F.sum("c_bc").cast("long").alias("c_b"))
+    ctx_kept = ctx_df
+    if max_ctx is not None:
+        # top contexts by mass: orderBy().limit() plans as a distributed
+        # TakeOrdered — the cap applies BEFORE the collect, so the driver
+        # never holds more than max_ctx rows
+        ctx_kept = ctx_df.orderBy(
+            F.col("c_b").desc(), F.col("prev").asc()
+        ).limit(max_ctx)
+    if max_types is not None:
+        types = types.orderBy(
+            F.col("c_bc").desc(), F.col("prev").asc(), F.col("cur").asc()
+        ).limit(max_types)
     v = (
         occ.select(F.col("prev").alias("fp"))
         .union(occ.select(F.col("cur").alias("fp")))
         .agg(F.countDistinct("fp").cast("long").alias("v"))
         .collect()[0]["v"]
     )
-    if max_types is not None:
-        types = types.orderBy(
-            F.col("c_bc").desc(), F.col("prev").asc(), F.col("cur").asc()
-        ).limit(max_types)
-    ctx = {r["prev"]: r["c_b"] for r in ctx_rows}
+    # type nll needs each kept type's FULL context total — joined in-plan
+    # against the unpruned ctx frame (exact even when max_ctx dropped that
+    # context from the collected dict), never looked up driver-side
+    typed_rows = types.join(ctx_df, "prev").select(
+        "prev", "cur", "c_bc", "c_b"
+    ).collect()
+    ctx = {r["prev"]: r["c_b"] for r in ctx_kept.collect()}
     import math
 
     a_num, a_den = float(LM_ALPHA_NUM), float(LM_ALPHA_DEN)
     tmap = {}
-    for r in types.collect():
-        nll = math.log(ctx[r["prev"]] * a_den + v * a_num) - math.log(
+    for r in typed_rows:
+        nll = math.log(r["c_b"] * a_den + v * a_num) - math.log(
             r["c_bc"] * a_den + a_num
         )
         tmap[(r["prev"], r["cur"])] = int(math.floor(nll * LM_QSCALE + 0.5))

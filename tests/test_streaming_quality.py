@@ -108,3 +108,40 @@ def test_stream_scores_equal_batch_scorer(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_max_ctx_bounds_driver_collect_exactly(spark):
+    """max_ctx caps the collected context map without touching kept-type
+    nll values: (a) with max_ctx >= vocab the model is identical to the
+    full build, (b) with a smaller cap the kept contexts keep their exact
+    totals, kept types keep their exact trained nll (the join against the
+    full ctx frame, NOT the pruned dict), and a dropped context scores
+    through the unseen-prev uniform branch."""
+    import math
+
+    from rust_triplets_spark.streaming.quality import bigram_lm_model
+
+    docs = _corpus(spark)
+    full = bigram_lm_model(docs, "doc_id", "text")
+    same = bigram_lm_model(docs, "doc_id", "text", max_ctx=len(full.ctx))
+    assert same.types == full.types and same.ctx == full.ctx and same.v == full.v
+
+    cap = 3
+    pruned = bigram_lm_model(docs, "doc_id", "text", max_ctx=cap)
+    assert len(pruned.ctx) == cap and len(full.ctx) > cap
+    # kept contexts are the top-cap by mass, with exact totals
+    top = sorted(full.ctx.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    assert pruned.ctx == dict(top)
+    # kept types keep EXACT trained nll — including types whose context
+    # was dropped from the collected dict
+    assert pruned.types == full.types
+    dropped = [p for p in full.ctx if p not in pruned.ctx]
+    assert dropped
+    uniform = int(math.floor(math.log(float(full.v)) * 1e9 + 0.5))
+    for prev in dropped:
+        # a (dropped-prev, unseen-cur) lookup takes the uniform branch
+        assert pruned.nll_q_for(prev, -1) == uniform
+        # ...but a TRAINED type under that prev still scores exactly
+        for (p, c), q in full.types.items():
+            if p == prev:
+                assert pruned.nll_q_for(p, c) == q

@@ -192,6 +192,32 @@ def select_manifest_shards(manifest: dict, cfg: HfSourceConfig) -> list[str]:
     )
 
 
+def build_hf_request(url: str) -> "object":
+    """The exact HTTP request the live path sends: plain GET, with an
+    ``Authorization: Bearer $HF_TOKEN`` header iff the env var is set
+    (gated-dataset auth, huggingface_source.rs token handling). Split out
+    of the download loop so the URL/auth contract is golden-string
+    testable without network (tests/test_hf_offline_snapshot.py)."""
+    import os
+    import urllib.request
+
+    req = urllib.request.Request(url)
+    token = os.environ.get("HF_TOKEN")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    return req
+
+
+def shard_cache_name(index: int, url: str) -> str:
+    """Cache filename for shard ``index`` downloaded from ``url``: the
+    position prefix keeps directory listings ordered; the URL content hash
+    makes the cache key — an upstream re-shard/re-order can never let an
+    old file pass as the new shard at the same position."""
+    from rust_triplets_spark.functions.hashing import hash31_str_py
+
+    return f"shard-{index:05d}-{hash31_str_py(url):08x}.parquet"
+
+
 def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60.0) -> str:
     """Download the dataset's parquet shards into
     ``{cache_dir}/{source_id}/`` (skipping shards already present — the
@@ -210,11 +236,7 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
         )
 
     def _open(url: str):
-        req = urllib.request.Request(url)
-        token = os.environ.get("HF_TOKEN")
-        if token:
-            req.add_header("Authorization", f"Bearer {token}")
-        return urllib.request.urlopen(req, timeout=timeout)
+        return urllib.request.urlopen(build_hf_request(url), timeout=timeout)
 
     with _open(HF_MANIFEST_URL.format(dataset=cfg.dataset)) as resp:
         manifest = json.load(resp)
@@ -225,20 +247,12 @@ def snapshot_hf_dataset(cfg: HfSourceConfig, cache_dir: str, timeout: float = 60
         )
     dest_dir = os.path.join(cache_dir, cfg.source_id)
     os.makedirs(dest_dir, exist_ok=True)
-    from rust_triplets_spark.functions.hashing import hash31_str_py
-
-    # cache key = URL content hash, not just the positional index: an
-    # upstream re-shard/re-order must not let an old shard file pass as
-    # the new shard at the same position (stale-mix corruption); the
-    # index prefix only keeps the directory listing ordered.
-    expected = {
-        f"shard-{i:05d}-{hash31_str_py(url):08x}.parquet"
-        for i, url in enumerate(urls)
-    }
+    # cache key = URL content hash, not just the positional index (see
+    # shard_cache_name): an upstream re-shard/re-order must not let an old
+    # shard file pass as the new shard at the same position.
+    expected = {shard_cache_name(i, url) for i, url in enumerate(urls)}
     for i, url in enumerate(urls):
-        dest = os.path.join(
-            dest_dir, f"shard-{i:05d}-{hash31_str_py(url):08x}.parquet"
-        )
+        dest = os.path.join(dest_dir, shard_cache_name(i, url))
         if os.path.exists(dest) and os.path.getsize(dest) > 0:
             continue  # lazy shard cache hit (same position AND same URL)
         tmp = dest + ".tmp"

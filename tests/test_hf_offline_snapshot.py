@@ -134,3 +134,84 @@ def test_tmp_sweep_is_age_gated(offline_manifest, tmp_path):
     assert os.path.exists(fresh), "fresh in-flight tmp must survive the sweep"
     assert not os.path.exists(stale), "stale crashed tmp must be removed"
     os.remove(fresh)
+
+
+def test_hf_url_and_auth_golden_strings(monkeypatch):
+    """Golden-string pin of the live-path HTTP contract (the one surface
+    the sandbox can never execute): exact manifest URL, exact auth header
+    shape, exact shard cache filenames. Drift in any of these breaks the
+    live path silently offline — these literals are the tripwire."""
+    from rust_triplets_spark.sources import hf_source
+
+    # manifest URL: datasets-server /parquet endpoint, dataset verbatim
+    # (org/name keeps its slash — the datasets-server API accepts it raw)
+    assert hf_source.HF_MANIFEST_URL == (
+        "https://datasets-server.huggingface.co/parquet?dataset={dataset}"
+    )
+    assert hf_source.HF_MANIFEST_URL.format(dataset="squad") == (
+        "https://datasets-server.huggingface.co/parquet?dataset=squad"
+    )
+    assert hf_source.HF_MANIFEST_URL.format(dataset="rajpurkar/squad") == (
+        "https://datasets-server.huggingface.co/parquet?dataset=rajpurkar/squad"
+    )
+
+    # auth header: Bearer $HF_TOKEN iff set, nothing otherwise
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    req = hf_source.build_hf_request("https://example.com/x.parquet")
+    assert req.get_full_url() == "https://example.com/x.parquet"
+    assert req.get_header("Authorization") is None
+    monkeypatch.setenv("HF_TOKEN", "hf_testtoken123")
+    req = hf_source.build_hf_request("https://example.com/x.parquet")
+    assert req.get_header("Authorization") == "Bearer hf_testtoken123"
+
+    # shard cache names: position prefix + 31-bit URL hash, recorded
+    # literals (a hash-fn or format change invalidates every user cache —
+    # make that loud)
+    u1 = "https://huggingface.co/api/datasets/squad/parquet/plain_text/train/0.parquet"
+    u2 = "https://huggingface.co/api/datasets/org/name/parquet/default/validation/3.parquet"
+    assert hf_source.shard_cache_name(0, u1) == "shard-00000-3ed8ab71.parquet"
+    assert hf_source.shard_cache_name(12, u2) == "shard-00012-534041a1.parquet"
+
+
+def test_manifest_shard_selection_variants():
+    """select_manifest_shards against a recorded datasets-server manifest
+    shape: config defaulting (first config, sorted), split defaulting
+    (train), explicit config/split, and deterministic URL ordering."""
+    from rust_triplets_spark.sources.hf_source import (
+        HfSourceConfig,
+        select_manifest_shards,
+    )
+
+    manifest = {
+        "parquet_files": [
+            {"config": "plain_text", "split": "train",
+             "url": "https://h/api/d/parquet/plain_text/train/1.parquet"},
+            {"config": "plain_text", "split": "train",
+             "url": "https://h/api/d/parquet/plain_text/train/0.parquet"},
+            {"config": "plain_text", "split": "validation",
+             "url": "https://h/api/d/parquet/plain_text/validation/0.parquet"},
+            {"config": "alt", "split": "train",
+             "url": "https://h/api/d/parquet/alt/train/0.parquet"},
+        ]
+    }
+    base = dict(dataset="d")
+    # defaults: first config by sort order ('alt' < 'plain_text'), train
+    assert select_manifest_shards(manifest, HfSourceConfig(**base)) == [
+        "https://h/api/d/parquet/alt/train/0.parquet"
+    ]
+    # explicit config, default split, URLs sorted
+    assert select_manifest_shards(
+        manifest, HfSourceConfig(config="plain_text", **base)
+    ) == [
+        "https://h/api/d/parquet/plain_text/train/0.parquet",
+        "https://h/api/d/parquet/plain_text/train/1.parquet",
+    ]
+    # explicit config + split
+    assert select_manifest_shards(
+        manifest, HfSourceConfig(config="plain_text", split="validation", **base)
+    ) == ["https://h/api/d/parquet/plain_text/validation/0.parquet"]
+    # no matching split -> empty; empty manifest -> empty
+    assert select_manifest_shards(
+        manifest, HfSourceConfig(config="alt", split="test", **base)
+    ) == []
+    assert select_manifest_shards({"parquet_files": []}, HfSourceConfig(**base)) == []

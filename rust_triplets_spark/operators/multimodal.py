@@ -2,11 +2,14 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the *decode* kernels are
-stubbed behind ``NotImplementedError`` / a deterministic fake — but the
-Spark-side plumbing is real and tested: schema contract, binary-safe Arrow
-batching, partition-size control for large blobs, and the metadata
-extraction that IS computable without codecs (sizes, magic-byte sniffing,
+The image kernels run REAL decode/resize in any environment: PIL when
+present (compressed formats), else the vendored pure-Python PPM/BMP
+codecs (:mod:`rust_triplets_spark.operators.codecs`) — an unsupported
+format without PIL raises per-payload. Deterministic stand-in kernels
+(``use_stub=True``) remain for plumbing tests and for media kinds with
+no vendored codec (audio/video). The Spark-side contract is the same on
+every branch: schema, binary-safe Arrow batching, partition-size control
+for large blobs, and codec-free metadata (sizes, magic-byte sniffing,
 content hashes).
 
 At 100 TB the rules encoded here: blobs never enter a shuffle key, wide
@@ -35,6 +38,8 @@ _MAGIC = [  # (prefix bytes, mime)
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"P6", "image/x-portable-pixmap"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
@@ -76,9 +81,38 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def _decode_image(payload: bytes) -> "object":
-    """Real decode needs an image codec (PIL/cv2) — not in this container.
-    STUB: raises; swap in the real kernel on a cluster with codecs."""
-    raise NotImplementedError("image decode requires PIL/cv2 at runtime")
+    """Real decode → (h, w, 3) uint8 pixel array. PIL when available
+    (compressed formats); otherwise the vendored pure-Python PPM/BMP
+    codecs (:mod:`rust_triplets_spark.operators.codecs`) — so the
+    non-stub branch runs end-to-end even in codec-less containers.
+    Unsupported format without PIL → ``ValueError`` (loud, per-payload)."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        from rust_triplets_spark.operators.codecs import decode_image_builtin
+
+        return decode_image_builtin(payload)
+
+
+def _real_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Decoded-pixel feature: luminance histogram folded to ``dim``
+    buckets, normalized — the real-branch counterpart of
+    :func:`_fake_feature` (which histograms raw file bytes). Runs on the
+    actual pixels, so it exercises the full decode path."""
+    import numpy as np
+
+    px = np.asarray(_decode_image(payload), dtype=np.float64)
+    lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).astype(
+        np.int64
+    )
+    buckets = np.bincount((lum % dim).ravel(), minlength=dim)
+    total = float(lum.size)
+    return [round(float(c) / total, 6) for c in buckets[:dim]]
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -126,7 +160,7 @@ def extract_features(
                     if use_stub:
                         feats.append(_fake_feature(payload, dim))
                     else:
-                        feats.append(_decode_image(payload))
+                        feats.append(_real_feature(payload, dim))
                 out = {
                     "media_id": sub["media_id"].to_numpy(),
                     "kind": sub["kind"].to_numpy(),
@@ -171,20 +205,27 @@ RESIZED_SCHEMA = T.StructType([
 
 
 def _resize_image_real(payload: bytes, w: int, h: int) -> bytes:
-    """Real resize path — used when the runtime has PIL; raises the
-    documented stub error here (no codecs in this container)."""
+    """Real resize path: PIL when available (any format it reads → PNG
+    out); otherwise the vendored PPM/BMP codecs — decode, nearest-neighbor
+    resample, re-encode as PPM (the builtin encoder's format). Both
+    branches produce a real raster of exactly (w, h) decodable pixels."""
     try:
         import io
 
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image resize requires PIL at runtime"
-        ) from exc
-    img = Image.open(io.BytesIO(payload)).resize((w, h))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    return buf.getvalue()
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).resize((w, h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:
+        from rust_triplets_spark.operators.codecs import (
+            decode_image_builtin,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        return encode_ppm(resize_nearest(decode_image_builtin(payload), w, h))
 
 
 def _fake_resize(payload: bytes, w: int, h: int) -> bytes:

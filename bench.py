@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "simhash_dedup_keep",
     # round 8 additions
     "ann_ivf_float_cells",
+    "gopher_quality",
+    "dsir_importance",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix

@@ -3557,6 +3557,58 @@ def fuzzy_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.dsir import (  # noqa: E402
+    dsir_importance_weights,
+    dsir_importance_weights_sql,
+)
+from rust_triplets_spark.operators.gopher import (  # noqa: E402
+    gopher_quality_signals,
+    gopher_quality_signals_sql,
+)
+
+
+@_register(
+    "gopher_quality",
+    gopher_quality_signals_sql("documents", "doc_id", "text"),
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 Table A1): word
+    count/length bounds, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-list hits, and the combined
+    pass verdict — the canonical pretraining doc filter, complementary to
+    the repetition family (`repetition_signals` covers Table A1's
+    duplicate-content half). Entirely row-local column math over one
+    corpus scan: no shuffle, no UDF."""
+    return gopher_quality_signals(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@_register(
+    "dsir_importance",
+    dsir_importance_weights_sql(
+        "SELECT * FROM documents WHERE lang <> 'en'",
+        "SELECT * FROM documents WHERE lang = 'en'",
+        "doc_id",
+        "text",
+    ),
+)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-words multinomials fit on a target corpus (here: the English
+    slice) and the raw corpus (the rest); each raw document scores the
+    exact quantized sum of per-feature ln p − ln q — the weight DSIR
+    resamples pretraining data by. Same 1e-9 integer-grid trick as the
+    bigram LM, so the DuckDB twin hash-matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs.where(F.col("lang") != "en"),
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

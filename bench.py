@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "ann_ivf_float_cells",
     "gopher_quality",
     "dsir_importance",
+    "curation_funnel",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix

@@ -3609,6 +3609,29 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.plans.funnel import (  # noqa: E402
+    curation_funnel,
+    curation_funnel_sql,
+)
+
+
+@_register(
+    "curation_funnel",
+    curation_funnel_sql("documents", "doc_id", "text", "source"),
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern LLM curation pipeline as ONE plan, reported as funnel
+    stage counts: raw → Gopher quality gate (tuned word/stopword bars,
+    canonical ratio caps) → exact-13-gram decontamination vs the eval
+    holdout → MinHash-LSH dedup survivors → per-source top-half DSIR
+    selection against the English slice. Every stage is an independently
+    oracle-checked operator; this query pins the composition. Complements
+    `training_funnel` (which takes survivors on to packing/sharding)."""
+    return curation_funnel(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
@@ -3637,6 +3660,7 @@ _CHECK_FIRST = [
     "ann_ivf_float_cells",
     "gopher_quality",
     "dsir_importance",
+    "curation_funnel",
     # registered late in r7 — never driver-checked (README rotation log)
     "ann_ivfpq_topk",
     "bigram_lm_quality",
@@ -3653,7 +3677,8 @@ _CHECK_FIRST = [
     # The 8 deferred to r9 (multi-round-stable TPC-H/analytics names):
     # q1_pricing_summary, q5_local_supplier_volume, rollup_revenue,
     # window_topn_orders, set_ops_customers, sessionization,
-    # tumbling_window_counts, lang_id.
+    # tumbling_window_counts, lang_id — plus quality_score, displaced by
+    # curation_funnel when the window refilled to 50.
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "binary_columns",
@@ -3674,7 +3699,6 @@ _CHECK_FIRST = [
     "normalize_whitespace",
     "parse_pub_dates",
     "qa_mismatch_negatives",
-    "quality_score",
     "round_robin_interleave",
     "semdedup_clusters",
     "simhash_signatures",

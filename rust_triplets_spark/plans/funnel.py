@@ -27,7 +27,7 @@ because both the packer and the shard ranker consume it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.functions.caching import cache_scoped
@@ -140,4 +140,231 @@ tf_sh AS ({sh})
 SELECT p.id, p.source, p.n_tok, p.seq_idx, p.start_tok, p.bin_id, p.crosses,
        s.shard, s.pos
 FROM tf_packed p JOIN tf_sh s ON p.id = s.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — the modern LLM data-curation pipeline as one stage-count
+# frame: quality gate → decontamination → near-dup dedup → DSIR selection
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    lang_col: str = "lang",
+    *,
+    target_lang: str = "en",
+    min_words: int = 10,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """The 2023-era LLM curation pipeline (C4/Gopher → benchmark decontam
+    → MinHash dedup → DSIR selection) composed as ONE plan, reported as
+    the funnel stage counts: ``(stage_idx, stage, n_docs)`` for
+
+    1. ``raw``       — the training side of the corpus (eval holdout out);
+    2. ``quality``   — Gopher signal gate (tuned thresholds: the canonical
+       50-word/2-stopword bars are corpus constants a real pipeline tunes;
+       the ratio caps stay at Rae et al.'s values);
+    3. ``decontam``  — survivors sharing no 13-gram with the eval holdout;
+    4. ``dedup``     — MinHash-LSH cluster min-id representatives;
+    5. ``selected``  — per-source top half by DSIR importance weight
+       against the ``target_lang`` slice (rank ties → id; unscorable
+       docs — zero features — are not selectable).
+
+    Every stage is an already-oracle-checked operator; what this query
+    proves is the COMPOSITION (each gate feeds the next) plus the exact
+    stage counts. Scale shape inherited stage by stage: row-local gopher
+    math, the broadcast 13-gram decontam join, bucketed LSH pairs +
+    O(log n) pointer jumping, vocabulary-shaped DSIR aggregates, and a
+    per-source rank window for selection — no stage is all-pairs or
+    single-partition."""
+    from rust_triplets_spark.operators.decontam import (
+        decontaminate,
+        eval_holdout_pred_col,
+    )
+    from rust_triplets_spark.operators.dedup import minhash_dedup_keep
+    from rust_triplets_spark.operators.dsir import dsir_importance_weights
+    from rust_triplets_spark.operators.gopher import (
+        MAX_BULLET_FRAC,
+        MAX_ELLIPSIS_FRAC,
+        MAX_MWL,
+        MAX_SYMBOL_RATIO,
+        MIN_ALPHA_FRAC,
+        MIN_MWL,
+        gopher_quality_signals,
+    )
+
+    pred = eval_holdout_pred_col(id_col)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("__text"),
+        F.col(source_col).alias("__source"),
+        pred.alias("__holdout"),
+    )
+    raw = cache_scoped(base.where(~F.col("__holdout")), "funnel.curation_raw")
+    evaldf = base.where(F.col("__holdout"))
+
+    sig = gopher_quality_signals(raw, "id", "__text")
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("mean_word_len") >= MIN_MWL) & (F.col("mean_word_len") <= MAX_MWL)
+        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    quality = cache_scoped(
+        raw.join(sig.where(gate).select("id"), "id"), "funnel.curation_quality"
+    )
+
+    clean_ids = decontaminate(quality, evaldf, "id", "__text").where(
+        ~F.col("contaminated")
+    ).select("id")
+    dec_docs = cache_scoped(
+        quality.join(clean_ids, "id"), "funnel.curation_decontam"
+    )
+
+    keep_ids = minhash_dedup_keep(dec_docs, "id", "__text").where(
+        F.col("keep")
+    ).select("id")
+    ded_docs = cache_scoped(
+        dec_docs.join(keep_ids, "id"), "funnel.curation_dedup"
+    )
+
+    target = docs.where(F.col(lang_col) == target_lang).select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__text")
+    )
+    weights = dsir_importance_weights(ded_docs, target, "id", "__text")
+    scored = ded_docs.join(
+        weights.where(F.col("avg_logratio").isNotNull()).select(
+            "id", "avg_logratio"
+        ),
+        "id",
+    )
+    w = Window.partitionBy("__source").orderBy(
+        F.col("avg_logratio").desc(), F.col("id").asc()
+    )
+    selected = (
+        scored.select(
+            "id",
+            F.row_number().over(w).alias("__rn"),
+            F.count("*").over(Window.partitionBy("__source")).alias("__n"),
+        )
+        .where(F.col("__rn") * 2 <= F.col("__n") + 1)
+    )
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", raw)
+        .unionByName(stage(2, "quality", quality))
+        .unionByName(stage(3, "decontam", dec_docs))
+        .unionByName(stage(4, "dedup", ded_docs))
+        .unionByName(stage(5, "selected", selected))
+    )
+
+
+def curation_funnel_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    source_sql: str,
+    lang_sql: str = "lang",
+    *,
+    target_lang: str = "en",
+    min_words: int = 10,
+    min_stop_hits: int = 1,
+) -> str:
+    """DuckDB twin of :func:`curation_funnel` — the same five gates as
+    chained CTEs over the operators' own SQL twins."""
+    from rust_triplets_spark.operators.decontam import (
+        decontaminate_sql,
+        eval_holdout_pred_sql,
+    )
+    from rust_triplets_spark.operators.dedup import minhash_dedup_keep_sql
+    from rust_triplets_spark.operators.dsir import dsir_importance_weights_sql
+    from rust_triplets_spark.operators.gopher import (
+        MAX_BULLET_FRAC,
+        MAX_ELLIPSIS_FRAC,
+        MAX_MWL,
+        MAX_SYMBOL_RATIO,
+        MIN_ALPHA_FRAC,
+        MIN_MWL,
+        gopher_quality_signals_sql,
+    )
+
+    pred = eval_holdout_pred_sql(id_sql)
+    gopher = gopher_quality_signals_sql("cf_raw", "id", "text")
+    dec = decontaminate_sql(
+        "SELECT * FROM cf_quality",
+        "SELECT * FROM cf_eval",
+        "id",
+        "text",
+    )
+    keep = minhash_dedup_keep_sql("cf_dec", "id", "text")
+    dsir = dsir_importance_weights_sql(
+        "SELECT * FROM cf_ded",
+        f"SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text "
+        f"FROM {table} WHERE {lang_sql} = '{target_lang}'",
+        "id",
+        "text",
+    )
+    return f"""
+WITH cf_base AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text,
+         {source_sql} AS source, ({pred}) AS holdout
+  FROM {table}
+),
+cf_raw AS MATERIALIZED (SELECT * FROM cf_base WHERE NOT holdout),
+cf_eval AS MATERIALIZED (SELECT * FROM cf_base WHERE holdout),
+cf_gate AS (
+  SELECT id FROM ({gopher})
+  WHERE n_words >= {min_words}
+    AND mean_word_len >= {MIN_MWL!r} AND mean_word_len <= {MAX_MWL!r}
+    AND symbol_word_ratio <= {MAX_SYMBOL_RATIO!r}
+    AND bullet_line_frac <= {MAX_BULLET_FRAC!r}
+    AND ellipsis_line_frac <= {MAX_ELLIPSIS_FRAC!r}
+    AND alpha_word_frac >= {MIN_ALPHA_FRAC!r}
+    AND stop_hits >= {min_stop_hits}
+),
+cf_quality AS MATERIALIZED (
+  SELECT r.* FROM cf_raw r JOIN cf_gate g ON r.id = g.id
+),
+cf_dec AS MATERIALIZED (
+  SELECT q.* FROM cf_quality q
+  JOIN (SELECT id FROM ({dec}) WHERE NOT contaminated) c ON q.id = c.id
+),
+cf_ded AS MATERIALIZED (
+  SELECT d.* FROM cf_dec d
+  JOIN (SELECT id FROM ({keep}) WHERE keep) k ON d.id = k.id
+),
+cf_scored AS (
+  SELECT d.id, d.source, s.avg_logratio
+  FROM cf_ded d JOIN ({dsir}) s ON d.id = s.id
+  WHERE s.avg_logratio IS NOT NULL
+),
+cf_sel AS (
+  SELECT id FROM (
+    SELECT id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY avg_logratio DESC, id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM cf_scored
+  ) WHERE rn * 2 <= n + 1
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       CAST((SELECT count(*) FROM cf_raw) AS BIGINT) AS n_docs
+UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM cf_quality)
+UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM cf_dec)
+UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM cf_ded)
+UNION ALL SELECT 5, 'selected', (SELECT count(*) FROM cf_sel)
 """

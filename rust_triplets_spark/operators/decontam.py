@@ -352,3 +352,111 @@ SELECT i.id,
        COALESCE(r.n_eval_matches, 0) > 0 AS contaminated
 FROM fz_ids i LEFT JOIN fz_report r ON i.id = r.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Graded contamination — the FRACTION of a document's n-grams that hit the
+# eval set, not just the ≥1-hit flag. The binary flag is the right drop
+# gate for exact benchmark copies, but curation pipelines also want a
+# graded score: audit tiers (drop > 0.8, review > 0.2, keep otherwise),
+# contamination-weighted loss masking, and corpus-level contamination
+# budgets all consume the fraction.
+# ---------------------------------------------------------------------------
+
+
+def contamination_fraction(
+    train: DataFrame,
+    evaldf: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = NGRAM_N,
+    seed: int = DECONTAM_SEED,
+) -> DataFrame:
+    """Per-training-document graded contamination vs ``evaldf``.
+
+    ``(id, n_matched_ngrams, n_total_ngrams, contamination_frac)`` for
+    every training document: distinct n-gram fingerprints shared with the
+    eval set, the document's own distinct fingerprint count, and their
+    ratio (0.0 for documents shorter than ``n`` tokens). The fraction is
+    ONE integer division — IEEE-identical cross-engine.
+
+    Scale shape: the exploded train-shingle frame feeds both the per-doc
+    total and the matched count, so it is scope-cached (one token-scale
+    materialization, two partial-agg scans). The eval side collapses to
+    DISTINCT fingerprints before broadcasting — benchmark sets are MBs
+    against a 100 TB corpus, and deduping eval-side shingles keeps the
+    matched count a plain ``count(*)`` instead of a countDistinct.
+    """
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    tr = cache_scoped(
+        _with_ngrams(train, id_col, text_col, n, seed),
+        "decontam.frac_train_shingles",
+        eager=True,  # feeds the totals agg AND the matched join
+    )
+    totals = tr.groupBy("id").agg(F.count("*").cast("long").alias("n_total_ngrams"))
+    ev = (
+        _with_ngrams(evaldf, id_col, text_col, n, seed)
+        .select("shingle")
+        .distinct()
+    )
+    matched = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_matched_ngrams"))
+    )
+    ids = train.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(totals, "id", "left")
+        .join(matched, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
+            F.coalesce("n_total_ngrams", F.lit(0)).cast("long").alias("n_total_ngrams"),
+            F.when(
+                F.coalesce("n_total_ngrams", F.lit(0)) > 0,
+                F.coalesce("n_matched_ngrams", F.lit(0)).cast("double")
+                / F.col("n_total_ngrams").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("contamination_frac"),
+        )
+    )
+
+
+def contamination_fraction_sql(
+    train_sql: str,
+    eval_sql: str,
+    id_sql: str,
+    text_sql: str,
+    n: int = NGRAM_N,
+    seed: int = DECONTAM_SEED,
+) -> str:
+    """DuckDB twin of :func:`contamination_fraction`."""
+    sh = _ngrams_sql(text_sql, n, seed)
+    return f"""
+WITH cf_train AS MATERIALIZED ({train_sql}),
+cf_ids AS (SELECT CAST({id_sql} AS BIGINT) AS id FROM cf_train t),
+cf_tr AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
+  FROM cf_train t, UNNEST({sh}) AS s(shingle)
+),
+cf_tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_total_ngrams FROM cf_tr GROUP BY id),
+cf_ev AS (
+  SELECT DISTINCT s.shingle
+  FROM ({eval_sql}) e, UNNEST({sh}) AS s(shingle)
+),
+cf_matched AS (
+  SELECT t.id, CAST(count(*) AS BIGINT) AS n_matched_ngrams
+  FROM cf_tr t JOIN cf_ev USING (shingle)
+  GROUP BY t.id
+)
+SELECT i.id,
+       CAST(COALESCE(m.n_matched_ngrams, 0) AS BIGINT) AS n_matched_ngrams,
+       CAST(COALESCE(tt.n_total_ngrams, 0) AS BIGINT) AS n_total_ngrams,
+       CASE WHEN COALESCE(tt.n_total_ngrams, 0) > 0
+            THEN CAST(COALESCE(m.n_matched_ngrams, 0) AS DOUBLE)
+                 / CAST(tt.n_total_ngrams AS DOUBLE)
+            ELSE 0.0 END AS contamination_frac
+FROM cf_ids i
+LEFT JOIN cf_tot tt ON i.id = tt.id
+LEFT JOIN cf_matched m ON i.id = m.id
+"""

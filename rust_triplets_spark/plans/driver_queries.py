@@ -3672,6 +3672,38 @@ def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.decontam import (  # noqa: E402
+    contamination_fraction,
+    contamination_fraction_sql,
+)
+
+
+@_register(
+    "contamination_fraction",
+    contamination_fraction_sql(
+        f"SELECT * FROM documents WHERE NOT ({eval_holdout_pred_sql('doc_id')})",
+        f"SELECT * FROM documents WHERE {eval_holdout_pred_sql('doc_id')}",
+        "doc_id",
+        "text",
+        n=3,
+    ),
+)
+def contamination_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination: per-training-doc FRACTION of distinct
+    n-gram fingerprints shared with the eval holdout — the audit-tier /
+    loss-masking companion to the binary `decontamination` flag (which
+    keeps the strict 13-gram drop-gate convention). n=3 is calibrated to
+    the synthetic vocab-30 fixtures so the score is actually graded
+    (362/484 docs nonzero at sf0.01); real pipelines run the 13-gram
+    default. Scope-cached shingle frame, broadcast distinct eval
+    shingles, one exact integer division."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = eval_holdout_pred_col("doc_id")
+    return contamination_fraction(
+        docs.where(~pred), docs.where(pred), "doc_id", "text", n=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -190,3 +190,58 @@ def test_validation_guards():
         repetition_signals_sql("documents", "doc_id", "text", ns=(2, 2))
     with pytest.raises(ValueError, match="budget"):
         pack_bin_stats(None, 0)
+
+
+def test_contamination_fraction_exact_ratio(spark):
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.decontam import contamination_fraction
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # train doc 0: 6 tokens -> 4 distinct 3-grams; the first 3 tokens
+    # replicate an eval trigram -> exactly 1 of 4 matches
+    train = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma zz yy xx"),
+         Row(doc_id=1, text="nothing shared here at all now"),
+         Row(doc_id=2, text="ab")],  # < n tokens -> trivially clean
+        schema,
+    )
+    evaldf = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma completely different tail")],
+        schema,
+    )
+    out = {
+        r.id: r
+        for r in contamination_fraction(
+            train, evaldf, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert out[0].n_total_ngrams == 4 and out[0].n_matched_ngrams == 1
+    assert out[0].contamination_frac == 1.0 / 4.0
+    assert out[1].n_matched_ngrams == 0 and out[1].contamination_frac == 0.0
+    assert out[2].n_total_ngrams == 0 and out[2].contamination_frac == 0.0
+
+
+def test_contamination_fraction_dedupes_eval_shingles(spark):
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.decontam import contamination_fraction
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    train = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma zz yy xx")], schema
+    )
+    # the SAME trigram appears in two eval docs — must count once
+    evaldf = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma one"),
+         Row(doc_id=101, text="alpha beta gamma two")],
+        schema,
+    )
+    row = contamination_fraction(train, evaldf, "doc_id", "text", n=3).collect()[0]
+    assert row.n_matched_ngrams == 1 and row.contamination_frac == 0.25

@@ -3704,6 +3704,46 @@ def contamination_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.curriculum import (  # noqa: E402
+    curriculum_order,
+    curriculum_order_sql,
+)
+
+
+@_register(
+    "curriculum_order",
+    curriculum_order_sql("documents", "doc_id", "text"),
+)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a total easy→hard training order keyed by
+    the integer per-transition bigram-LM NLL, seeded-hash tie-broken,
+    with exact warmup/main/anneal phase bands. Range-bucketed parallel
+    rank — never a single-partition global sort (module docstring has
+    the full scale shape)."""
+    return curriculum_order(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+from rust_triplets_spark.operators.doremi import (  # noqa: E402
+    doremi_domain_weights,
+    doremi_domain_weights_sql,
+)
+
+
+@_register(
+    "doremi_domain_weights",
+    doremi_domain_weights_sql("documents", "doc_id", "text", "source"),
+)
+def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style multiplicative-weights mixture update: per-source
+    token share bumped by exp(clamped excess bigram-LM NLL vs the corpus
+    mean), normalized by an exact integer sum, uniform-smoothed. The
+    loss-adaptive counterpart to `temperature_source_mix` (module
+    docstring has the quantization + range contract)."""
+    return doremi_domain_weights(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

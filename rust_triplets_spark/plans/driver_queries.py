@@ -3744,6 +3744,48 @@ def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.bloom import (  # noqa: E402
+    bloom_build,
+    bloom_build_sql,
+    bloom_probe,
+    bloom_probe_sql,
+    text_fingerprint_col,
+    text_fingerprint_sql,
+)
+
+_BLOOM_FP = text_fingerprint_sql("t.text")
+
+
+@_register(
+    "bloom_ingest_probe",
+    bloom_probe_sql(
+        bloom_build_sql(
+            f"SELECT {_BLOOM_FP} AS fp FROM documents t WHERE t.doc_id % 2 = 0",
+            "fp",
+        ),
+        f"SELECT t.doc_id AS doc_id, {_BLOOM_FP} AS fp FROM documents t",
+        "doc_id",
+        "fp",
+    ),
+)
+def bloom_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest membership: a Bloom filter built over the
+    first delivery (even doc_ids) probed by a full re-delivery — every
+    already-ingested document flags true (no false negatives, pinned by
+    pytest), new ones flag at the filter's fp rate. Pure int64 bit math,
+    so the DuckDB twin matches bit-for-bit including each false
+    positive. The filter frame is bounded by ceil(m/63) rows BY
+    CONSTRUCTION and broadcast; the probe side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = text_fingerprint_col(F.col("text"))
+    filt = bloom_build(
+        docs.where(F.col("doc_id") % 2 == 0).select(fp.alias("fp")), "fp"
+    )
+    return bloom_probe(
+        filt, docs.select("doc_id", fp.alias("fp")), "doc_id", "fp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

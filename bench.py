@@ -131,6 +131,13 @@ BENCH_QUERIES = [
     "gopher_quality",
     "dsir_importance",
     "curation_funnel",
+    "dup_ngram_spans",
+    "substring_dedup_clean",
+    "contamination_fraction",
+    "curriculum_order",
+    "doremi_domain_weights",
+    "bloom_ingest_probe",
+    "quality_clf_features",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix

@@ -135,7 +135,14 @@ def duplicate_ngram_spans(
     ``min(id) != max(id)`` detects "≥ 2 distinct documents" without a
     countDistinct — one partial-aggregable min/max pair per fingerprint.
     """
-    grams = positional_grams(docs, id_col, text_col, n, seed)
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    grams = cache_scoped(
+        positional_grams(docs, id_col, text_col, n, seed),
+        "substrings.positional_grams",
+        eager=True,  # feeds the fp aggregate AND the flag join — a lazy
+        # cache would re-run the token-scale explode for each
+    )
     dup_fps = (
         grams.groupBy("fp")
         .agg(F.min("id").alias("keep_id"), F.max("id").alias("__max_id"))

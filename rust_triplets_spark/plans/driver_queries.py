@@ -3786,6 +3786,27 @@ def bloom_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.quality_clf import (  # noqa: E402
+    hashed_ngram_features,
+    hashed_ngram_features_sql,
+)
+
+
+@_register(
+    "quality_clf_features",
+    hashed_ngram_features_sql("documents", "t.doc_id", "t.text"),
+)
+def quality_clf_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier's feature contract: exact hashed
+    bag-of-{1,2}-gram counts (id, feature_idx, tf) — the oracle kernel of
+    the GPT-3/CCNet-style model-based quality filter. The MLlib deploy
+    kernel (HashingTF→IDF→LogisticRegression, quality_clf.py) is
+    pytest-pinned (not SQL-expressible)."""
+    return hashed_ngram_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -251,3 +251,23 @@ def test_simhash_stop_band_filter_is_broadcast_semi(spark):
     assert "LeftSemi" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mid_round8_queries_plan_quality(spark):
+    """The mid-round-8 family: no cartesian/nested-loop joins anywhere;
+    the broadcast-by-construction sides actually broadcast."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plans = {}
+    for q in ["dup_ngram_spans", "substring_dedup_clean",
+              "contamination_fraction", "curriculum_order",
+              "doremi_domain_weights", "bloom_ingest_probe",
+              "quality_clf_features"]:
+        plan = _physical(DQ.QUERIES[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        plans[q] = plan
+    # the eval-shingle side of the graded decontam and the bloom filter
+    # frame are bounded by construction — must be broadcast, never SMJ'd
+    assert "BroadcastHashJoin" in plans["contamination_fraction"]
+    assert "BroadcastHashJoin" in plans["bloom_ingest_probe"]
+    assert "SortMergeJoin" not in plans["bloom_ingest_probe"]

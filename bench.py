@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "doremi_domain_weights",
     "bloom_ingest_probe",
     "quality_clf_features",
+    "bpe_merge_candidates",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix

@@ -134,3 +134,65 @@ def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(float(M31)) / F.col("kth_hash").cast("double")
     )
     return sk.select("group", "k_used", "kth_hash", est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates — tokenizer-training step 1 (Sennrich et al. 2016):
+# the highest-frequency adjacent symbol pair is the first merge rule. At
+# corpus scale this is THE tokenizer-fitting primitive; each subsequent
+# merge round re-runs the same count over re-segmented text. The engine's
+# job is the distributed pair count + top-k, expressed so Catalyst plans a
+# TakeOrderedAndProject (per-partition heaps + one k-row reduce), never a
+# global sort.
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """Top-``top_k`` adjacent character pairs within whitespace tokens:
+    ``(left, right, pair_count)``, ordered by count desc then pair asc
+    (total order → deterministic cross-engine top-k). Row-local pair
+    extraction (no per-character explode — one array of pair structs per
+    token), one partial-agg groupBy, then limit-k."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # SQL-expr form: F.substring takes only literal start positions, and
+    # the per-token pair array must stay row-local (no per-char explode)
+    tok_pairs = F.expr(
+        f"flatten(transform("
+        f"  filter(split(trim({text_col}), '\\\\s+'), t -> t <> ''),"
+        "  t -> CASE WHEN length(t) >= 2 THEN transform(sequence(1, length(t) - 1),"
+        "       i -> struct(substring(t, i, 1) AS l, substring(t, i + 1, 1) AS r))"
+        "       ELSE cast(array() as array<struct<l:string,r:string>>) END))"
+    )
+    pairs = df.select(F.explode(tok_pairs).alias("__p")).select(
+        F.col("__p.l").alias("left"), F.col("__p.r").alias("right")
+    )
+    counted = pairs.groupBy("left", "right").agg(
+        F.count("*").cast("long").alias("pair_count")
+    )
+    return counted.orderBy(
+        F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc()
+    ).limit(top_k)
+
+
+def bpe_merge_candidates_sql(table: str, text_sql: str, top_k: int = 50) -> str:
+    """DuckDB twin of :func:`bpe_merge_candidates`."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = tokens_sql(text_sql)
+    pairs = (
+        f"flatten(list_transform({toks}, t -> "
+        f"CASE WHEN length(t) >= 2 THEN list_transform(range(1, length(t) - 1 + 1), "
+        f"i -> struct_pack(l := substring(t, i, 1), r := substring(t, i + 1, 1))) "
+        f"ELSE [] END))"
+    )
+    return f"""
+SELECT p.pr.l AS "left", p.pr.r AS "right",
+       CAST(count(*) AS BIGINT) AS pair_count
+FROM {table} t, UNNEST({pairs}) AS p(pr)
+GROUP BY 1, 2
+ORDER BY pair_count DESC, "left" ASC, "right" ASC
+LIMIT {top_k}
+"""

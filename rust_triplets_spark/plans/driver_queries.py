@@ -3807,6 +3807,26 @@ def quality_clf_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    bpe_merge_candidates,
+    bpe_merge_candidates_sql,
+)
+
+
+@_register(
+    "bpe_merge_candidates",
+    bpe_merge_candidates_sql("documents", "t.text", top_k=50),
+)
+def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training step 1 (Sennrich et al. 2016 BPE): the top-50
+    adjacent character pairs within tokens — the corpus statistic each
+    merge round of BPE fitting consumes. Row-local pair extraction, one
+    partial-agg groupBy, TakeOrderedAndProject top-k (never a global
+    sort); count-desc-then-pair total order makes the k-boundary
+    deterministic cross-engine."""
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), "text", top_k=50)
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -149,3 +149,37 @@ def test_quality_buckets_band_sizes_differ_by_at_most_one(spark):
     assert sorted(sizes) == ["b0", "b1", "b2", "b3"]
     assert max(sizes.values()) - min(sizes.values()) <= 1
     assert sum(sizes.values()) == 10
+
+
+def test_bpe_merge_candidates_counts_and_order(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.sketches import bpe_merge_candidates
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    # "abab abab" -> within-token pairs: ab x2, ba x1 per token, two tokens
+    df = spark.createDataFrame(
+        [Row(text="abab abab"), Row(text="x")],  # 1-char token -> no pairs
+        schema,
+    )
+    out = bpe_merge_candidates(df, "text", top_k=10).collect()
+    got = {(r["left"], r["right"]): r.pair_count for r in out}
+    assert got == {("a", "b"): 4, ("b", "a"): 2}
+    # ordering: count desc, then pair asc
+    assert [(r["left"], r["right"]) for r in out] == [("a", "b"), ("b", "a")]
+
+
+def test_bpe_merge_candidates_plan_is_take_ordered(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.sketches import bpe_merge_candidates
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    df = spark.createDataFrame([Row(text="abc def")], schema)
+    plan = (
+        bpe_merge_candidates(df, "text", top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort

@@ -155,3 +155,93 @@ def write_jsonl_shards(
     if compression:
         w = w.option("compression", compression)
     w.partitionBy("shard").json(path)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    members: dict[str, str],
+    n_shards: int,
+    seed: int = 42,
+    id_is_string: bool = False,
+) -> None:
+    """:func:`write_training_shards` in WebDataset form — one
+    ``shard-{K:05d}.tar`` per shard, each sample a group of adjacently
+    stored tar members ``{key}.{ext}`` (the format multimodal loaders
+    stream: tars read sequentially, no random access, storage-friendly).
+
+    ``members`` maps column → member extension (e.g. ``{"text": "txt",
+    "image": "jpg", "meta": "json"}``); string columns are UTF-8 encoded,
+    binary columns written verbatim — the engine's multimodal contract
+    (blobs are opaque bytes with typed metadata,
+    :mod:`...operators.multimodal`). The sample key is
+    ``{pos:09d}.{id}`` so members sort in shuffle order inside the tar
+    and a loader can verify both position and identity without a side
+    index.
+
+    Scale shape: the same one-exchange layout as the parquet/JSONL
+    writers — repartition by shard, in-partition sort by (shard, pos),
+    then ONE pass per partition writing each shard's tar as its rows
+    stream by (a partition may carry several shards under hash
+    partitioning; the sort makes each contiguous, so at most one tar is
+    open at a time and nothing buffers beyond the tar library's current
+    member). Tar metadata (mtime/uid/mode) is zeroed so shard bytes are
+    REPRODUCIBLE: same corpus + seed → byte-identical tars, the property
+    every resume/audit story here builds on. ``path`` must be visible to
+    every executor (shared/distributed filesystem or a fuse-mounted
+    object store) — on a real cluster each task writes its shards
+    directly; local[N] sees one filesystem anyway."""
+    import os
+    import tarfile
+
+    if not members:
+        raise ValueError("members must map at least one column to an extension")
+    missing = [c for c in members if c not in df.columns]
+    if missing:
+        raise ValueError(f"member columns not in frame: {missing}")
+
+    os.makedirs(path, exist_ok=True)
+    asn = shard_assignment(df, id_col, n_shards, seed, id_is_string)
+    cols = [F.col(id_col).cast("string").alias("__id"), "shard", "pos",
+            *[F.col(c).alias(f"__m_{c}") for c in members]]
+    payload = (
+        df.join(asn.withColumnRenamed("id", id_col), id_col)
+        .select(*cols)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    member_items = sorted(members.items())  # deterministic member order
+
+    def _write(rows):
+        tar = None
+        open_shard = None
+        try:
+            for r in rows:
+                if r["shard"] != open_shard:
+                    if tar is not None:
+                        tar.close()
+                    open_shard = r["shard"]
+                    tar = tarfile.open(
+                        os.path.join(path, f"shard-{open_shard:05d}.tar"), "w"
+                    )
+                key = f"{r['pos']:09d}.{r['__id']}"
+                for col, ext in member_items:
+                    raw = r[f"__m_{col}"]
+                    if raw is None:
+                        continue
+                    data = raw if isinstance(raw, (bytes, bytearray)) else str(raw).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # reproducible bytes
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    import io
+
+                    tar.addfile(info, io.BytesIO(bytes(data)))
+        finally:
+            if tar is not None:
+                tar.close()
+        return iter(())
+
+    payload.rdd.mapPartitions(_write).count()  # one pass, side-effect write

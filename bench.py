@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "bloom_ingest_probe",
     "quality_clf_features",
     "bpe_merge_candidates",
+    "embedding_int8_codes",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -152,6 +153,7 @@ _SERIES_ENDS = {
     "r5": "cluster_aware_splits",
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
+    "r8": "embedding_int8_codes",
 }
 
 

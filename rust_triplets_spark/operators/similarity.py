@@ -1429,3 +1429,91 @@ FROM (SELECT id, cell, d2 FROM ranked WHERE cr = 1) a
 JOIN (SELECT id, cell FROM ranked WHERE cr = 2) p USING (id)
 JOIN ncand n USING (id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (SQ8) — the embedding STORAGE scale path. A
+# 100 TB corpus's float32 embeddings are 4 bytes/dim; per-dimension
+# min/max scalar quantization stores 1 byte/dim at ~0.4% of the value
+# range in reconstruction error, and every major vector store ships it.
+# Complements the PQ family (ivfpq_* — sub-byte codes for SEARCH): SQ8
+# keeps per-dim addressability, so filters and partial dequantization
+# still work. All arithmetic is IEEE double ops on exactly-widened
+# float32 inputs + floor(x + 0.5) integer grids (the BM25 rule: Spark's
+# Round on doubles allocates a BigDecimal per row), so the DuckDB twin
+# matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SQ8_ERR_SCALE = 1_000_000_000  # 1e-9 reconstruction-error grid
+
+
+def embedding_int8_codes(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-(vector, dimension) SQ8 codes: ``(id, d, code, err_q)`` —
+    the 0-based dimension, its [0, 255] code under per-dimension
+    min/max scaling (corpus-derived, one tiny broadcast stats frame),
+    and the reconstruction error |x − dequant(code)| on the 1e-9
+    integer grid. Dimension-agnostic: one posexplode (rows = n·d of
+    four fixed-width values), one d-row aggregate broadcast back —
+    no per-dim column generation, no collect.
+
+    Degenerate dimensions (min == max) code to 0 with zero error
+    (dequant returns the constant)."""
+    vals = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "__x"),
+    ).select("id", "d", F.col("__x").cast("double").alias("__x"))
+    stats = vals.groupBy("d").agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    )
+    j = vals.join(F.broadcast(stats), "d")
+    span = F.col("__hi") - F.col("__lo")
+    code = F.when(
+        span > 0,
+        F.least(
+            F.lit(255).cast("long"),
+            F.floor(((F.col("__x") - F.col("__lo")) * F.lit(255.0)) / span + F.lit(0.5)).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    dequant = F.when(
+        span > 0, F.col("__lo") + (F.col("code").cast("double") * span) / F.lit(255.0)
+    ).otherwise(F.col("__lo"))
+    return (
+        j.withColumn("code", code)
+        .withColumn(
+            "err_q",
+            F.floor(F.abs(F.col("__x") - dequant) * F.lit(float(SQ8_ERR_SCALE)) + F.lit(0.5)).cast("long"),
+        )
+        .select("id", F.col("d").cast("long").alias("d"), "code", "err_q")
+    )
+
+
+def embedding_int8_codes_sql(table: str, id_sql: str, vec_sql: str) -> str:
+    """DuckDB twin of :func:`embedding_int8_codes`."""
+    return f"""
+WITH sq_base AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {vec_sql} AS v FROM {table} t
+),
+sq_vals AS MATERIALIZED (
+  -- duckdb has no UNNEST WITH ORDINALITY: unnest the index range instead
+  SELECT b.id, CAST(u.i - 1 AS BIGINT) AS d, CAST(b.v[u.i] AS DOUBLE) AS x
+  FROM sq_base b, UNNEST(range(1, len(b.v) + 1)) AS u(i)
+),
+sq_stats AS (
+  SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM sq_vals GROUP BY d
+),
+sq_coded AS (
+  SELECT v.id, v.d, v.x, s.lo, s.hi,
+         CASE WHEN s.hi > s.lo
+              THEN LEAST(CAST(255 AS BIGINT),
+                         CAST(floor(((v.x - s.lo) * 255.0) / (s.hi - s.lo) + 0.5) AS BIGINT))
+              ELSE CAST(0 AS BIGINT) END AS code
+  FROM sq_vals v JOIN sq_stats s USING (d)
+)
+SELECT id, d, code,
+       CAST(floor(abs(x - (CASE WHEN hi > lo
+                  THEN lo + (CAST(code AS DOUBLE) * (hi - lo)) / 255.0
+                  ELSE lo END)) * {float(SQ8_ERR_SCALE)!r} + 0.5) AS BIGINT) AS err_q
+FROM sq_coded
+"""

@@ -3827,6 +3827,27 @@ def bpe_merge_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(_t(spark, sf_dir, "documents"), "text", top_k=50)
 
 
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    embedding_int8_codes,
+    embedding_int8_codes_sql,
+)
+
+
+@_register(
+    "embedding_int8_codes",
+    embedding_int8_codes_sql("embeddings", "t.vec_id", "t.embedding"),
+)
+def embedding_int8_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 embedding quantization: per-(vector, dim) [0,255] codes under
+    corpus-derived per-dimension min/max scaling, plus the 1e-9-grid
+    reconstruction error — the 1-byte/dim embedding STORAGE path
+    (complementing the PQ search codes). One posexplode + one d-row
+    broadcast stats frame; floor(x+0.5) grids keep the twin bit-exact."""
+    return embedding_int8_codes(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

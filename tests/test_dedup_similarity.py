@@ -698,3 +698,39 @@ def test_ivf_trained_cell_profile_fixture(spark):
         if label_map[m] == r["cell"]:
             agree += 1
     assert agree / len(rows) >= 0.99
+
+
+def test_sq8_codes_round_trip_error_bound(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.similarity import (
+        SQ8_ERR_SCALE,
+        embedding_int8_codes,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    # dim 0 spans [-1, 1]; dim 1 is constant (degenerate); dim 2 spans [0, 10]
+    rows = [Row(vec_id=i, embedding=[(-1.0 + 2.0 * i / 9), 3.5, i * 10.0 / 9])
+            for i in range(10)]
+    out = embedding_int8_codes(
+        spark.createDataFrame(rows, schema), "vec_id", "embedding"
+    ).collect()
+    assert len(out) == 30
+    by = {(r.id, r.d): r for r in out}
+    for (i, d), r in by.items():
+        assert 0 <= r.code <= 255
+    # endpoints hit the code range exactly
+    assert by[(0, 0)].code == 0 and by[(9, 0)].code == 255
+    assert by[(0, 2)].code == 0 and by[(9, 2)].code == 255
+    # degenerate dim: code 0, zero error
+    assert all(by[(i, 1)].code == 0 and by[(i, 1)].err_q == 0 for i in range(10))
+    # reconstruction error <= half a quantization step (+1 grid ulp)
+    for (i, d), r in by.items():
+        span = 2.0 if d == 0 else (10.0 if d == 2 else 0.0)
+        bound = span / 510.0
+        assert r.err_q <= int(bound * SQ8_ERR_SCALE) + 1, (i, d, r.err_q)

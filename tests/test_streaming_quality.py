@@ -145,3 +145,47 @@ def test_max_ctx_bounds_driver_collect_exactly(spark):
         for (p, c), q in full.types.items():
             if p == prev:
                 assert pruned.nll_q_for(p, c) == q
+
+
+def test_gopher_signals_run_unchanged_on_a_stream(spark):
+    """gopher_quality_signals is pure row-local column math — the SAME
+    function gates batch corpora and ingest streams (map-only, append
+    mode, no state). Pin stream == batch so a future regression that
+    sneaks a window/aggregate into the signals breaks loudly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.gopher import gopher_quality_signals
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [Row(doc_id=0, text="the quick brown fox jumps over the lazy dog "
+                               "and then some more words with it to be sure"),
+            Row(doc_id=1, text="• a\n• b\n• c"),
+            Row(doc_id=2, text="")]
+    docs = spark.createDataFrame(rows, schema)
+    src = tempfile.mkdtemp(prefix="gq_src_")
+    ckpt = tempfile.mkdtemp(prefix="gq_ckpt_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(src)
+        sdf = gopher_quality_signals(
+            spark.readStream.schema(schema).parquet(src), "doc_id", "text"
+        )
+        q = (
+            sdf.writeStream.format("memory").queryName("gq_out")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        q.processAllAvailable()
+        got = {r.id: r.asDict() for r in spark.sql("SELECT * FROM gq_out").collect()}
+        q.stop()
+        want = {r.id: r.asDict()
+                for r in gopher_quality_signals(docs, "doc_id", "text").collect()}
+        assert got == want and len(got) == 3
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "quality_clf_features",
     "bpe_merge_candidates",
     "embedding_int8_codes",
+    "ann_hard_negatives",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -153,7 +154,7 @@ _SERIES_ENDS = {
     "r5": "cluster_aware_splits",
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
-    "r8": "embedding_int8_codes",
+    "r8": "ann_hard_negatives",
 }
 
 

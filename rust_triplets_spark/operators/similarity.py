@@ -559,6 +559,7 @@ def ivf_seeded_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
     target_cell_rows: int = TARGET_CELL_ROWS,
+    label_col: str | None = None, exclude_same_label: bool = False,
 ) -> DataFrame:
     """IVF ANN with a hash-seeded coarse quantizer: the centroids are the
     ``n_centroids`` corpus vectors with the smallest ``hash31(id, seed)``
@@ -576,11 +577,26 @@ def ivf_seeded_topk(
     floor 16) so cells stay ~``target_cell_rows`` and the candidate join
     stays LINEAR — a fixed count is quadratic once the corpus outgrows it
     (measured 54x at a 10x scale-up, SCALE.md). The count() behind auto
-    mode is a parquet-footer read, not a scan."""
+    mode is a parquet-footer read, not a scan.
+
+    ``label_col`` + ``exclude_same_label=True`` turn the search into
+    ANCE-style HARD-NEGATIVE MINING (Xu et al. 2021; the dense-retrieval
+    counterpart of the BM25 hard negatives in operators/bm25.py): the
+    top-k nearest neighbors whose label DIFFERS from the query's — the
+    semantically-closest wrong answers, exactly what contrastive training
+    wants as negatives. The label rides the existing candidate join as
+    one extra fixed-width column; output gains ``neg_label``."""
+    if exclude_same_label and label_col is None:
+        raise ValueError("exclude_same_label requires label_col")
     if n_centroids is None:
         n_centroids = auto_cells(df.count(), target_cell_rows, floor=16)
+    lab_cols = (
+        [F.col(label_col).cast("long").alias("__lab")] if label_col else []
+    )
     base = df.select(
-        F.col(id_col).cast("long").alias("id"), _quantize(F.col(vec_col)).alias("__v")
+        F.col(id_col).cast("long").alias("id"),
+        _quantize(F.col(vec_col)).alias("__v"),
+        *lab_cols,
     ).withColumn("__n", _dot(F.col("__v"), F.col("__v")))
     # centroid pick: orderBy().limit() plans as a distributed TakeOrdered
     # (per-partition top-n + merge) — NOT a global row_number window, which
@@ -620,17 +636,23 @@ def ivf_seeded_topk(
             ),
         )
         .where(F.col("__cr") <= max(1, nprobe))
-        .select("id", "__v", "__n", "cell", "__cr"),
-        "similarity.ivf.ranked",
+        .select("id", "__v", "__n", "cell", "__cr",
+                *(["__lab"] if label_col else [])),
+        f"similarity.ivf.ranked{'.lab' if label_col else ''}",
         eager=True,  # both join sides must read materialized blocks — a
         # lazy cache lets the self-join's concurrent scans double-compute
     )
-    assigned = ranked.where(F.col("__cr") == 1).select("id", "__v", "__n", "cell")
+    assigned = ranked.where(F.col("__cr") == 1).select(
+        "id", "__v", "__n", "cell", *(["__lab"] if label_col else [])
+    )
     probes = ranked.where(F.col("__cr") <= nprobe).select(
         F.col("id").alias("qid"), F.col("__v").alias("__qv"),
         F.col("__n").alias("__qn"), "cell",
+        *([F.col("__lab").alias("__qlab")] if label_col else []),
     )
     cand = probes.join(assigned, "cell").where(F.col("qid") != F.col("id"))
+    if exclude_same_label:
+        cand = cand.where(F.col("__qlab") != F.col("__lab"))
     cos = F.col("__dot").cast("double") / (
         F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__n").cast("double"))
     )
@@ -638,11 +660,14 @@ def ivf_seeded_topk(
         "cos_sim", cos
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+    out_cols = ["qid", F.col("rank").cast("long").alias("rank"),
+                F.col("id").alias("nid"), "cos_sim"]
+    if exclude_same_label:
+        out_cols.append(F.col("__lab").alias("neg_label"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", F.col("rank").cast("long").alias("rank"),
-                F.col("id").alias("nid"), "cos_sim")
+        .select(*out_cols)
     )
 
 
@@ -656,23 +681,32 @@ def ivf_seeded_topk_sql(
     table: str, id_sql: str, vec_sql: str, k: int = 5,
     n_centroids: int | None = 16, nprobe: int = 2, seed: int = IVF_SEED,
     target_cell_rows: int = TARGET_CELL_ROWS,
+    label_sql: str | None = None, exclude_same_label: bool = False,
 ) -> str:
     """DuckDB twin of :func:`ivf_seeded_topk` — same seeded centroid pick,
     same integer distances, same tie-breaks; ``n_centroids=None`` becomes
     the same integer-exact auto_cells arithmetic as a scalar subquery."""
     from rust_triplets_spark.functions.hashing import hash31_sql
 
+    if exclude_same_label and label_sql is None:
+        raise ValueError("exclude_same_label requires label_sql")
     n_cent_sql = (
         _auto_cells_sql("b", target_cell_rows, floor=16)
         if n_centroids is None
         else str(n_centroids)
     )
     q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    lab_b = f", CAST({label_sql} AS BIGINT) AS lab" if label_sql else ""
+    lab = ", lab" if label_sql else ""
+    lab_q = ", lab AS qlab" if label_sql else ""
+    lab_neg = ", a.lab AS neg_label" if exclude_same_label else ""
+    lab_out = ", neg_label" if exclude_same_label else ""
+    lab_filter = " AND a.lab <> p.qlab" if exclude_same_label else ""
     return f"""
 WITH b AS MATERIALIZED (
-  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v FROM {table}
+  SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS v{lab_b} FROM {table}
 ), n AS MATERIALIZED (
-  SELECT id, v,
+  SELECT id, v{lab},
          CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS BIGINT) AS nn
   FROM b
 ), cent AS MATERIALIZED (
@@ -680,22 +714,22 @@ WITH b AS MATERIALIZED (
          v AS cv
   FROM b QUALIFY cell <= {n_cent_sql}
 ), ranked AS MATERIALIZED (
-  SELECT n.id, n.v, n.nn, c.cell,
+  SELECT n.id, n.v, n.nn{lab}, c.cell,
          row_number() OVER (
            PARTITION BY n.id
            ORDER BY CAST(list_sum(list_transform(range(1, len(n.v) + 1),
                          i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) AS BIGINT), c.cell
          ) AS cr
   FROM n, cent c
-), assigned AS (SELECT id, v, nn, cell FROM ranked WHERE cr = 1),
-probes AS (SELECT id AS qid, v AS qv, nn AS qn, cell FROM ranked WHERE cr <= {nprobe}),
+), assigned AS (SELECT id, v, nn{lab}, cell FROM ranked WHERE cr = 1),
+probes AS (SELECT id AS qid, v AS qv, nn AS qn{lab_q}, cell FROM ranked WHERE cr <= {nprobe}),
 scored AS (
   SELECT p.qid, a.id AS nid,
          CAST(CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i])) AS BIGINT) AS DOUBLE)
-           / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.nn AS DOUBLE))) AS cos_sim
-  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.qid
+           / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.nn AS DOUBLE))) AS cos_sim{lab_neg}
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.qid{lab_filter}
 )
-SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim{lab_out}
 FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM scored)
 WHERE rank <= {k}
 """

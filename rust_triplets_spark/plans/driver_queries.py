@@ -3848,6 +3848,27 @@ def embedding_int8_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_hard_negatives",
+    ivf_seeded_topk_sql(
+        "embeddings", "vec_id", "embedding",
+        k=3, n_centroids=None, nprobe=2,
+        label_sql="label", exclude_same_label=True,
+    ),
+)
+def ann_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCE-style embedding hard negatives: per query vector, the top-3
+    nearest neighbors whose label DIFFERS — the semantically-closest
+    wrong answers, the dense-retrieval counterpart of the BM25 hard
+    negatives. Same seeded-IVF machinery as `ann_ivf_topk` with the label
+    riding the candidate join as one extra fixed-width column."""
+    return ivf_seeded_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=3, n_centroids=None, nprobe=2,
+        label_col="label", exclude_same_label=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -734,3 +734,39 @@ def test_sq8_codes_round_trip_error_bound(spark):
         span = 2.0 if d == 0 else (10.0 if d == 2 else 0.0)
         bound = span / 510.0
         assert r.err_q <= int(bound * SQ8_ERR_SCALE) + 1, (i, d, r.err_q)
+
+
+def test_ann_hard_negatives_exclude_same_label(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.similarity import ivf_seeded_topk
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    # two tight clusters; labels interleave WITHIN each cluster so the
+    # nearest same-label and different-label vectors are both close
+    rows = []
+    for i in range(24):
+        c = i % 2  # cluster
+        base = [1.0, 0.0] if c == 0 else [0.0, 1.0]
+        vec = [base[0] + i * 1e-3, base[1] + (23 - i) * 1e-3, 0.5]
+        rows.append(Row(vec_id=i, embedding=vec, label=i % 4))
+    df = spark.createDataFrame(rows, schema)
+    out = ivf_seeded_topk(
+        df, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4,
+        label_col="label", exclude_same_label=True,
+    ).collect()
+    labels = {i: i % 4 for i in range(24)}
+    assert out, "must find negatives"
+    for r in out:
+        assert r.neg_label != labels[r.qid], (r.qid, r.nid)
+        assert labels[r.nid] == r.neg_label
+    # with label filtering OFF the same call returns plain neighbors
+    # (contract: default path unchanged, no neg_label column)
+    plain = ivf_seeded_topk(df, "vec_id", "embedding", k=3,
+                            n_centroids=4, nprobe=4)
+    assert "neg_label" not in plain.columns

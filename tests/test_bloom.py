@@ -128,3 +128,22 @@ def test_stream_probe_equals_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_filter_frame_persists_and_merges_across_deliveries(spark, tmp_path):
+    """The incremental-ingest lifecycle: persist delivery 1's filter as
+    parquet, reload it cold, merge with delivery 2's filter, and probe —
+    answers exactly like one filter built over both deliveries."""
+    d1, d2 = _keys(spark, range(0, 150)), _keys(spark, range(150, 300))
+    state = str(tmp_path / "bloom_state")
+    bloom_build(d1, "fp", M, K, SEED).write.mode("overwrite").parquet(state)
+
+    reloaded = spark.read.parquet(state)
+    merged = bloom_merge([reloaded, bloom_build(d2, "fp", M, K, SEED)])
+    direct = bloom_build(d1.unionByName(d2), "fp", M, K, SEED)
+    assert {(r.word_idx, r.bits) for r in merged.collect()} == \
+           {(r.word_idx, r.bits) for r in direct.collect()}
+
+    probe = _keys(spark, range(0, 300))
+    out = bloom_probe(merged, probe, "id", "fp", M, K, SEED).collect()
+    assert all(r.maybe_present for r in out)  # both deliveries members

@@ -242,3 +242,59 @@ def test_resize_real_branch_end_to_end(spark):
         assert np.array_equal(got, expect)
     # non-image passthrough unchanged on the real branch too
     assert out[3]["width"] is None and out[3]["payload"] == WAV
+
+
+def test_multimodal_features_ship_as_webdataset(spark, tmp_path):
+    """End-to-end: binary media -> codec-free metadata + extracted
+    features -> byte-reproducible WebDataset tar shards. The multimodal
+    plumbing and the multimodal sink compose on real Spark plans."""
+    import json
+    import os
+    import tarfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.multimodal import (
+        extract_features,
+        media_metadata,
+    )
+    from rust_triplets_spark.sinks.shards import write_webdataset_shards
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(
+        [Row(media_id=i, kind="image",
+             payload=b"\x89PNG\r\n\x1a\n" + bytes([i % 200]) * 16)
+         for i in range(12)],
+        schema,
+    )
+    feats = extract_features(media, dim=4)
+    meta = media_metadata(media)
+    sample = (
+        meta.join(feats.select("media_id", "feature"), "media_id")
+        .select(
+            "media_id", "payload",
+            F.to_json(F.struct("byte_size", "sniffed_mime", "feature")).alias("meta"),
+        )
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(
+        sample, out, "media_id", {"payload": "png", "meta": "json"}, n_shards=2
+    )
+    seen = 0
+    for name in sorted(os.listdir(out)):
+        with tarfile.open(os.path.join(out, name)) as tar:
+            for m in tar.getmembers():
+                if m.name.endswith(".json"):
+                    d = json.loads(tar.extractfile(m).read())
+                    assert d["sniffed_mime"] == "image/png"
+                    assert d["byte_size"] == 24 and len(d["feature"]) == 4
+                    seen += 1
+                else:
+                    assert tar.extractfile(m).read()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert seen == 12

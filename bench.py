@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "bpe_merge_candidates",
     "embedding_int8_codes",
     "ann_hard_negatives",
+    "length_grouped_batches",
+    "padding_efficiency",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -154,7 +156,7 @@ _SERIES_ENDS = {
     "r5": "cluster_aware_splits",
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
-    "r8": "ann_hard_negatives",
+    "r8": "padding_efficiency",
 }
 
 

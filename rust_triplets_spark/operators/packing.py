@@ -198,3 +198,112 @@ SELECT source, CAST(bin AS BIGINT) AS bin_id,
 FROM spans
 GROUP BY source, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Length-grouped batching — the PAD-TO-MAX flavor of batch construction
+# (HF `group_by_length` / fairseq bucketing): batches draw sequences of
+# similar length so the pad-to-longest waste stays small. Complementary to
+# pack_sequences above (concat-and-cut destroys example boundaries; this
+# keeps them — the right choice for SFT / contrastive phases where
+# examples must not bleed into each other).
+# ---------------------------------------------------------------------------
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_size: int,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, n_tokens, batch_idx)`` — consecutive ``batch_size`` docs in
+    the (n_tokens desc, hash31(id, seed), id) order share a batch, so
+    same-batch lengths are as close as a global order can make them and
+    equal-length runs are seeded-shuffled rather than ingestion-ordered.
+    The rank is the range-bucketed parallel rank (never a global sort);
+    the hash tiebreak doubles as the per-epoch shuffle knob (vary
+    ``seed``)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from rust_triplets_spark.functions.ordering import bucketed_position
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    ).select(
+        "id", "n_tokens",
+        # rank needs ASC keys < key_space: invert the count (docs are
+        # bounded well under 2^31 tokens) so longest sorts first
+        (F.lit(M31_TOKENS) - F.col("n_tokens")).alias("__k"),
+        hash31_col(F.col("id"), seed).alias("__h"),
+    )
+    ranked = bucketed_position(
+        keyed, "__k", tiebreak=("__h", "id"), out_col="__rank"
+    )
+    return ranked.select(
+        "id", "n_tokens",
+        F.expr(f"__rank div {int(batch_size)}").cast("long").alias("batch_idx"),
+    )
+
+
+M31_TOKENS = 2_147_483_647
+
+
+def length_grouped_batches_sql(
+    table: str, id_sql: str, text_sql: str, batch_size: int, seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`length_grouped_batches`."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    tc = token_count_sql(text_sql)
+    return f"""
+WITH lg_keyed AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         CAST({tc} AS BIGINT) AS n_tokens,
+         {hash31_sql('CAST(' + id_sql + ' AS BIGINT)', seed)} AS h
+  FROM {table} t
+)
+SELECT id, n_tokens,
+       CAST((row_number() OVER (ORDER BY n_tokens DESC, h, id) - 1)
+            // {int(batch_size)} AS BIGINT) AS batch_idx
+FROM lg_keyed
+"""
+
+
+def padding_efficiency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_size: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-batch pad-to-longest accounting over
+    :func:`length_grouped_batches`: ``(batch_idx, n_seqs, max_len,
+    sum_tokens, pad_tokens)`` with ``pad_tokens = n_seqs·max_len −
+    sum_tokens`` — all exact integers, the number the batching exists to
+    minimize."""
+    b = length_grouped_batches(df, id_col, text_col, batch_size, seed)
+    return b.groupBy("batch_idx").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long").alias("pad_tokens"),
+    )
+
+
+def padding_efficiency_sql(
+    table: str, id_sql: str, text_sql: str, batch_size: int, seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`padding_efficiency`."""
+    inner = length_grouped_batches_sql(table, id_sql, text_sql, batch_size, seed)
+    return f"""
+SELECT batch_idx,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_tokens
+FROM ({inner})
+GROUP BY batch_idx
+"""

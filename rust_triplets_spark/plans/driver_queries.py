@@ -3869,6 +3869,42 @@ def ann_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.packing import (  # noqa: E402
+    length_grouped_batches,
+    length_grouped_batches_sql,
+    padding_efficiency,
+    padding_efficiency_sql,
+)
+
+
+@_register(
+    "length_grouped_batches",
+    length_grouped_batches_sql("documents", "t.doc_id", "t.text", batch_size=16),
+)
+def length_grouped_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (HF group_by_length): consecutive
+    batch_size docs in the (length desc, seeded hash, id) order share a
+    batch, minimizing pad-to-longest waste while keeping example
+    boundaries (the SFT/contrastive counterpart of `sequence_packing`'s
+    concat-and-cut). Range-bucketed parallel rank — no global sort."""
+    return length_grouped_batches(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", batch_size=16
+    )
+
+
+@_register(
+    "padding_efficiency",
+    padding_efficiency_sql("documents", "t.doc_id", "t.text", batch_size=16),
+)
+def padding_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch pad-to-longest accounting over `length_grouped_batches`
+    — n_seqs·max_len − sum_tokens, the exact-integer waste the grouping
+    exists to minimize."""
+    return padding_efficiency(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", batch_size=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -245,3 +245,54 @@ def test_contamination_fraction_dedupes_eval_shingles(spark):
     )
     row = contamination_fraction(train, evaldf, "doc_id", "text", n=3).collect()[0]
     assert row.n_matched_ngrams == 1 and row.contamination_frac == 0.25
+
+
+def test_length_grouped_batches_minimize_padding(spark):
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.packing import (
+        length_grouped_batches,
+        padding_efficiency,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # 16 docs: 8 long (20 tokens), 8 short (2 tokens); batch_size 8 must
+    # put all longs in batch 0 and all shorts in batch 1 -> zero padding
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (20 if i < 8 else 2)))
+            for i in range(16)]
+    df = spark.createDataFrame(rows, schema)
+    out = {r.id: r for r in length_grouped_batches(
+        df, "doc_id", "text", batch_size=8
+    ).collect()}
+    assert all(out[i].batch_idx == 0 for i in range(8))
+    assert all(out[i].batch_idx == 1 for i in range(8, 16))
+    eff = {r.batch_idx: r for r in padding_efficiency(
+        df, "doc_id", "text", batch_size=8
+    ).collect()}
+    assert eff[0].pad_tokens == 0 and eff[1].pad_tokens == 0
+    assert eff[0].max_len == 20 and eff[1].max_len == 2
+
+
+def test_length_grouped_equal_lengths_shuffle_by_seed(spark):
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.packing import length_grouped_batches
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [Row(doc_id=i, text="a b c") for i in range(32)]
+    df = spark.createDataFrame(rows, schema)
+    b1 = {r.id: r.batch_idx for r in length_grouped_batches(
+        df, "doc_id", "text", 8, seed=1).collect()}
+    b2 = {r.id: r.batch_idx for r in length_grouped_batches(
+        df, "doc_id", "text", 8, seed=2).collect()}
+    assert b1 != b2  # different epochs shuffle equal-length runs
+    # deterministic per seed
+    again = {r.id: r.batch_idx for r in length_grouped_batches(
+        df, "doc_id", "text", 8, seed=1).collect()}
+    assert again == b1

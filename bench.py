@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "ann_hard_negatives",
     "length_grouped_batches",
     "padding_efficiency",
+    "vocab_coverage",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -156,7 +157,7 @@ _SERIES_ENDS = {
     "r5": "cluster_aware_splits",
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
-    "r8": "padding_efficiency",
+    "r8": "vocab_coverage",
 }
 
 

@@ -196,3 +196,88 @@ GROUP BY 1, 2
 ORDER BY pair_count DESC, "left" ASC, "right" ASC
 LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage — the tokenizer-fitting acceptance metric: what
+# fraction of each source's token OCCURRENCES does a top-V vocabulary
+# cover? (OOV rate = 1 − coverage.) Fitting (bpe_merge_candidates above)
+# and auditing (this) are the two halves of the tokenizer loop.
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(
+    df: DataFrame, group_col: str, text_col: str,
+    vocab_size: int = 1000, seed: int = KMV_SEED,
+) -> DataFrame:
+    """Per-group coverage of the corpus-global top-``vocab_size`` token
+    vocabulary: ``(group, total_occurrences, covered_occurrences,
+    coverage)``. Tokens are hash31 fingerprints (fixed-width keys;
+    same-hash collisions count identically cross-engine); the vocabulary
+    is picked by (count desc, fingerprint asc) — a total order, so the
+    V-boundary is deterministic. One token-scale explode feeding two
+    partial aggs; the vocab frame is ≤ V rows, broadcast. Coverage is
+    one exact integer division."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    occ = cache_scoped(
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(
+                F.transform(
+                    tokens_col(F.col(text_col)),
+                    lambda t: hash31_str_col(t, seed),
+                )
+            ).alias("h"),
+        ),
+        "sketches.vocab_coverage_occ",
+        eager=True,  # feeds the global vocab AND the per-group coverage
+    )
+    vocab = (
+        occ.groupBy("h").agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("h").asc())
+        .limit(vocab_size)
+        .select("h")
+    )
+    per_group = occ.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "h", "left")
+    return per_group.groupBy("group").agg(
+        F.count("*").cast("long").alias("total_occurrences"),
+        F.sum(F.coalesce("__in", F.lit(0))).cast("long").alias("covered_occurrences"),
+        (
+            F.sum(F.coalesce("__in", F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str, group_sql: str, text_sql: str,
+    vocab_size: int = 1000, seed: int = KMV_SEED,
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage`."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = tokens_sql(text_sql)
+    th = f"list_transform({toks}, tk -> {hash31_str_sql('tk', seed)})"
+    return f"""
+WITH vc_occ AS MATERIALIZED (
+  SELECT {group_sql} AS grp, u.h AS h
+  FROM {table} t, UNNEST({th}) AS u(h)
+),
+vc_vocab AS (
+  SELECT h FROM (
+    SELECT h, count(*) AS c FROM vc_occ GROUP BY h
+    ORDER BY c DESC, h ASC LIMIT {vocab_size}
+  )
+)
+SELECT o.grp AS "group",
+       CAST(count(*) AS BIGINT) AS total_occurrences,
+       CAST(sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered_occurrences,
+       CAST(sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS coverage
+FROM vc_occ o LEFT JOIN vc_vocab v ON o.h = v.h
+GROUP BY o.grp
+"""

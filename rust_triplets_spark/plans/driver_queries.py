@@ -3905,6 +3905,29 @@ def padding_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    vocab_coverage,
+    vocab_coverage_sql,
+)
+
+
+@_register(
+    "vocab_coverage",
+    vocab_coverage_sql("documents", "t.source", "t.text", vocab_size=10),
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fitting acceptance metric: per-source fraction of token
+    occurrences covered by the corpus-global top-V vocabulary (OOV rate
+    = 1 − coverage) — the audit half of the tokenizer loop
+    (`bpe_merge_candidates` is the fitting half). V=10 is calibrated to
+    the synthetic ~40-word vocab so coverage is actually graded; real
+    corpora run V=32k+. Scope-cached occurrence frame, broadcast vocab,
+    one exact integer division."""
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), "source", "text", vocab_size=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -183,3 +183,28 @@ def test_bpe_merge_candidates_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_vocab_coverage_exact_fractions(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.sketches import vocab_coverage
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # global counts: "a" x6, "b" x4, "rare1/2" x1 each -> top-2 = {a, b}
+    df = spark.createDataFrame(
+        [Row(source="s1", text="a a a b b rare1"),
+         Row(source="s2", text="a a a b b rare2")],
+        schema,
+    )
+    out = {r.group: r for r in vocab_coverage(
+        df, "source", "text", vocab_size=2
+    ).collect()}
+    for s in ("s1", "s2"):
+        assert out[s].total_occurrences == 6
+        assert out[s].covered_occurrences == 5
+        assert out[s].coverage == 5 / 6

@@ -11,7 +11,9 @@ signal the repo already trusts: the corpus-trained bigram LM
 (:mod:`...operators.lm_quality`). Each source's mean per-transition NLL
 minus the corpus-wide mean stands in for the proxy-vs-reference excess;
 production callers feed real per-domain loss deltas through the same
-arithmetic. Complements the static allocators in
+arithmetic. The reference engine's mixture is static per-call weights
+(src/sampler/mod.rs weighted interleave; SURVEY §2.7) — a loss-adaptive
+update is north-star scope. Complements the static allocators in
 :mod:`...operators.mixing` (temperature mix = count-based prior; this =
 loss-adaptive posterior).
 

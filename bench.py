@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "length_grouped_batches",
     "padding_efficiency",
     "vocab_coverage",
+    "label_centroids",
+    "corpus_datasheet",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -157,7 +159,7 @@ _SERIES_ENDS = {
     "r5": "cluster_aware_splits",
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
-    "r8": "vocab_coverage",
+    "r8": "corpus_datasheet",
 }
 
 

@@ -1551,3 +1551,52 @@ SELECT id, d, code,
                   ELSE lo END)) * {float(SQ8_ERR_SCALE)!r} + 0.5) AS BIGINT) AS err_q
 FROM sq_coded
 """
+
+
+# ---------------------------------------------------------------------------
+# Label centroids — exact mean-pooling of embeddings per label, the
+# primitive behind class centroids (nearest-centroid classification,
+# k-means init, per-class drift monitoring) and doc-from-chunk pooling.
+# Sums run over QUANTIZED integers (order-free — float sums would differ
+# across engines by summation order), so the DuckDB twin is bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """``(label, d, n_vectors, sum_q, centroid_q)`` — per (label,
+    dimension): member count, exact int64 sum of QUANT-grid components,
+    and the integer-division mean on the same grid. One posexplode +
+    one partial-agg groupBy; output is (labels × dims) rows — a model,
+    not data."""
+    vals = df.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(_quantize(F.col(vec_col))).alias("d", "__q"),
+    )
+    return vals.groupBy("label", "d").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("__q").cast("long").alias("sum_q"),
+        F.expr("sum(__q) div count(*)").cast("long").alias("centroid_q"),
+    ).select("label", F.col("d").cast("long").alias("d"),
+             "n_vectors", "sum_q", "centroid_q")
+
+
+def label_centroids_sql(table: str, label_sql: str, vec_sql: str) -> str:
+    """DuckDB twin of :func:`label_centroids`."""
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    return f"""
+WITH lc_base AS (
+  SELECT CAST({label_sql} AS BIGINT) AS label, {q} AS v FROM {table} t
+),
+lc_vals AS (
+  SELECT label, CAST(u.i - 1 AS BIGINT) AS d, v[u.i] AS q
+  FROM lc_base, UNNEST(range(1, len(v) + 1)) AS u(i)
+)
+SELECT label, d,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q) // count(*) AS BIGINT) AS centroid_q
+FROM lc_vals
+GROUP BY label, d
+"""

@@ -3928,6 +3928,47 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    label_centroids,
+    label_centroids_sql,
+)
+
+
+@_register(
+    "label_centroids",
+    label_centroids_sql("embeddings", "t.label", "t.embedding"),
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding centroids on the QUANT integer grid
+    (order-free sums — float summation order differs across engines):
+    the primitive behind nearest-centroid classification, k-means init,
+    and per-class drift monitoring. One posexplode + one partial-agg
+    groupBy; output is labels × dims rows."""
+    return label_centroids(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+from rust_triplets_spark.plans.datasheet import (  # noqa: E402
+    corpus_datasheet,
+    corpus_datasheet_sql,
+)
+
+
+@_register(
+    "corpus_datasheet",
+    corpus_datasheet_sql("documents", "doc_id", "text", "source", "lang"),
+)
+def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-query corpus card (Datasheets for Datasets): size,
+    composition, token mass, exact-dup rate, Gopher pass rate as ONE
+    tall (metric, value) frame a release process diffs between corpus
+    versions. Three O(1)-row aggregates over one scan lineage."""
+    return corpus_datasheet(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", "lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -165,3 +165,34 @@ def test_fuzzy_decontaminate_threshold_gates_flag(split_corpora):
     assert rows[0].contaminated  # the exact copy still trips at 1.0
     assert not rows[1].contaminated  # the near-copy no longer does
     assert rows[1].n_candidates >= 1  # but remains auditable
+
+
+def test_corpus_datasheet_metrics_are_exact(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.plans.datasheet import corpus_datasheet
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma", source="s1", lang="en"),
+        Row(doc_id=1, text="alpha beta gamma", source="s1", lang="en"),  # exact dup
+        Row(doc_id=2, text="delta epsilon", source="s2", lang="de"),
+        Row(doc_id=3, text="", source="s2", lang="de"),  # empty
+    ]
+    got = {r.metric: r.value for r in corpus_datasheet(
+        spark.createDataFrame(rows, schema), "doc_id", "text", "source", "lang"
+    ).collect()}
+    assert got["n_docs"] == 4.0
+    assert got["n_sources"] == 2.0 and got["n_langs"] == 2.0
+    assert got["total_tokens"] == 8.0
+    assert got["mean_doc_tokens"] == 2.0
+    assert got["empty_doc_frac"] == 0.25
+    assert got["exact_dup_frac"] == 0.25  # 3 distinct fingerprints / 4 docs
+    assert 0.0 <= got["gopher_pass_frac"] <= 1.0
+    assert len(got) == 9

@@ -4000,6 +4000,19 @@ _CHECK_FIRST = [
     "curation_funnel",
     "dup_ngram_spans",
     "substring_dedup_clean",
+    "contamination_fraction",
+    "curriculum_order",
+    "doremi_domain_weights",
+    "bloom_ingest_probe",
+    "quality_clf_features",
+    "bpe_merge_candidates",
+    "embedding_int8_codes",
+    "ann_hard_negatives",
+    "length_grouped_batches",
+    "padding_efficiency",
+    "vocab_coverage",
+    "label_centroids",
+    "corpus_datasheet",
     # registered late in r7 — never driver-checked (README rotation log)
     "ann_ivfpq_topk",
     "bigram_lm_quality",
@@ -4011,15 +4024,20 @@ _CHECK_FIRST = [
     "event_gap_quantiles",
     "source_vocab_overlap",
     "source_vocab_stats",
-    # rotation: 35 of the 46 names whose last driver green was r6 — all
+    # rotation: 22 of the 46 names whose last driver green was r6 — all
     # re-verified locally each round via scripts/check_correctness.py.
-    # The 8 deferred to r9 (multi-round-stable TPC-H/analytics names):
-    # q1_pricing_summary, q5_local_supplier_volume, rollup_revenue,
+    # Deferred to r9 (every one r6-driver-green AND re-verified locally
+    # this round): the 8 multi-round-stable TPC-H/analytics names
+    # (q1_pricing_summary, q5_local_supplier_volume, rollup_revenue,
     # window_topn_orders, set_ops_customers, sessionization,
-    # tumbling_window_counts, lang_id — plus quality_score, displaced by
-    # curation_funnel when the window refilled to 50, and
-    # weighted_source_interleave + wrong_date_negatives (r6-green),
-    # displaced mid-round by the two new substring-dedup queries.
+    # tumbling_window_counts, lang_id), quality_score,
+    # weighted_source_interleave, wrong_date_negatives, and the 13
+    # displaced when the 13 late-registered round-8 queries rotated in
+    # (the documented policy: NEW queries enter the window the round
+    # they ship): simhash_signatures, sliding_window_chunks, source_skew,
+    # split_assignment, split_counts_for_total, split_ratio_counts,
+    # split_with_overrides, temporal_asof_join, temporal_offset_triplets,
+    # text_samples, token_stats, triplet_assembly, weighted_recipe_order.
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "binary_columns",
@@ -4042,19 +4060,6 @@ _CHECK_FIRST = [
     "qa_mismatch_negatives",
     "round_robin_interleave",
     "semdedup_clusters",
-    "simhash_signatures",
-    "sliding_window_chunks",
-    "source_skew",
-    "split_assignment",
-    "split_counts_for_total",
-    "split_ratio_counts",
-    "split_with_overrides",
-    "temporal_asof_join",
-    "temporal_offset_triplets",
-    "text_samples",
-    "token_stats",
-    "triplet_assembly",
-    "weighted_recipe_order",
 ]
 
 

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "label_centroids",
     "corpus_datasheet",
+    "source_datasheet",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -159,7 +160,7 @@ _SERIES_ENDS = {
     "r5": "cluster_aware_splits",
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
-    "r8": "corpus_datasheet",
+    "r8": "source_datasheet",
 }
 
 

@@ -131,3 +131,92 @@ FROM ds_stats s CROSS JOIN ds_gq g,
        struct_pack(m := 'gopher_pass_frac', v := g.gopher_pass_frac)
      ]) AS u(p)
 """
+
+
+def source_datasheet(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source slice of the corpus card: ``(source, n_docs,
+    total_tokens, mean_doc_tokens, empty_doc_frac, exact_dup_frac,
+    gopher_pass_frac)`` — the table a release audit reads first (which
+    source brought the duplicates? whose quality gate is failing?).
+    ``exact_dup_frac`` counts duplicates WITHIN the source (cross-source
+    duplication is `corpus_datasheet`'s global number and the dedup
+    family's job). One partial-agg groupBy over the same row-local stats
+    plus one gopher-verdict join — two corpus scans of one lineage, each
+    collapsing to n_sources rows."""
+    norm = normalize_inline_whitespace_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(source_col).alias("source"),
+        token_count_col(F.col(text_col)).alias("__tok"),
+        hash31_str_col(norm).alias("__fh"),
+        F.length(norm).cast("long").alias("__fl"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        (F.sum("__tok").cast("double") / F.count("*").cast("double")).alias("mean_doc_tokens"),
+        (
+            F.sum(F.when(F.col("__tok") == 0, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("empty_doc_frac"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("__fh", "__fl").cast("double") / F.count("*").cast("double")
+        ).alias("exact_dup_frac"),
+    )
+    gq = (
+        gopher_quality_signals(df, id_col, text_col)
+        .join(base.select("id", "source"), "id")
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("gopher_pass_frac")
+        )
+    )
+    return stats.join(gq, "source")
+
+
+def source_datasheet_sql(
+    table: str, id_sql: str, text_sql: str, source_sql: str
+) -> str:
+    """DuckDB twin of :func:`source_datasheet`."""
+    from rust_triplets_spark.operators.gopher import gopher_quality_signals_sql
+
+    norm = normalize_inline_whitespace_sql(text_sql)
+    tc = token_count_sql(text_sql)
+    gq = gopher_quality_signals_sql(table, id_sql, text_sql)
+    return f"""
+WITH sd_base AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         {source_sql} AS source,
+         CAST({tc} AS BIGINT) AS tok,
+         {hash31_str_sql(norm)} AS fh,
+         length({norm}) AS fl
+  FROM {table} t
+),
+sd_stats AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum(tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_doc_tokens,
+         CAST(sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS empty_doc_frac,
+         1.0 - CAST(count(DISTINCT (fh, fl)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS exact_dup_frac
+  FROM sd_base GROUP BY source
+),
+sd_gq AS (
+  SELECT b.source,
+         CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS gopher_pass_frac
+  FROM ({gq}) g JOIN sd_base b ON g.id = b.id
+  GROUP BY b.source
+)
+SELECT s.source, s.n_docs, s.total_tokens, s.mean_doc_tokens,
+       s.empty_doc_frac, s.exact_dup_frac, g.gopher_pass_frac
+FROM sd_stats s JOIN sd_gq g ON s.source = g.source
+"""

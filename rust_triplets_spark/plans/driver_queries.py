@@ -3952,6 +3952,8 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 from rust_triplets_spark.plans.datasheet import (  # noqa: E402
     corpus_datasheet,
     corpus_datasheet_sql,
+    source_datasheet,
+    source_datasheet_sql,
 )
 
 
@@ -3966,6 +3968,20 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions. Three O(1)-row aggregates over one scan lineage."""
     return corpus_datasheet(
         _t(spark, sf_dir, "documents"), "doc_id", "text", "source", "lang"
+    )
+
+
+@_register(
+    "source_datasheet",
+    source_datasheet_sql("documents", "doc_id", "text", "source"),
+)
+def source_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source slice of the corpus card — docs, token mass,
+    within-source exact-dup rate, Gopher pass rate per source: the table
+    a release audit reads first. One partial-agg groupBy + one verdict
+    join, both collapsing to n_sources rows."""
+    return source_datasheet(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
 
 
@@ -4013,6 +4029,7 @@ _CHECK_FIRST = [
     "vocab_coverage",
     "label_centroids",
     "corpus_datasheet",
+    "source_datasheet",
     # registered late in r7 — never driver-checked (README rotation log)
     "ann_ivfpq_topk",
     "bigram_lm_quality",
@@ -4037,7 +4054,8 @@ _CHECK_FIRST = [
     # they ship): simhash_signatures, sliding_window_chunks, source_skew,
     # split_assignment, split_counts_for_total, split_ratio_counts,
     # split_with_overrides, temporal_asof_join, temporal_offset_triplets,
-    # text_samples, token_stats, triplet_assembly, weighted_recipe_order.
+    # text_samples, token_stats, triplet_assembly, weighted_recipe_order,
+    # and qa_mismatch_negatives (displaced by source_datasheet).
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "binary_columns",
@@ -4057,7 +4075,6 @@ _CHECK_FIRST = [
     "ngram_jaccard_pairs",
     "normalize_whitespace",
     "parse_pub_dates",
-    "qa_mismatch_negatives",
     "round_robin_interleave",
     "semdedup_clusters",
 ]

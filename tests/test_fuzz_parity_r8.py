@@ -143,3 +143,73 @@ def test_bloom_probe_parity_on_random_corpus(spark, seed):
     )
     assert got.maybe_present.sum() >= len(got) // 2  # even half always hits
     _assert_match(got, want, f"bloom seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [505])
+def test_curriculum_parity_on_random_corpus(spark, seed):
+    from rust_triplets_spark.operators.curriculum import (
+        curriculum_order,
+        curriculum_order_sql,
+    )
+
+    rows = _corpus(seed)
+    got, want = _both(
+        spark, rows,
+        lambda df: curriculum_order(df, "doc_id", "text", seed=seed),
+        curriculum_order_sql("documents", "doc_id", "text", seed=seed),
+    )
+    assert len(got) == len(rows)
+    _assert_match(got, want, f"curriculum seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [606])
+def test_doremi_parity_on_random_corpus(spark, seed):
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from rust_triplets_spark.operators.doremi import (
+        doremi_domain_weights,
+        doremi_domain_weights_sql,
+    )
+
+    rows = _corpus(seed)
+    # spread docs over 4 sources by id
+    src_rows = [(i, t, f"s{i % 4}") for i, t in rows]
+    schema = T.StructType(SCHEMA.fields + [T.StructField("source", T.StringType())])
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, t, s in src_rows], schema
+    )
+    got = doremi_domain_weights(df, "doc_id", "text", "source").toPandas()
+    con = duckdb.connect()
+    con.register("documents_pd",
+                 pd.DataFrame(src_rows, columns=["doc_id", "text", "source"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+    want = con.sql(
+        doremi_domain_weights_sql("documents", "doc_id", "text", "source")
+    ).df()
+    assert abs(got.weight.sum() - 1.0) < 1e-9
+    _assert_match(got, want, f"doremi seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [707])
+def test_length_grouped_parity_on_random_corpus(spark, seed):
+    from rust_triplets_spark.operators.packing import (
+        length_grouped_batches,
+        length_grouped_batches_sql,
+        padding_efficiency,
+        padding_efficiency_sql,
+    )
+
+    rows = _corpus(seed)
+    got, want = _both(
+        spark, rows,
+        lambda df: length_grouped_batches(df, "doc_id", "text", 8, seed=seed),
+        length_grouped_batches_sql("documents", "t.doc_id", "t.text", 8, seed=seed),
+    )
+    _assert_match(got, want, f"length_grouped seed={seed}")
+    got, want = _both(
+        spark, rows,
+        lambda df: padding_efficiency(df, "doc_id", "text", 8, seed=seed),
+        padding_efficiency_sql("documents", "t.doc_id", "t.text", 8, seed=seed),
+    )
+    _assert_match(got, want, f"padding seed={seed}")

@@ -122,6 +122,10 @@ def resize_nearest(pixels: np.ndarray, w: int, h: int) -> np.ndarray:
     (src_i = floor((dst_i + 0.5) * src / dst))."""
     arr = np.asarray(pixels)
     h0, w0 = arr.shape[:2]
+    if h0 == 0 or w0 == 0:
+        # a zero-pixel source has nothing to sample; emit black rather
+        # than crashing the stage on arr[-1] of an empty axis
+        return np.zeros((h, w, 3), dtype=arr.dtype if arr.size else np.uint8)
     ys = np.minimum(((np.arange(h) + 0.5) * h0 / h).astype(np.int64), h0 - 1)
     xs = np.minimum(((np.arange(w) + 0.5) * w0 / w).astype(np.int64), w0 - 1)
     return arr[ys][:, xs]

@@ -85,9 +85,10 @@ def curriculum_order(
         count_col="__n",
     )
     # band of 1-indexed rank rn in n rows: (rn·P − 1) div n — the exact
-    # integer band split shared with lm_quality.quality_buckets
-    band = (
-        ((F.col("curriculum_rank") + 1) * n_phases - 1) / F.col("__n")
+    # integer band split shared with lm_quality.quality_buckets, and
+    # `div` (not `/`+cast) per the same 2^53 rule as difficulty_q
+    band = F.expr(
+        f"((curriculum_rank + 1) * {int(n_phases)} - 1) div __n"
     ).cast("long")
     phase = F.element_at(
         F.array(*[F.lit(nm) for nm in names]), (band + 1).cast("int")

@@ -50,6 +50,11 @@ def _feature_buckets_col(text_col, n_buckets: int, seed: int) -> F.Column:
     ``n_buckets`` like the unigrams."""
     th_expr = F.transform(tokens_col(text_col), lambda t: hash31_str_col(t, seed))
 
+    # NB: the bigram fold (th[i]·1_000_003 + th[i+1]) is a SECOND pair-hash
+    # scheme next to quality_clf's mix31_step features — kept distinct
+    # deliberately (unifying would change every persisted DSIR weight and
+    # its oracle); the constant appears exactly twice, here and in the SQL
+    # twin below, and the registered oracle pins them against drift.
     def feats(th):
         uni = F.transform(th, lambda h: F.pmod(h, F.lit(n_buckets)).cast("long"))
         k = F.size(th) - 1

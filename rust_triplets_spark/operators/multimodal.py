@@ -110,6 +110,10 @@ def _real_feature(payload: bytes, dim: int = 8) -> list[float]:
     lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).astype(
         np.int64
     )
+    if lum.size == 0:
+        # a validly-formatted zero-pixel image (e.g. 'P6 0 0 255') must
+        # yield a well-defined feature, not kill the stage
+        return [0.0] * dim
     buckets = np.bincount((lum % dim).ravel(), minlength=dim)
     total = float(lum.size)
     return [round(float(c) / total, 6) for c in buckets[:dim]]

@@ -1402,7 +1402,9 @@ def ivf_trained_cell_profile(
         "id",
         F.element_at("__probes", 1)["cell"].alias("cell"),
         F.element_at("__probes", 1)["d2"].alias("d2_cell"),
-        F.element_at("__probes", 2)["cell"].alias("probe2_cell"),
+        # try_: a single-centroid quantizer has no second probe — NULL,
+        # not an ANSI out-of-bounds error (the twin LEFT-joins to match)
+        F.try_element_at("__probes", F.lit(2))["cell"].alias("probe2_cell"),
         F.slice("__probes", 1, nprobe).alias("__probe_cells"),
     )
     sizes = ranked.groupBy("cell").agg(F.count("*").cast("long").alias("__sz"))
@@ -1460,7 +1462,9 @@ WITH b AS MATERIALIZED (
 SELECT a.id AS vec_id, a.cell, a.d2 AS d2_cell, p.cell AS probe2_cell,
        n.n_candidates
 FROM (SELECT id, cell, d2 FROM ranked WHERE cr = 1) a
-JOIN (SELECT id, cell FROM ranked WHERE cr = 2) p USING (id)
+-- LEFT: with a single-centroid quantizer there is no cr=2 row, and the
+-- Spark twin returns probe2_cell NULL rather than dropping the vector
+LEFT JOIN (SELECT id, cell FROM ranked WHERE cr = 2) p USING (id)
 JOIN ncand n USING (id)
 """
 

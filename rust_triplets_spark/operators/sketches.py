@@ -159,9 +159,15 @@ def bpe_merge_candidates(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     # SQL-expr form: F.substring takes only literal start positions, and
     # the per-token pair array must stay row-local (no per-char explode)
+    from rust_triplets_spark.functions.text import WS
+
+    # the PINNED whitespace class, not \s: Java's \s includes U+000B
+    # etc. where DuckDB's RE2 class would not — the exact divergence the
+    # cross-engine contract exists to prevent (functions/text.py module doc)
+    ws_sql = WS.replace("\\", "\\\\")
     tok_pairs = F.expr(
         f"flatten(transform("
-        f"  filter(split(trim({text_col}), '\\\\s+'), t -> t <> ''),"
+        f"  filter(split(trim({text_col}), '{ws_sql}'), t -> t <> ''),"
         "  t -> CASE WHEN length(t) >= 2 THEN transform(sequence(1, length(t) - 1),"
         "       i -> struct(substring(t, i, 1) AS l, substring(t, i + 1, 1) AS r))"
         "       ELSE cast(array() as array<struct<l:string,r:string>>) END))"

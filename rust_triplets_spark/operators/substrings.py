@@ -270,7 +270,10 @@ def excise_duplicate_spans(
             F.size("__toks") > 0,
             F.col("dup_tokens").cast("double") / F.size("__toks").cast("double"),
         ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
-        clean.alias("clean_text"),
+        # NULL text: coalesce to '' to match the twin (DuckDB's COALESCE
+        # around array_to_string absorbs both the empty-list AND the
+        # NULL-input case; Spark's array_join would propagate the NULL)
+        F.coalesce(clean, F.lit("")).alias("clean_text"),
     )
 
 

@@ -87,21 +87,25 @@ def probe_with_model(
     def _member(keys):
         import pandas as pd
 
-        x = keys.to_numpy(dtype="object")
-        valid = pd.notna(keys).to_numpy()
-        xs = np.where(valid, x, 0).astype(np.int64)
+        # nulls never reach this UDF (coalesced below): an Arrow batch
+        # containing ANY null converts to float64 pandas, and a >2^53 key
+        # round-tripped through float changes its bit positions — a Bloom
+        # FALSE NEGATIVE. Null-free int64 batches stay int64 end-to-end.
+        xs = keys.to_numpy(dtype=np.int64)
         hit = np.ones(len(xs), dtype=bool)
         for j in range(k):
             pos = _hash31_np(xs, seed + j) % m_bits
             w = words[pos // 63]
             mask = np.int64(1) << (pos % 63).astype(np.int64)
             hit &= (w & mask) == mask
-        hit &= valid
         return pd.Series(hit)
 
+    key = F.col(key_col).cast("long")
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        _member(F.col(key_col).cast("long")).alias("maybe_present"),
+        F.when(key.isNull(), F.lit(False))
+        .otherwise(_member(F.coalesce(key, F.lit(0))))
+        .alias("maybe_present"),
     )
 
 

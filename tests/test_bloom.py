@@ -147,3 +147,29 @@ def test_filter_frame_persists_and_merges_across_deliveries(spark, tmp_path):
     probe = _keys(spark, range(0, 300))
     out = bloom_probe(merged, probe, "id", "fp", M, K, SEED).collect()
     assert all(r.maybe_present for r in out)  # both deliveries members
+
+
+def test_model_probe_null_and_large_keys(spark):
+    """Nulls probe False, and keys above 2^53 keep exact bit positions —
+    a null in the same Arrow batch must not push the batch through
+    float64 (regression: that rounding produced false negatives)."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.streaming.bloom import (
+        bloom_filter_model,
+        probe_with_model,
+    )
+
+    big = (1 << 60) + 1
+    hist = spark.createDataFrame([Row(id=0, fp=big)], SCHEMA)
+    model = bloom_filter_model(hist, "fp", M, K, SEED)
+    probe = spark.createDataFrame(
+        [Row(id=0, fp=big), Row(id=1, fp=None), Row(id=2, fp=(1 << 60))],
+        SCHEMA,
+    )
+    out = {r.id: r.maybe_present
+           for r in probe_with_model(probe, model, "id", "fp").collect()}
+    assert out[0] is True    # exact member, even with a null in the batch
+    assert out[1] is False   # null probes false
+    assert out[2] is False   # 2^60 (what float rounding would produce) is NOT a member

@@ -770,3 +770,39 @@ def test_ann_hard_negatives_exclude_same_label(spark):
     plain = ivf_seeded_topk(df, "vec_id", "embedding", k=3,
                             n_centroids=4, nprobe=4)
     assert "neg_label" not in plain.columns
+
+
+def test_ivf_trained_profile_single_centroid_parity(spark):
+    """With ONE centroid there is no second probe: Spark yields
+    probe2_cell NULL for every row and the DuckDB twin must keep the rows
+    too (regression: its cr=2 join was INNER and returned zero rows)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.similarity import (
+        ivf_trained_cell_profile,
+        ivf_trained_cell_profile_sql,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows], schema)
+    centroids = [[0, 1048576]]  # one quantized centroid
+    got = ivf_trained_cell_profile(df, "vec_id", "embedding", centroids).toPandas()
+    con = duckdb.connect()
+    con.register("emb_pd", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM emb_pd")
+    want = con.sql(
+        ivf_trained_cell_profile_sql("embeddings", "vec_id", "embedding", centroids)
+    ).df()
+    assert len(got) == 6 and len(want) == 6
+    assert got.probe2_cell.isna().all() and want.probe2_cell.isna().all()
+    g = got.sort_values("vec_id").reset_index(drop=True)
+    w = want.sort_values("vec_id").reset_index(drop=True)
+    for c in sorted(got.columns):
+        assert (g[c].astype(str) == w[c].astype(str)).all(), c

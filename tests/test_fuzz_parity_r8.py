@@ -213,3 +213,24 @@ def test_length_grouped_parity_on_random_corpus(spark, seed):
         padding_efficiency_sql("documents", "t.doc_id", "t.text", 8, seed=seed),
     )
     _assert_match(got, want, f"padding seed={seed}")
+
+
+def test_bpe_pairs_agree_on_hostile_whitespace(spark):
+    """Java's \\s includes U+000B (vertical tab) where the pinned WS class
+    does not — the bpe tokenizer must use the pinned class so both
+    engines see the same tokens (regression: the original expr used \\s+)."""
+    from rust_triplets_spark.operators.sketches import (
+        bpe_merge_candidates,
+        bpe_merge_candidates_sql,
+    )
+
+    rows = [(0, "ab\x0bcd ef"), (1, "gh ij")]
+    got, want = _both(
+        spark, rows,
+        lambda df: bpe_merge_candidates(df, "text", top_k=20),
+        bpe_merge_candidates_sql("documents", "t.text", top_k=20),
+    )
+    _assert_match(got, want, "bpe hostile ws")
+    # the vertical tab stays INSIDE one token: the b–\x0b pair must exist
+    pairs = {(r["left"], r["right"]) for _, r in got.iterrows()}
+    assert ("b", "\x0b") in pairs

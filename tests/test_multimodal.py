@@ -298,3 +298,20 @@ def test_multimodal_features_ship_as_webdataset(spark, tmp_path):
                 else:
                     assert tar.extractfile(m).read()[:8] == b"\x89PNG\r\n\x1a\n"
     assert seen == 12
+
+
+def test_degenerate_zero_pixel_image_survives_real_branch(spark):
+    """A validly-formatted 0x0 PPM must not kill the stage: the real
+    feature is all-zeros and the real resize emits black pixels
+    (regression: ZeroDivisionError / IndexError)."""
+    from rust_triplets_spark.operators.codecs import decode_ppm
+    from rust_triplets_spark.operators.multimodal import (
+        _real_feature,
+        _resize_image_real,
+    )
+
+    empty = b"P6\n0 0\n255\n"
+    assert decode_ppm(empty).shape == (0, 0, 3)
+    assert _real_feature(empty, dim=4) == [0.0, 0.0, 0.0, 0.0]
+    out = _resize_image_real(empty, 3, 2)
+    assert decode_ppm(out).shape == (2, 3, 3)

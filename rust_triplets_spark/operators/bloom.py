@@ -23,8 +23,9 @@ overflow, and the sign bit buys nothing.
 Build is one explode (k rows per key) + one ``bit_or`` partial-aggregable
 groupBy; merge of independently built filters is the same ``bit_or``
 (Bloom union is exact). Probe broadcasts the filter frame (bounded by
-m/64 rows BY CONSTRUCTION — the one frame in the pipeline that is always
-broadcastable) and needs no shuffle of the probe side at all.
+``ceil(m_bits/63)`` rows BY CONSTRUCTION — the one frame in the pipeline
+that is always broadcastable) and needs no shuffle of the probe side at
+all.
 
 Everything is int64 bit math on hash31 grids — no floats anywhere — so
 the DuckDB twins match bit-for-bit INCLUDING each false positive.
@@ -102,7 +103,8 @@ def bloom_build(
     """Build the sparse filter frame ``(word_idx, bits)`` from an int64
     key column (pass :func:`text_fingerprint_col` output for document
     membership). One explode to k rows per key, one partial-aggregable
-    ``bit_or`` groupBy — the filter never exceeds ``m_bits/64`` rows."""
+    ``bit_or`` groupBy — the filter never exceeds ``ceil(m_bits/63)``
+    rows (words pack 63 bits: DuckDB range-checks ``1::BIGINT << 63``)."""
     _check_params(m_bits, k_hashes)
     pos = F.explode(
         _positions_col(F.col(key_col) if isinstance(key_col, str) else key_col,

@@ -40,8 +40,12 @@ def corpus_datasheet(
         F.length(F.col(text_col)).cast("long").alias("__chars"),
         F.col(source_col).alias("__src"),
         F.col(lang_col).alias("__lang"),
-        hash31_str_col(norm).alias("__fh"),
-        F.length(norm).cast("long").alias("__fl"),
+        # null text -> sentinel fingerprint: countDistinct skips all-null
+        # tuples while DuckDB's count(DISTINCT (fh, fl)) counts the
+        # (NULL, NULL) struct row; the coalesce makes both engines count
+        # null-text rows as exactly one shared fingerprint.
+        F.coalesce(hash31_str_col(norm), F.lit(-2147483648).cast("long")).alias("__fh"),
+        F.coalesce(F.length(norm).cast("long"), F.lit(-1).cast("long")).alias("__fl"),
     )
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -95,8 +99,8 @@ WITH ds_base AS (
          CAST(length({text_sql}) AS BIGINT) AS chars,
          {source_sql} AS src,
          {lang_sql} AS lang,
-         {hash31_str_sql(norm)} AS fh,
-         length({norm}) AS fl
+         coalesce({hash31_str_sql(norm)}, -2147483648) AS fh,
+         coalesce(length({norm}), -1) AS fl
   FROM {table} t
 ),
 ds_stats AS (
@@ -150,8 +154,12 @@ def source_datasheet(
         F.col(id_col).cast("long").alias("id"),
         F.col(source_col).alias("source"),
         token_count_col(F.col(text_col)).alias("__tok"),
-        hash31_str_col(norm).alias("__fh"),
-        F.length(norm).cast("long").alias("__fl"),
+        # null text -> sentinel fingerprint: countDistinct skips all-null
+        # tuples while DuckDB's count(DISTINCT (fh, fl)) counts the
+        # (NULL, NULL) struct row; the coalesce makes both engines count
+        # null-text rows as exactly one shared fingerprint.
+        F.coalesce(hash31_str_col(norm), F.lit(-2147483648).cast("long")).alias("__fh"),
+        F.coalesce(F.length(norm).cast("long"), F.lit(-1).cast("long")).alias("__fl"),
     )
     stats = base.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -194,8 +202,8 @@ WITH sd_base AS (
   SELECT CAST({id_sql} AS BIGINT) AS id,
          {source_sql} AS source,
          CAST({tc} AS BIGINT) AS tok,
-         {hash31_str_sql(norm)} AS fh,
-         length({norm}) AS fl
+         coalesce({hash31_str_sql(norm)}, -2147483648) AS fh,
+         coalesce(length({norm}), -1) AS fl
   FROM {table} t
 ),
 sd_stats AS (

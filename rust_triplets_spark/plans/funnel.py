@@ -302,6 +302,9 @@ def curation_funnel_sql(
         gopher_quality_signals_sql,
     )
 
+    # escape quotes before interpolating into a single-quoted SQL literal
+    # (same convention as gopher._occurrences_sql)
+    lang_lit = target_lang.replace("'", "''")
     pred = eval_holdout_pred_sql(id_sql)
     gopher = gopher_quality_signals_sql("cf_raw", "id", "text")
     dec = decontaminate_sql(
@@ -314,7 +317,7 @@ def curation_funnel_sql(
     dsir = dsir_importance_weights_sql(
         "SELECT * FROM cf_ded",
         f"SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text "
-        f"FROM {table} WHERE {lang_sql} = '{target_lang}'",
+        f"FROM {table} WHERE {lang_sql} = '{lang_lit}'",
         "id",
         "text",
     )

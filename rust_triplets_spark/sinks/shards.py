@@ -214,17 +214,41 @@ def write_webdataset_shards(
     member_items = sorted(members.items())  # deterministic member order
 
     def _write(rows):
+        # Task attempts are not exclusive: a retry or speculative duplicate
+        # of this partition can run CONCURRENTLY with the original, and two
+        # attempts opening the same shard-NNNNN.tar with mode 'w' interleave
+        # or truncate each other. So each attempt writes to an
+        # attempt-unique temp name and commits with os.replace (atomic on
+        # POSIX) only on success — last completed attempt wins with a whole,
+        # byte-identical tar; a failed attempt removes its temp and never
+        # touches the final name.
+        import io
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         tar = None
         open_shard = None
+        tmp_name = final_name = None
+
+        def _commit():
+            nonlocal tar
+            if tar is not None:
+                tar.close()
+                tar = None
+                os.replace(tmp_name, final_name)
+
         try:
             for r in rows:
                 if r["shard"] != open_shard:
-                    if tar is not None:
-                        tar.close()
+                    _commit()
                     open_shard = r["shard"]
-                    tar = tarfile.open(
-                        os.path.join(path, f"shard-{open_shard:05d}.tar"), "w"
+                    final_name = os.path.join(
+                        path, f"shard-{open_shard:05d}.tar"
                     )
+                    tmp_name = f"{final_name}.tmp-{attempt}"
+                    tar = tarfile.open(tmp_name, "w")
                 key = f"{r['pos']:09d}.{r['__id']}"
                 for col, ext in member_items:
                     raw = r[f"__m_{col}"]
@@ -236,12 +260,15 @@ def write_webdataset_shards(
                     info.mtime = 0  # reproducible bytes
                     info.uid = info.gid = 0
                     info.uname = info.gname = ""
-                    import io
-
                     tar.addfile(info, io.BytesIO(bytes(data)))
+            _commit()
         finally:
-            if tar is not None:
+            if tar is not None:  # exception path: drop the partial temp
                 tar.close()
+                try:
+                    os.remove(tmp_name)
+                except OSError:
+                    pass
         return iter(())
 
     payload.rdd.mapPartitions(_write).count()  # one pass, side-effect write

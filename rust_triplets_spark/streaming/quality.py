@@ -81,8 +81,8 @@ class BigramLmModel:
 
 def bigram_lm_model(
     df: DataFrame, id_col: str, text_col: str,
-    seed: int = LM_SEED, max_types: int | None = None,
-    max_ctx: int | None = None,
+    seed: int = LM_SEED, max_types: int | None = 1_000_000,
+    max_ctx: int | None = 100_000,
 ) -> BigramLmModel:
     """Train the bigram model batch-side and collect it to the driver.
 
@@ -91,7 +91,9 @@ def bigram_lm_model(
     top types by count (ties → (prev, cur) for determinism); ``max_ctx``
     keeps only the top contexts by total count (ties → prev) — together
     they bound BOTH collects, so driver/executor memory is capped even at
-    web-scale vocabularies. V is always exact. Kept types keep their EXACT
+    web-scale vocabularies. The caps default ON (1M types / 100k contexts
+    ≈ tens of MB of driver state — the 100 TB-safe behavior); pass ``None``
+    explicitly to opt out and collect the unpruned model. V is always exact. Kept types keep their EXACT
     trained nll regardless of ``max_ctx`` (the nll is computed via a join
     against the full context frame, never the pruned dict); a dropped type
     under a kept context takes the smoothing-floor backoff, and a dropped

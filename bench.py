@@ -24,6 +24,20 @@ reported numbers are cold first executions — codegen-heavy queries carry
 their one-shot JIT cost and are not comparable to warmed multi-pass
 minimums. The JSON reports the passes actually run so a consumer can
 tell the two regimes apart.
+
+Window mode (default, round 9+): the registry outgrew the wall budget —
+97 queries at ~470 s/cold-pass no longer fit 3 passes in 720 s, and round
+8's driver artifact silently degraded to effectively single-pass
+(``query_passes_min: 1``). The default run therefore times only
+``BENCH_WINDOW`` — the fixed r1-r3 longitudinal core (the series every
+round since round 1 compares on) plus this round's new queries plus a
+rotating slice of the rest — sized from the last committed min-of-3
+times so THREE passes fit the budget with ~40% headroom. The full
+registry is timed on an idle-box cadence with ``SPARK_GRAFT_BENCH_FULL=1``
+(artifact: ``BENCH_LOCAL_FULL.json``, committed each round); window runs
+write ``BENCH_LOCAL.json`` so the two artifacts never clobber each other.
+``series_totals`` stay partial-safe (``n_timed``/``n_series`` record
+coverage).
 """
 
 from __future__ import annotations
@@ -149,11 +163,51 @@ BENCH_QUERIES = [
     "source_datasheet",
 ]
 
+# The driver-run bench window (see module doc, "Window mode"). Composition
+# policy per round, mirroring plans/driver_queries._CHECK_FIRST:
+#   1. the ENTIRE r1_r3 series prefix (fixed longitudinal core — keeps the
+#      strongest cross-round comparison measured by the driver every round);
+#   2. every query new or plan-changed this round;
+#   3. a rotating slice of the remaining registry, eras represented, chosen
+#      by bench staleness (longest since last min-of-3 driver timing).
+# Sizing invariant: the window's min-of-3 sum from the last committed
+# full-registry run must stay ≤ ~120 s (≈4.5x cold+warm cost ≈ 540 s on the
+# driver box — inside the 720 s budget with headroom), so every windowed
+# query gets >= 3 timings (tests/test_plan_quality.py pins the structure).
+_R1_R3_CORE_END = "selector_text_samples"
+BENCH_WINDOW_EXTRA = [
+    # r4 representatives (rotating slice)
+    "sequence_packing",
+    "decontamination",
+    "pii_scrub",
+    "source_token_budget",
+    "q5_local_supplier_volume",
+    "corpus_clean_funnel",
+    # r5
+    "semdedup_clusters",
+    "cluster_aware_splits",
+    # r7
+    "training_shards",
+    "kmv_source_vocab",
+    "bigram_lm_quality",
+    # r8
+    "gopher_quality",
+    "dsir_importance",
+    "bloom_ingest_probe",
+    "substring_dedup_clean",
+    "vocab_coverage",
+    "corpus_datasheet",
+]
+
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
 # ending at each era's last query IS that era's bench list. series_totals in
 # the emitted JSON sums each prefix over the queries that actually timed, so
 # any two rounds (same methodology version) compare on their common series
 # without reconstructing old lists from git history.
+# last registry entry of the PREVIOUS round: everything after it is
+# new-this-round and always enters the bench window.
+_LAST_ROUND_END = "source_datasheet"
+
 _SERIES_ENDS = {
     "r1_r3": "selector_text_samples",
     "r4": "source_vocab_overlap",
@@ -162,6 +216,15 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
 }
+
+
+def bench_window() -> list[str]:
+    """The window-mode query list: r1_r3 core + new-this-round queries +
+    the rotating slice, in registry order."""
+    core = BENCH_QUERIES[: BENCH_QUERIES.index(_R1_R3_CORE_END) + 1]
+    new_this_round = BENCH_QUERIES[BENCH_QUERIES.index(_LAST_ROUND_END) + 1:]
+    chosen = set(core) | set(BENCH_WINDOW_EXTRA) | set(new_this_round)
+    return [q for q in BENCH_QUERIES if q in chosen]
 
 
 def main() -> None:
@@ -185,6 +248,9 @@ def main() -> None:
 
     from rust_triplets_spark.functions import caching
 
+    full_mode = os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1"
+    timed_list = BENCH_QUERIES if full_mode else bench_window()
+
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     # wall-clock guard: never start a pass beyond this budget (pass 1
     # always runs) — keeps the multi-pass harness inside any reasonable
@@ -205,11 +271,11 @@ def main() -> None:
         # min (r7: 6 tail queries reported pass-1 JIT times 2-6x their warm
         # cost and read as regressions)
         order = (
-            BENCH_QUERIES
+            timed_list
             if pass_i == 0
             else sorted(
-                BENCH_QUERIES,
-                key=lambda n: (pass_counts.get(n, 0), BENCH_QUERIES.index(n)),
+                timed_list,
+                key=lambda n: (pass_counts.get(n, 0), timed_list.index(n)),
             )
         )
         for name in order:
@@ -269,6 +335,11 @@ def main() -> None:
         "methodology": BENCH_METHODOLOGY,
         "series_totals": series_totals,
         "passes": passes_run,
+        # window vs full regime (see module doc): "window" = the rotating
+        # driver-budget subset; "full" = the whole registry (idle-box runs)
+        "mode": "full" if full_mode else "window",
+        "window_size": len(timed_list),
+        "registry_size": len(BENCH_QUERIES),
         # cold=True: only one pass ran (by config or expired budget), so the
         # numbers carry one-shot JIT/codegen cost and are not comparable to
         # warmed multi-pass minimums — flagged explicitly so consumers don't
@@ -289,7 +360,8 @@ def main() -> None:
     # counts and failure detail, is written to a file the judge can read
     # directly, and the printed contract line is kept as short as possible
     # (query_passes lives only in the file).
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    artifact = "BENCH_LOCAL_FULL.json" if full_mode else "BENCH_LOCAL.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
@@ -298,7 +370,7 @@ def main() -> None:
         print(f"BENCH WARNING: could not write {full_path}: {exc}", file=sys.stderr)
     line = {k: v for k, v in out.items() if k != "query_passes"}
     line["query_passes_min"] = min(pass_counts.values()) if pass_counts else 0
-    line["full_results_file"] = "BENCH_LOCAL.json"
+    line["full_results_file"] = artifact
     print(json.dumps(line))
 
 

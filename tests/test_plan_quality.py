@@ -210,6 +210,36 @@ def test_driver_window_invariants():
         assert name in DQ.QUERIES
 
 
+def test_bench_window_invariants():
+    """The driver bench times only bench.BENCH_WINDOW (the registry outgrew
+    the 720 s wall budget in r8 and the driver artifact degraded to
+    single-pass). The window must (a) name only benchable registry queries,
+    (b) contain the whole r1_r3 longitudinal core, (c) contain every
+    new-this-round query (everything after _LAST_ROUND_END), (d) hold no
+    duplicates, and (e) stay small enough that 3 passes fit the budget
+    (structural proxy: <= 65 names; the time-based sizing lives in the
+    committed BENCH_LOCAL_FULL.json review step)."""
+    import bench
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    window = bench.bench_window()
+    assert len(window) == len(set(window))
+    assert len(window) <= 65
+    for name in window:
+        assert name in bench.BENCH_QUERIES
+        assert name in DQ.QUERIES
+    core = bench.BENCH_QUERIES[
+        : bench.BENCH_QUERIES.index(bench._R1_R3_CORE_END) + 1
+    ]
+    assert set(core) <= set(window)
+    new_names = bench.BENCH_QUERIES[
+        bench.BENCH_QUERIES.index(bench._LAST_ROUND_END) + 1:
+    ]
+    assert set(new_names) <= set(window)
+    # the rotating slice names real registry entries only
+    assert set(bench.BENCH_WINDOW_EXTRA) <= set(bench.BENCH_QUERIES)
+
+
 def test_semdedup_in_cell_join_is_equi_join(spark):
     """semdedup: the only corpus-scale join is the (cell) equi-join; the
     centroid frame reaches the corpus as a broadcast. Never corpus²."""

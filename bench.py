@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "label_centroids",
     "corpus_datasheet",
     "source_datasheet",
+    # round 9 additions
+    "bpe_vocab",
+    "bpe_fertility",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition

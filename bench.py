@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     # round 9 additions
     "bpe_vocab",
     "bpe_fertility",
+    "paragraph_dedup",
+    "ngram_containment",
+    "token_entropy",
+    "tfidf_top_terms",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition

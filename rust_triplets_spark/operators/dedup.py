@@ -614,6 +614,77 @@ WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {thre
 """
 
 
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3, threshold: float = 0.5, max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for pairs sharing >= 1 shingle:
+    ``containment_a = |A ∩ B| / |A|`` (and symmetrically for b) over
+    distinct shingle sets, kept where either side >= ``threshold``.
+
+    Containment is the near-dup measure Jaccard structurally misses: a
+    short document quoted whole inside a long one has Jaccard ≈ |A|/|B|
+    (tiny) but containment_a = 1.0 — the Broder (1997) "resemblance vs
+    containment" distinction. Candidate generation, skew guard
+    (``max_df`` stop-shingles), and the shingle self-join are the exact
+    ngram_jaccard_pairs shapes — cost is Σ bucket², never corpus²."""
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    sh = cache_scoped(
+        _with_shingles(df, id_col, text_col, shingle_n), "dedup.ngram_sh"
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("__sz"))
+    w = Window.partitionBy("shingle")
+    sh_f = cache_scoped(
+        sh.withColumn("__df", F.count("*").over(w)).where(F.col("__df") <= max_df),
+        "dedup.ngram_sh_f", eager=True,
+    )
+    inter = (
+        sh_f.alias("l")
+        .join(sh_f.alias("r"), "shingle")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    c_a = F.col("inter").cast("double") / F.col("__sa").cast("double")
+    c_b = F.col("inter").cast("double") / F.col("__sb").cast("double")
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("__sz").alias("__sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("__sz").alias("__sb")), "b")
+        .withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .where((F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold))
+        .select("a", "b", "inter", "containment_a", "containment_b")
+    )
+
+
+def ngram_containment_pairs_sql(
+    table: str, id_sql: str, text_sql: str,
+    shingle_n: int = 3, threshold: float = 0.5, max_df: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    return f"""
+WITH csh AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
+  FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n)}) AS s(shingle)
+), csizes AS (SELECT id, count(*) AS sz FROM csh GROUP BY id),
+csh_f AS MATERIALIZED (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM csh)
+  WHERE df <= {max_df}
+), cinter AS (
+  SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM csh_f l JOIN csh_f r ON l.shingle = r.shingle AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT i.a, i.b, i.inter,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a,
+       CAST(i.inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b
+FROM cinter i JOIN csizes sa ON sa.id = i.a JOIN csizes sb ON sb.id = i.b
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= {threshold!r}
+   OR CAST(i.inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= {threshold!r}
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup clusters: connected components over candidate pairs
 # ---------------------------------------------------------------------------

@@ -59,15 +59,11 @@ def _occurrences_sql(text: str, needle: str) -> str:
     )
 
 
-def gopher_quality_signals(
-    df: DataFrame, id_col: str, text_col: str,
-    min_words: int = MIN_WORDS, max_words: int = MAX_WORDS,
-) -> DataFrame:
-    """Per-document Gopher signal frame: ``(id, n_words, mean_word_len,
-    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
-    alpha_word_frac, stop_hits, passes)``. Documents with zero words get
-    null ratio signals and ``passes = false``."""
-    text = F.col(text_col)
+def gopher_signal_cols(text) -> list:
+    """The seven aliased per-document signal columns (row-local, no id) —
+    shared by :func:`gopher_quality_signals` and the streaming ingest
+    funnel, which needs the signals INLINE on a streaming frame (a join
+    back by id would be a stream-stream join)."""
     toks = tokens_col(text)
     n_words = F.size(toks).cast("long")
     char_sum = F.aggregate(
@@ -103,8 +99,7 @@ def gopher_quality_signals(
         ))
     ).cast("long")
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    return [
         n_words.alias("n_words"),
         F.when(n_words > 0, char_sum.cast("double") / n_words.cast("double"))
         .alias("mean_word_len"),
@@ -117,7 +112,16 @@ def gopher_quality_signals(
         F.when(n_words > 0, alpha_words.cast("double") / n_words.cast("double"))
         .alias("alpha_word_frac"),
         stop_hits.alias("stop_hits"),
-    )
+    ]
+
+
+def gopher_pass_col(
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    min_stop_hits: int = MIN_STOP_HITS,
+):
+    """The pass predicate over the NAMED signal columns (null-safe: a
+    zero-word doc has null ratios → coalesced to false)."""
     passes = (
         (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
         & (F.col("mean_word_len") >= MIN_MWL) & (F.col("mean_word_len") <= MAX_MWL)
@@ -125,9 +129,26 @@ def gopher_quality_signals(
         & (F.col("bullet_line_frac") <= MAX_BULLET_FRAC)
         & (F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_FRAC)
         & (F.col("alpha_word_frac") >= MIN_ALPHA_FRAC)
-        & (F.col("stop_hits") >= MIN_STOP_HITS)
+        & (F.col("stop_hits") >= min_stop_hits)
     )
-    return base.withColumn("passes", F.coalesce(passes, F.lit(False)))
+    return F.coalesce(passes, F.lit(False))
+
+
+def gopher_quality_signals(
+    df: DataFrame, id_col: str, text_col: str,
+    min_words: int = MIN_WORDS, max_words: int = MAX_WORDS,
+) -> DataFrame:
+    """Per-document Gopher signal frame: ``(id, n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, stop_hits, passes)``. Documents with zero words get
+    null ratio signals and ``passes = false``."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        *gopher_signal_cols(F.col(text_col)),
+    )
+    return base.withColumn(
+        "passes", gopher_pass_col(min_words, max_words)
+    )
 
 
 def gopher_quality_signals_sql(

@@ -246,3 +246,137 @@ SELECT id, n_lines, n_kept,
        (n_kept >= {int(min_kept)} AND doc_ok) AS doc_kept, clean_text
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level keep-first dedup (RefinedWeb, Penedo et al. 2023 §3.3:
+# exact substring/paragraph dedup keeps the FIRST occurrence). Line dedup
+# above removes corpus-global boilerplate by frequency; this removes every
+# LATER copy of any repeated paragraph — the coarse-grained complement of
+# the character-level operators/substrings pass.
+# ---------------------------------------------------------------------------
+
+PARA_SEED = 3307
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = PARA_SEED,
+) -> DataFrame:
+    """Keep-first paragraph dedup: a paragraph (a ``\\n\\n``-separated,
+    trimmed, non-empty block) survives only at its FIRST corpus
+    occurrence — minimum ``(doc_id, position)`` over every copy. Returns
+    one row per document: ``(id, n_paras, n_dropped, clean_text)`` with
+    survivors re-joined by ``\\n\\n`` in original order; documents with no
+    non-empty paragraphs report ``(0, 0, '')``.
+
+    Scale shape: paragraphs shuffle as ``(hash31, length)`` fingerprints
+    + ``(id, pos)`` — the first-occurrence agg is partial-aggregable with
+    fixed-width keys; paragraph TEXT never enters a shuffle key (it rides
+    the final per-doc re-assembly groupBy as a value, like the line
+    pass). A fingerprint collision drops the same paragraph on both
+    engines, so the oracle stays exact."""
+    paras_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n\n"), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    paras = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode_outer(paras_arr).alias("pos", "para"),
+    ).select("id", F.col("pos").cast("long").alias("pos"), "para")
+    keyed = paras.select(
+        "id", "pos", "para",
+        hash31_str_col(F.col("para"), seed).alias("pkey"),
+        F.length("para").alias("plen"),
+    )
+    first = (
+        keyed.where(F.col("pkey").isNotNull())
+        .groupBy("pkey", "plen")
+        .agg(F.min(F.struct("id", "pos")).alias("first"))
+        .select(
+            "pkey", "plen",
+            F.col("first.id").alias("fid"), F.col("first.pos").alias("fpos"),
+        )
+    )
+    marked = keyed.join(first, ["pkey", "plen"], "left").select(
+        "id", "pos", "para",
+        # null para (doc had no non-empty paragraphs) marks as kept=false
+        # but also counts as no paragraph at all
+        F.col("para").isNotNull().alias("is_para"),
+        (
+            F.col("para").isNotNull()
+            & (F.col("id") == F.col("fid")) & (F.col("pos") == F.col("fpos"))
+        ).alias("kept"),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "para"))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.sum(F.col("is_para").cast("long")).alias("n_paras"),
+            F.sum((F.col("is_para") & ~F.col("kept")).cast("long")).alias(
+                "n_dropped"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["para"],
+                ),
+                "\n\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            "id",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            "clean_text",
+        )
+    )
+
+
+def paragraph_dedup_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    seed: int = PARA_SEED,
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup`. ``table`` may be a
+    parenthesized subquery."""
+    key = hash31_str_sql("p.para", seed)
+    return f"""
+WITH pd_docs AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         list_filter(list_transform(string_split({text_sql},
+                                                 chr(10) || chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS ps
+  FROM {table}
+), pd_paras AS (
+  SELECT d.id, CAST(u.i - 1 AS BIGINT) AS pos, d.ps[u.i] AS para
+  FROM pd_docs d, UNNEST(range(1, len(d.ps) + 1)) AS u(i)
+), pd_keyed AS (
+  SELECT p.id, p.pos, p.para, {key} AS pkey, length(p.para) AS plen
+  FROM pd_paras p
+), pd_first AS (
+  SELECT pkey, plen,
+         min(struct_pack(id := id, pos := pos)) AS first
+  FROM pd_keyed GROUP BY pkey, plen
+), pd_marked AS (
+  SELECT k.id, k.pos, k.para,
+         (k.id = f.first.id AND k.pos = f.first.pos) AS kept
+  FROM pd_keyed k JOIN pd_first f ON k.pkey = f.pkey AND k.plen = f.plen
+), pd_agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         COALESCE(string_agg(CASE WHEN kept THEN para END,
+                             chr(10) || chr(10) ORDER BY pos), '')
+           AS clean_text
+  FROM pd_marked GROUP BY id
+)
+SELECT d.id,
+       COALESCE(a.n_paras, 0) AS n_paras,
+       COALESCE(a.n_dropped, 0) AS n_dropped,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM pd_docs d LEFT JOIN pd_agg a ON d.id = a.id
+"""

@@ -270,3 +270,99 @@ SELECT grp AS {group_alias}, CAST(count(*) AS BIGINT) AS n,
        {', '.join(qcols)}
 FROM ranked GROUP BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality signal: Shannon entropy of the document's unigram
+# distribution. Low entropy flags repeated-token spam / keyword stuffing /
+# degenerate MT output the bigram repetition signals can miss (a doc that
+# is ONE word repeated 500 times has zero duplicate 2-gram *types* above
+# threshold but near-zero entropy). Standard in web-corpus quality stacks.
+# ---------------------------------------------------------------------------
+
+ENTROPY_QSCALE = 1_000_000_000  # same 1e-9 grid as the LM operators
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats):
+    ``(id, n_tokens, distinct_tokens, entropy_q, entropy)`` where
+    ``entropy_q = Σ_types c·round(ln(n/c)·QSCALE)`` — each type's
+    contribution is an integer, so the sum is order-free and the DuckDB
+    twin matches bit-for-bit — and ``entropy = entropy_q / (n·QSCALE)``.
+    Zero-token documents report ``(0, 0, 0, null)``.
+
+    Scale shape: one token-scale explode → one partial-aggregable
+    groupBy (id, token) → vocabulary-shaped per-doc aggregates; the
+    final left join back to the id frame restores empty docs. Token
+    strings ride shuffle VALUES; keys are (id, token) — same contract as
+    the vocab-stats family."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    occ = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    n = F.sum("c").over(Window.partitionBy("id"))
+    per_type = occ.withColumn(
+        "__contrib",
+        F.col("c")
+        * F.round(
+            F.log(n.cast("double") / F.col("c").cast("double"))
+            * F.lit(float(ENTROPY_QSCALE))
+        ).cast("long"),
+    )
+    agg = per_type.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.sum("__contrib").cast("long").alias("entropy_q"),
+    )
+    return ids.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("distinct_tokens", F.lit(0)).cast("long").alias(
+            "distinct_tokens"
+        ),
+        F.coalesce("entropy_q", F.lit(0)).cast("long").alias("entropy_q"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.coalesce("entropy_q", F.lit(0)).cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(ENTROPY_QSCALE))),
+        ).alias("entropy"),
+    )
+
+
+def token_entropy_sql(table: str, id_sql: str, text_sql: str) -> str:
+    """DuckDB twin of :func:`token_entropy`."""
+    toks = tokens_sql(text_sql)
+    q = float(ENTROPY_QSCALE)
+    return f"""
+WITH te_ids AS (SELECT CAST({id_sql} AS BIGINT) AS id FROM {table}),
+te_occ AS (
+  SELECT CAST({id_sql} AS BIGINT) AS id, u.tok, CAST(count(*) AS BIGINT) AS c
+  FROM {table} t, UNNEST({toks}) AS u(tok)
+  GROUP BY 1, 2
+), te_typed AS (
+  SELECT id, c,
+         c * CAST(round(ln(CAST(sum(c) OVER (PARTITION BY id) AS DOUBLE)
+                           / CAST(c AS DOUBLE)) * {q!r}) AS BIGINT) AS contrib
+  FROM te_occ
+), te_agg AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(sum(contrib) AS BIGINT) AS entropy_q
+  FROM te_typed GROUP BY id
+)
+SELECT i.id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.distinct_tokens, 0) AS distinct_tokens,
+       COALESCE(a.entropy_q, 0) AS entropy_q,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN CAST(COALESCE(a.entropy_q, 0) AS DOUBLE)
+                 / (CAST(a.n_tokens AS DOUBLE) * {q!r}) END AS entropy
+FROM te_ids i LEFT JOIN te_agg a ON i.id = a.id
+"""

@@ -287,3 +287,98 @@ SELECT o.grp AS "group",
 FROM vc_occ o LEFT JOIN vc_vocab v ON o.h = v.h
 GROUP BY o.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF domain signature: top-k terms per source weighted by inverse
+# source frequency — the "what makes this source different" audit, where
+# top_tokens_per_source (raw counts) surfaces the same stop tokens for
+# every source. Classic Salton & Buckley 1988 weighting on a quantized
+# integer grid so the DuckDB twin matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+TFIDF_QSCALE = 1_000_000_000
+
+
+def tfidf_top_terms(
+    df: DataFrame, group_col: str, text_col: str, k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per group: ``(group, token, tf, df,
+    score_q, rk)`` with ``score_q = tf · round(ln((N+1)/(df+1))·QSCALE)``
+    (smoothed idf over N groups, integer grid) and rank by (score_q desc,
+    token asc) — a total order, deterministic cross-engine.
+
+    Scale shape: one token-scale explode → one partial-aggregable
+    (group, token) groupBy; df and N are vocabulary-/O(1)-shaped
+    aggregates; the rank window runs over per-group vocabularies, never
+    corpus rows (the top_tokens_per_source shape)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .groupBy("group", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_groups = df.select(
+        F.countDistinct(group_col).cast("long").alias("__n")
+    )
+    df_counts = tf.groupBy("token").agg(
+        F.countDistinct("group").cast("long").alias("df")
+    )
+    idf_q = F.round(
+        F.log(
+            (F.col("__n").cast("double") + 1.0)
+            / (F.col("df").cast("double") + 1.0)
+        )
+        * F.lit(float(TFIDF_QSCALE))
+    ).cast("long")
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn("score_q", (F.col("tf") * idf_q).cast("long"))
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("group", "token", "tf", "df", "score_q", "rk")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str, group_sql: str, text_sql: str, k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = tokens_sql(text_sql)
+    q = float(TFIDF_QSCALE)
+    return f"""
+WITH ti_tf AS MATERIALIZED (
+  SELECT {group_sql} AS grp, u.tok AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM {table} t, UNNEST({toks}) AS u(tok)
+  GROUP BY 1, 2
+), ti_n AS (SELECT CAST(count(DISTINCT {group_sql}) AS BIGINT) AS n FROM {table} t),
+ti_df AS (
+  SELECT token, CAST(count(DISTINCT grp) AS BIGINT) AS df
+  FROM ti_tf GROUP BY token
+), ti_scored AS (
+  SELECT f.grp, f.token, f.tf, d.df,
+         CAST(f.tf * CAST(round(ln((CAST(n.n AS DOUBLE) + 1.0)
+                                   / (CAST(d.df AS DOUBLE) + 1.0)) * {q!r})
+                          AS BIGINT) AS BIGINT) AS score_q
+  FROM ti_tf f JOIN ti_df d ON f.token = d.token CROSS JOIN ti_n n
+)
+SELECT grp AS "group", token, tf, df, score_q,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY score_q DESC, token ASC) AS rk
+  FROM ti_scored
+) WHERE rk <= {int(k)}
+"""

@@ -4041,6 +4041,85 @@ def bpe_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.lines import (  # noqa: E402
+    paragraph_dedup,
+    paragraph_dedup_sql,
+)
+
+
+@_register(
+    "paragraph_dedup",
+    paragraph_dedup_sql("documents", "doc_id", "text"),
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first paragraph dedup (new r9; RefinedWeb §3.3): every later
+    corpus copy of a repeated paragraph is excised, first occurrence (min
+    (doc_id, pos)) survives — the coarse-grained complement of the
+    character-level substring pass (operators/substrings) and the
+    frequency-threshold line pass (line_boilerplate_dedup). Fingerprints
+    shuffle, paragraph text never enters a shuffle key."""
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+from rust_triplets_spark.operators.dedup import (  # noqa: E402
+    ngram_containment_pairs,
+    ngram_containment_pairs_sql,
+)
+
+
+@_register(
+    "ngram_containment",
+    ngram_containment_pairs_sql(
+        "documents", "doc_id", "text", shingle_n=3, threshold=0.4
+    ),
+)
+def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| (new r9; Broder 1997's
+    containment vs resemblance): flags documents quoted whole inside
+    longer ones — the near-dup class symmetric Jaccard structurally
+    under-scores. Same guarded candidate shapes as ngram_jaccard_pairs
+    (max_df stop-shingles, Σ bucket² self-join)."""
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=3, threshold=0.4,
+    )
+
+
+from rust_triplets_spark.operators.quality import (  # noqa: E402
+    token_entropy,
+    token_entropy_sql,
+)
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+)
+
+
+@_register("token_entropy", token_entropy_sql("documents", "doc_id", "text"))
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (new r9): the quality signal
+    that catches repeated-token spam / keyword stuffing the bigram
+    repetition gates miss. Per-type integer contributions (round(ln·1e9))
+    make the sum order-free → bit-exact DuckDB twin. One token-scale
+    explode, partial-agg groupBy, per-doc window on vocab-shaped rows."""
+    return token_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "tfidf_top_terms",
+    tfidf_top_terms_sql("documents", "t.source", "t.text", k=5),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source (new r9): the domain-signature
+    audit — raw-count top tokens (top_tokens_per_source) surface the
+    same stop tokens everywhere; idf weighting surfaces what makes each
+    source DIFFERENT. Quantized integer idf grid → exact twin; rank
+    windows run over per-source vocabularies only."""
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "source", "text", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is

@@ -73,12 +73,10 @@ def _hash31_np(x: np.ndarray, seed: int) -> np.ndarray:
     return (h2 * MULT_A) % M31
 
 
-def probe_with_model(
-    df: DataFrame, model: BloomFilterModel, id_col: str, key_col: str
-) -> DataFrame:
-    """``(id, maybe_present)`` for a batch OR streaming frame — same
-    contract as the batch :func:`...operators.bloom.bloom_probe` (parity
-    pinned by pytest). Map-only; Arrow-batched; null keys probe false."""
+def bloom_member_col(model: BloomFilterModel, key) -> F.Column:
+    """Row-local membership-test column over an int64 key column — the
+    probe kernel, exposed as a Column so the ingest funnel can test
+    membership INLINE on a streaming frame. Null keys probe false."""
     from pyspark.sql.types import BooleanType
 
     words, m_bits, k, seed = model.words, model.m_bits, model.k_hashes, model.seed
@@ -100,12 +98,21 @@ def probe_with_model(
             hit &= (w & mask) == mask
         return pd.Series(hit)
 
-    key = F.col(key_col).cast("long")
+    key = key.cast("long")
+    return F.when(key.isNull(), F.lit(False)).otherwise(
+        _member(F.coalesce(key, F.lit(0)))
+    )
+
+
+def probe_with_model(
+    df: DataFrame, model: BloomFilterModel, id_col: str, key_col: str
+) -> DataFrame:
+    """``(id, maybe_present)`` for a batch OR streaming frame — same
+    contract as the batch :func:`...operators.bloom.bloom_probe` (parity
+    pinned by pytest). Map-only; Arrow-batched; null keys probe false."""
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.when(key.isNull(), F.lit(False))
-        .otherwise(_member(F.coalesce(key, F.lit(0))))
-        .alias("maybe_present"),
+        bloom_member_col(model, F.col(key_col)).alias("maybe_present"),
     )
 
 

@@ -58,6 +58,48 @@ def fuzzy_eval_index(
     )
 
 
+def eval_key_set(eval_index: DataFrame) -> frozenset:
+    """Collect a :func:`fuzzy_eval_index` into a driver-side
+    ``frozenset[(band, sig)]`` for row-local membership tests. The
+    collect is bounded by the index's own contract — benchmark sets are
+    MBs against a 100 TB feed (module doc); the at-rest path keeps the
+    join form, this set form exists for the map-only ingest funnel where
+    a per-doc boolean (not per-collision rows) is needed."""
+    return frozenset(
+        (r["band"], r["sig"]) for r in eval_index.select("band", "sig").collect()
+    )
+
+
+def band_collision_udf(keys: frozenset):
+    """Arrow-batched UDF over a MinHash band-struct array column: does
+    ANY of the doc's ``(band, sig)`` pairs collide with the benchmark key
+    set? Same band signatures as the join path (identical expressions),
+    so ``hit == (doc has >= 1 row in fuzzy_decontam_flags)`` exactly;
+    null arrays (docs too short to carry a signature — they never appear
+    in the flags either) probe false.
+
+    Takes the band column, not the text: the signature must be STAGED as
+    a real column first (one ``withColumn`` per step, as the join path
+    does) — substituting the 32-min signature expression into every band
+    slot builds a column tree deep enough to overflow the Python→JVM
+    column conversion."""
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _hit(band_arrs):
+        import pandas as pd
+
+        out = []
+        for arr in band_arrs:
+            if arr is None:
+                out.append(False)
+                continue
+            out.append(any((b["band"], b["sig"]) in keys for b in arr))
+        return pd.Series(out)
+
+    return _hit
+
+
 def fuzzy_decontam_flags(
     df: DataFrame,
     eval_index: DataFrame,

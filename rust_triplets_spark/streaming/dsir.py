@@ -94,14 +94,15 @@ def dsir_model(
     )
 
 
-def score_with_dsir_model(
-    df: DataFrame, model: DsirModel, id_col: str, text_col: str,
+def with_dsir_score(
+    df: DataFrame, model: DsirModel, text_col: str,
 ) -> DataFrame:
-    """``(id, n_feats, weight_q, avg_logratio)`` for a batch OR streaming
-    frame — the batch operator's output contract. Map-only: features come
-    from the same row-local column expression as the batch plan; the
-    bucket lookup is one Arrow-batched pandas UDF over the feature array
-    (the ≤ n_buckets table rides the closure)."""
+    """Append ``(n_feats, weight_q, avg_logratio)`` to ``df`` (all
+    existing columns kept) — map-only, so it composes into a streaming
+    select chain (the ingest funnel's building block). Features come from
+    the same row-local column expression as the batch plan; the bucket
+    lookup is one Arrow-batched pandas UDF over the feature array (the
+    ≤ n_buckets table rides the closure)."""
     from pyspark.sql.types import LongType
 
     table, default = model.buckets, model.default_lrq
@@ -118,24 +119,33 @@ def score_with_dsir_model(
             out.append(sum(table.get(b, default) for b in arr))
         return pd.Series(out, dtype="object")
 
-    featured = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        _feature_buckets_col(F.col(text_col), model.n_buckets, model.seed).alias(
-            "__feats"
-        ),
-    )
-    base = featured.select(
-        "id",
-        F.size("__feats").cast("long").alias("n_feats"),
-        _weight_q(F.col("__feats")).alias("weight_q"),
-    )
-    return base.select(
-        "id", "n_feats", "weight_q",
-        (
+    return (
+        df.withColumn(
+            "__feats",
+            _feature_buckets_col(F.col(text_col), model.n_buckets, model.seed),
+        )
+        .withColumn("n_feats", F.size("__feats").cast("long"))
+        .withColumn("weight_q", _weight_q(F.col("__feats")))
+        .withColumn(
+            "avg_logratio",
             F.col("weight_q").cast("double")
-            / (F.col("n_feats").cast("double") * F.lit(float(LM_QSCALE)))
-        ).alias("avg_logratio"),
+            / (F.col("n_feats").cast("double") * F.lit(float(LM_QSCALE))),
+        )
+        .drop("__feats")
     )
+
+
+def score_with_dsir_model(
+    df: DataFrame, model: DsirModel, id_col: str, text_col: str,
+) -> DataFrame:
+    """``(id, n_feats, weight_q, avg_logratio)`` for a batch OR streaming
+    frame — the batch operator's output contract (kernel:
+    :func:`with_dsir_score`)."""
+    return with_dsir_score(
+        df.select(F.col(id_col).cast("long").alias("id"), text_col),
+        model,
+        text_col,
+    ).select("id", "n_feats", "weight_q", "avg_logratio")
 
 
 def stream_dsir_scores(

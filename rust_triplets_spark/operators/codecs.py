@@ -22,6 +22,7 @@ time — the Spark-side batching/memory contract lives in multimodal.py.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -110,9 +111,11 @@ def decode_image_builtin(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(_PNG_MAGIC):
+        return decode_png(payload)
     raise ValueError(
         "decode_image_builtin: unsupported format (builtin codecs cover "
-        "PPM P6 and 24-bit BMP; install PIL for compressed formats)"
+        "PPM P6, 24-bit BMP, and 8-bit PNG; install PIL for JPEG/...)"
     )
 
 
@@ -129,3 +132,136 @@ def resize_nearest(pixels: np.ndarray, w: int, h: int) -> np.ndarray:
     ys = np.minimum(((np.arange(h) + 0.5) * h0 / h).astype(np.int64), h0 - 1)
     xs = np.minimum(((np.arange(w) + 0.5) * w0 / w).astype(np.int64), w0 - 1)
     return arr[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948). Unlike PPM/BMP this is a REAL compressed format a
+# multimodal corpus actually ships; the deflate layer is stdlib zlib, so a
+# pure-Python decoder needs only chunk parsing + scanline unfiltering.
+# Coverage: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+# 4 (gray+alpha), 6 (RGBA); interlace 0. Alpha is dropped (PIL's
+# convert("RGB") semantics). Encoder emits color type 2, filter 0, fixed
+# zlib level — byte-reproducible.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Pure Python + stdlib zlib; see the
+    section comment for the supported subset (the overwhelmingly common
+    8-bit non-interlaced shapes)."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("decode_png: missing PNG signature")
+    pos = len(_PNG_MAGIC)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("decode_png: truncated chunk")
+        pos += 12 + length  # length + type + data + crc (crc unchecked)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("decode_png: no IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"decode_png: unsupported bit depth {depth} (only 8)")
+    if comp != 0 or filt != 0:
+        raise ValueError("decode_png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("decode_png: Adam7 interlace not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"decode_png: unknown color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("decode_png: palette image without PLTE")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"decode_png: bad raster size {len(raw)} for {w}x{h}x{channels}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        row = raw[y * (1 + stride): (y + 1) * (1 + stride)]
+        f, line = row[0], bytearray(row[1:])
+        above = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8) + above).astype(
+                    np.uint8
+                ).tobytes()
+            )
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + int(above[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = int(above[x - bpp]) if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, int(above[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"decode_png: unknown filter {f} on row {y}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    px = out.reshape(h, w, channels)
+    if color == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if color == 2:  # RGB
+        return px.copy()
+    if color == 3:  # palette
+        return plte[px[..., 0]]
+    if color == 4:  # gray + alpha -> drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3].copy()  # RGBA -> drop alpha
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, filter 0, zlib level 6
+    — a fixed recipe, so output bytes are reproducible)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_png: expected (h, w, 3), got {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )

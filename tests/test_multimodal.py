@@ -73,10 +73,13 @@ def test_batch_rows_bound_holds_at_execution(spark):
 
 
 def test_real_decode_unsupported_format_is_loud():
-    # without PIL, the builtin codecs cover PPM/BMP only — a compressed
-    # format must fail per-payload with a clear error, never silently
+    # without PIL, the builtin codecs cover PPM/BMP/PNG — JPEG (and any
+    # other DCT format) must fail per-payload with a clear error, never
+    # silently; a CORRUPT PNG (magic but garbage chunks) must also be loud
     with pytest.raises((ValueError, OSError)):
-        _decode_image(PNG)
+        _decode_image(JPG)
+    with pytest.raises((ValueError, OSError)):
+        _decode_image(PNG)  # the fixture is magic + garbage, not a raster
 
 
 def test_frame_sample_plan(spark):
@@ -193,21 +196,24 @@ def test_real_feature_branch_end_to_end(spark):
     px = _gradient_pixels(8, 6)
     from rust_triplets_spark.operators.codecs import encode_ppm
 
+    from rust_triplets_spark.operators.codecs import encode_png
+
     rows = [
         (1, "image", None, encode_ppm(px), {}),
         (2, "image", None, _bmp_bytes(px), {}),
+        (3, "image", None, encode_png(px), {}),  # REAL compressed format
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {
         r["media_id"]: r
         for r in extract_features(media, dim=8, use_stub=False, batch_rows=1).collect()
     }
-    assert set(out) == {1, 2}
-    for mid in (1, 2):
+    assert set(out) == {1, 2, 3}
+    for mid in (1, 2, 3):
         feat = out[mid]["feature"]
         assert len(feat) == 8 and abs(sum(feat) - 1.0) < 1e-4
     # same pixels → same feature regardless of container format
-    assert out[1]["feature"] == out[2]["feature"]
+    assert out[1]["feature"] == out[2]["feature"] == out[3]["feature"]
 
 
 def test_resize_real_branch_end_to_end(spark):
@@ -223,11 +229,14 @@ def test_resize_real_branch_end_to_end(spark):
     )
     from rust_triplets_spark.operators.multimodal import resize_media
 
+    from rust_triplets_spark.operators.codecs import encode_png
+
     px = _gradient_pixels(10, 8)
     rows = [
         (1, "image", None, encode_ppm(px), {}),
         (2, "image", None, _bmp_bytes(px), {}),
         (3, "audio", None, WAV, {}),
+        (4, "image", None, encode_png(px), {}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {
@@ -235,7 +244,7 @@ def test_resize_real_branch_end_to_end(spark):
         for r in resize_media(media, 4, 3, use_stub=False, batch_rows=2).collect()
     }
     expect = resize_nearest(px, 4, 3)
-    for mid in (1, 2):
+    for mid in (1, 2, 4):
         assert (out[mid]["width"], out[mid]["height"]) == (4, 3)
         got = decode_ppm(out[mid]["payload"])
         assert got.shape == (3, 4, 3)
@@ -315,3 +324,82 @@ def test_degenerate_zero_pixel_image_survives_real_branch(spark):
     assert _real_feature(empty, dim=4) == [0.0, 0.0, 0.0, 0.0]
     out = _resize_image_real(empty, 3, 2)
     assert decode_ppm(out).shape == (2, 3, 3)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The vendored PNG decoder against handcrafted rasters: encoder
+    roundtrip, every scanline filter type (None/Sub/Up/Average/Paeth),
+    and every supported color type (gray, RGB, palette, gray+alpha,
+    RGBA). Reference filter math computed independently in the test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rust_triplets_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (5, 9, 3), (16, 16, 3), (3, 1, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), shape
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    w, h, bpp = 4, 5, 3
+    stride = w * bpp
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    flat = px.reshape(h, stride).astype(np.int32)
+    rows, prev = [], np.zeros(stride, dtype=np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur, enc = flat[y], bytearray()
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            v = {0: cur[x], 1: cur[x] - left, 2: cur[x] - up,
+                 3: cur[x] - ((left + up) >> 1),
+                 4: cur[x] - paeth(left, up, ul)}[f]
+            enc.append(v & 0xFF)
+        rows.append(bytes([f]) + bytes(enc))
+        prev = cur
+    sig = b"\x89PNG\r\n\x1a\n"
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), px)
+
+    def raster(arr):
+        return zlib.compress(
+            b"".join(b"\x00" + arr[y].tobytes() for y in range(arr.shape[0]))
+        )
+
+    g = rng.integers(0, 256, (3, 4, 1), dtype=np.uint8)
+    png_g = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", raster(g)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png_g), np.repeat(g, 3, axis=2))
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (3, 4, 1), dtype=np.uint8)
+    png_p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+             + chunk(b"PLTE", pal.tobytes())
+             + chunk(b"IDAT", raster(idx)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png_p), pal[idx[..., 0]])
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    png_ga = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 4, 0, 0, 0))
+              + chunk(b"IDAT", raster(ga)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png_ga), np.repeat(ga[..., :1], 3, axis=2))
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    png_a = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+             + chunk(b"IDAT", raster(rgba)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png_a), rgba[..., :3])
+    # unsupported shapes stay loud
+    png_16 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
+              + chunk(b"IDAT", b"") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(png_16)

@@ -222,6 +222,7 @@ _SERIES_ENDS = {
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
+    "r9": "tfidf_top_terms",
 }
 
 

@@ -4140,78 +4140,68 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_CHECK_CAP = 50
 
 _CHECK_FIRST = [
-    # new this round (round 8): the oracle-checkable float-IVF projection
-    # (persisted trained centroids — replaces ann_ivf_float_topk's
-    # permanent rows-only window slot, which rotates OUT; its correctness
-    # stays pinned by pytest recall/parity tests), Gopher doc-quality
-    # rules, and DSIR importance weights
-    "ann_ivf_float_cells",
-    "gopher_quality",
-    "dsir_importance",
-    "curation_funnel",
-    "dup_ngram_spans",
-    "substring_dedup_clean",
-    "contamination_fraction",
-    "curriculum_order",
-    "doremi_domain_weights",
-    "bloom_ingest_probe",
-    "quality_clf_features",
-    "bpe_merge_candidates",
-    "embedding_int8_codes",
-    "ann_hard_negatives",
-    "length_grouped_batches",
-    "padding_efficiency",
-    "vocab_coverage",
-    "label_centroids",
-    "corpus_datasheet",
-    "source_datasheet",
-    # registered late in r7 — never driver-checked (README rotation log)
-    "ann_ivfpq_topk",
-    "bigram_lm_quality",
-    "ccnet_quality_buckets",
-    "kmv_source_vocab",
-    "simhash_dedup_keep",
-    # displaced from the full r7 window; last driver-green r4
-    "top_tokens_per_source",
-    "event_gap_quantiles",
-    "source_vocab_overlap",
-    "source_vocab_stats",
-    # rotation: 22 of the 46 names whose last driver green was r6 — all
+    # new this round (round 9): the full BPE tokenizer loop (train +
+    # fertility), paragraph keep-first dedup, shingle containment,
+    # token-entropy quality, and the TF-IDF domain signature — the
+    # documented policy: NEW queries enter the window the round they ship
+    "bpe_vocab",
+    "bpe_fertility",
+    "paragraph_dedup",
+    "ngram_containment",
+    "token_entropy",
+    "tfidf_top_terms",
+    # the r8 deferrals, now rotated in as promised (README rotation log):
+    # the 8 multi-round-stable TPC-H/analytics names + quality_score,
+    # weighted_source_interleave, wrong_date_negatives, the 13 names the
+    # late-registered r8 queries displaced, and qa_mismatch_negatives
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "rollup_revenue",
+    "window_topn_orders",
+    "set_ops_customers",
+    "sessionization",
+    "tumbling_window_counts",
+    "lang_id",
+    "quality_score",
+    "weighted_source_interleave",
+    "wrong_date_negatives",
+    "simhash_signatures",
+    "sliding_window_chunks",
+    "source_skew",
+    "split_assignment",
+    "split_counts_for_total",
+    "split_ratio_counts",
+    "split_with_overrides",
+    "temporal_asof_join",
+    "temporal_offset_triplets",
+    "text_samples",
+    "token_stats",
+    "triplet_assembly",
+    "weighted_recipe_order",
+    "qa_mismatch_negatives",
+    # staleness rotation: every remaining registry name's last driver
+    # green is r7, so the filler slice takes the alphabetically-first 19
+    # (deterministic tie-break); the rest rotate in over r10-r11. All are
     # re-verified locally each round via scripts/check_correctness.py.
-    # Deferred to r9 (every one r6-driver-green AND re-verified locally
-    # this round): the 8 multi-round-stable TPC-H/analytics names
-    # (q1_pricing_summary, q5_local_supplier_volume, rollup_revenue,
-    # window_topn_orders, set_ops_customers, sessionization,
-    # tumbling_window_counts, lang_id), quality_score,
-    # weighted_source_interleave, wrong_date_negatives, and the 13
-    # displaced when the 13 late-registered round-8 queries rotated in
-    # (the documented policy: NEW queries enter the window the round
-    # they ship): simhash_signatures, sliding_window_chunks, source_skew,
-    # split_assignment, split_counts_for_total, split_ratio_counts,
-    # split_with_overrides, temporal_asof_join, temporal_offset_triplets,
-    # text_samples, token_stats, triplet_assembly, weighted_recipe_order,
-    # and qa_mismatch_negatives (displaced by source_datasheet).
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    "binary_columns",
-    "capacity_estimation",
-    "chunk_rotation",
-    "cluster_aware_splits",
-    "date_meta_values",
-    "derived_text_recipes",
-    "epoch_shuffle",
-    "grouped_refresh_cap",
-    "indexable_pager",
-    "json_props_extract",
-    "jsonl_records",
-    "kvp_decoration",
-    "lexical_similarity",
-    "minhash_dedup_keep",
-    "ngram_jaccard_pairs",
-    "normalize_whitespace",
-    "parse_pub_dates",
-    "round_robin_interleave",
-    "semdedup_clusters",
+    "affine_index_permutation",
+    "ann_bucketed_topk",
+    "batch_pad_with_reuse",
+    "bm25_hard_negatives",
+    "bm25_topk",
+    "bpe_token_stats",
+    "budgeted_source_sample",
+    "c4_doc_filter",
+    "corpus_clean",
+    "corpus_clean_funnel",
+    "cosine_topk",
+    "csv_role_records",
+    "decontamination",
+    "denoise_gate3_waves",
+    "denoise_gates",
+    "doc_fingerprint",
+    "embedding_neardup_pairs",
+    "epoch_batch_plan",
+    "exact_dedup",
 ]
 
 

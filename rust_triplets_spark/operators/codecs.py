@@ -113,9 +113,14 @@ def decode_image_builtin(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from rust_triplets_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
         "decode_image_builtin: unsupported format (builtin codecs cover "
-        "PPM P6, 24-bit BMP, and 8-bit PNG; install PIL for JPEG/...)"
+        "PPM P6, 24-bit BMP, 8-bit PNG, and baseline JPEG; install PIL "
+        "for progressive JPEG/WebP/...)"
     )
 
 

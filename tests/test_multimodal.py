@@ -73,13 +73,15 @@ def test_batch_rows_bound_holds_at_execution(spark):
 
 
 def test_real_decode_unsupported_format_is_loud():
-    # without PIL, the builtin codecs cover PPM/BMP/PNG — JPEG (and any
-    # other DCT format) must fail per-payload with a clear error, never
-    # silently; a CORRUPT PNG (magic but garbage chunks) must also be loud
+    # the builtin codecs now cover PPM/BMP/PNG/baseline-JPEG — CORRUPT
+    # payloads (magic + garbage) and genuinely uncovered formats (WebP)
+    # must fail per-payload with a clear error, never silently
     with pytest.raises((ValueError, OSError)):
-        _decode_image(JPG)
+        _decode_image(JPG)  # magic + garbage, not a real scan
     with pytest.raises((ValueError, OSError)):
-        _decode_image(PNG)  # the fixture is magic + garbage, not a raster
+        _decode_image(PNG)  # magic + garbage, not a raster
+    with pytest.raises((ValueError, OSError)):
+        _decode_image(b"RIFF....WEBPVP8 " + b"x" * 20)
 
 
 def test_frame_sample_plan(spark):

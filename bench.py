@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "ngram_containment",
     "token_entropy",
     "tfidf_top_terms",
+    "unicode_script_mix",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -222,7 +223,7 @@ _SERIES_ENDS = {
     "r6": "ann_ivf_float_topk",
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
-    "r9": "tfidf_top_terms",
+    "r9": "unicode_script_mix",
 }
 
 

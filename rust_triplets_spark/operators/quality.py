@@ -366,3 +366,89 @@ SELECT i.id,
                  / (CAST(a.n_tokens AS DOUBLE) * {q!r}) END AS entropy
 FROM te_ids i LEFT JOIN te_agg a ON i.id = a.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script mix — the multilingual corpus audit: per-group character
+# counts by Unicode script. lang_id (functions/text.py) classifies
+# documents by token heuristics; this profiles the raw CHARACTER
+# composition (mixed-script spam, mojibake, wrong-language contamination
+# inside a source). Counts are exact integers; Java's \p{IsXxx} and
+# RE2's \p{Xxx} script classes agree on these ten scripts (parity pinned
+# by the oracle twin and tests).
+# ---------------------------------------------------------------------------
+
+_SCRIPTS = (
+    "latin", "cyrillic", "greek", "arabic", "hebrew",
+    "devanagari", "han", "hiragana", "katakana", "hangul",
+)
+
+
+def unicode_script_mix(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group script composition: ``(group, n_chars, latin, …, hangul,
+    other, dominant_script)``. ``other`` = everything not in the ten
+    script classes (digits, punctuation, whitespace, symbols);
+    ``dominant_script`` = the max-count script, ties broken by the fixed
+    class order. Entirely row-local (regexp_replace length deltas) + one
+    partial-aggregable groupBy — zero joins, zero windows."""
+    text = F.col(text_col)
+    n = F.length(text)
+    per = [
+        (
+            n - F.length(F.regexp_replace(text, f"\\p{{Is{s.capitalize()}}}", ""))
+        ).cast("long").alias(s)
+        for s in _SCRIPTS
+    ]
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.coalesce(n.cast("long"), F.lit(0)).alias("__n"),
+        *per,  # null text -> null counts; coalesced at the agg below
+    )
+    agg = base.groupBy("group").agg(
+        F.sum("__n").cast("long").alias("n_chars"),
+        *[F.sum(F.coalesce(F.col(s), F.lit(0))).cast("long").alias(s) for s in _SCRIPTS],
+    )
+    dominant = F.lit("other")
+    best = F.lit(0).cast("long")
+    # fixed priority order: earlier script wins ties (> not >=)
+    for s in _SCRIPTS:
+        cond = F.col(s) > best
+        dominant = F.when(cond, F.lit(s)).otherwise(dominant)
+        best = F.when(cond, F.col(s)).otherwise(best)
+    other = (F.col("n_chars") - sum(F.col(s) for s in _SCRIPTS)).cast("long")
+    return agg.select(
+        "group", "n_chars", *_SCRIPTS,
+        other.alias("other"),
+        dominant.alias("dominant_script"),
+    )
+
+
+def unicode_script_mix_sql(table: str, group_sql: str, text_sql: str) -> str:
+    """DuckDB twin of :func:`unicode_script_mix` (RE2 ``\\p{Xxx}``)."""
+    per = ", ".join(
+        f"CAST(sum(coalesce(length({text_sql}) - length(regexp_replace("
+        f"{text_sql}, '\\p{{{s.capitalize()}}}', '', 'g')), 0)) AS BIGINT) AS {s}"
+        for s in _SCRIPTS
+    )
+    # same fixed-priority tie-break as the Spark fold (earlier wins ties)
+    dom = "CASE "
+    for i, s in enumerate(_SCRIPTS):
+        later = _SCRIPTS[i + 1:]
+        conds = [f"{s} > 0"] + [f"{s} >= {t}" for t in later] \
+            + [f"{s} > {t}" for t in _SCRIPTS[:i]]
+        dom += f"WHEN {' AND '.join(conds)} THEN '{s}' "
+    dom += "ELSE 'other' END"
+    total = " + ".join(_SCRIPTS)
+    return f"""
+WITH usm AS (
+  SELECT {group_sql} AS "group",
+         CAST(sum(coalesce(length({text_sql}), 0)) AS BIGINT) AS n_chars,
+         {per}
+  FROM {table} t
+  GROUP BY 1
+)
+SELECT "group", n_chars, {', '.join(_SCRIPTS)},
+       CAST(n_chars - ({total}) AS BIGINT) AS other,
+       {dom} AS dominant_script
+FROM usm
+"""

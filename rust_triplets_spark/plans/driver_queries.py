@@ -4120,6 +4120,26 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.quality import (  # noqa: E402
+    unicode_script_mix,
+    unicode_script_mix_sql,
+)
+
+
+@_register(
+    "unicode_script_mix",
+    unicode_script_mix_sql("documents", "t.source", "t.text"),
+)
+def unicode_script_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode-script composition (new r9): exact character
+    counts for ten script classes + other + the dominant script — the
+    multilingual audit that catches mixed-script spam, mojibake, and
+    wrong-language contamination inside a source. Java \\p{IsXxx} and
+    RE2 \\p{Xxx} agree on these classes (parity pinned). Row-local
+    regex length-deltas + ONE partial-agg groupBy; no joins/windows."""
+    return unicode_script_mix(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 # ---------------------------------------------------------------------------
 # driver-check ordering. The external driver checks at most the FIRST 50
 # registry entries per round (dict insertion order), so the registry is
@@ -4150,6 +4170,7 @@ _CHECK_FIRST = [
     "ngram_containment",
     "token_entropy",
     "tfidf_top_terms",
+    "unicode_script_mix",
     # the r8 deferrals, now rotated in as promised (README rotation log):
     # the 8 multi-round-stable TPC-H/analytics names + quality_score,
     # weighted_source_interleave, wrong_date_negatives, the 13 names the
@@ -4201,7 +4222,6 @@ _CHECK_FIRST = [
     "doc_fingerprint",
     "embedding_neardup_pairs",
     "epoch_batch_plan",
-    "exact_dedup",
 ]
 
 

@@ -301,3 +301,39 @@ def test_mid_round8_queries_plan_quality(spark):
     assert "BroadcastHashJoin" in plans["contamination_fraction"]
     assert "BroadcastHashJoin" in plans["bloom_ingest_probe"]
     assert "SortMergeJoin" not in plans["bloom_ingest_probe"]
+
+
+def test_r9_query_plans_have_no_cartesian_or_global_sort(spark):
+    """Round-9 plan audit: none of the new queries may plan a cartesian
+    product, a non-broadcast nested-loop join, or a single-partition
+    global Sort (rank windows must stay per-group / range-bucketed).
+    bpe_vocab/bpe_fertility are excluded here — their driver-side loop
+    materializes state eagerly per round (their plan story is the CC
+    loop's, covered by the operator tests)."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    for name in ("paragraph_dedup", "ngram_containment", "token_entropy",
+                 "tfidf_top_terms"):
+        plan = _physical(DQ.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or "BuildRight, Cross" in plan, name
+        # global (non-window) Sort over the whole frame would show as a
+        # Sort with a SinglePartition exchange right below it.
+        # tfidf_top_terms legitimately funnels ONE row (the countDistinct
+        # N-groups scalar) through a single partition before broadcasting
+        # it — that is the O(1)-row agg shape, not a corpus funnel.
+        if name != "tfidf_top_terms":
+            assert "Exchange SinglePartition" not in plan, name
+
+
+def test_paragraph_dedup_shuffles_fingerprints_not_text(spark):
+    """The first-occurrence agg must key on (pkey, plen) — paragraph
+    text appears in shuffle VALUES (re-assembly) but never in the
+    hash-partitioning keys."""
+    from rust_triplets_spark.plans import driver_queries as DQ
+
+    plan = _physical(DQ.QUERIES["paragraph_dedup"](spark, SF))
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "para#" not in line.split("hashpartitioning", 1)[1].split(")")[0] \
+                or "pkey" in line, line

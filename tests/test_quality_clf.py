@@ -85,3 +85,34 @@ def test_feature_frame_counts_bigrams_and_unigrams(spark):
     # tf sums preserve multiplicity
     assert sum(r.tf for r in out) == 5
     assert max(r.tf for r in out) == 2  # the repeated "a"
+
+
+def test_unicode_script_mix_multilingual(spark):
+    """Exact per-script counts and first-max tie-break on a multilingual
+    fixture, incl. null text and an all-other group."""
+    from rust_triplets_spark.operators.quality import unicode_script_mix
+
+    rows = [
+        ("s1", "Hello world Привет мир"),
+        ("s1", "Γειά σου κόσμε"),
+        ("s2", "مرحبا بالعالم שלום עולם"),
+        ("s3", "12345 !?#   "),
+        ("s3", None),
+        ("s4", "tie tie"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["group"]: r for r in
+           unicode_script_mix(df, "source", "text").collect()}
+    assert got["s1"]["latin"] == 10 and got["s1"]["cyrillic"] == 9
+    assert got["s1"]["greek"] == 12 and got["s1"]["dominant_script"] == "greek"
+    assert got["s2"]["arabic"] == 12 and got["s2"]["hebrew"] == 8
+    assert got["s2"]["dominant_script"] == "arabic"
+    assert got["s3"]["n_chars"] == 12 and got["s3"]["other"] == 12
+    assert got["s3"]["dominant_script"] == "other"
+    assert got["s4"]["dominant_script"] == "latin"
+    # counts partition: scripts + other == n_chars
+    for r in got.values():
+        total = sum(r[s] for s in (
+            "latin", "cyrillic", "greek", "arabic", "hebrew",
+            "devanagari", "han", "hiragana", "katakana", "hangul"))
+        assert total + r["other"] == r["n_chars"]

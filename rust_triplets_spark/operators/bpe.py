@@ -330,3 +330,78 @@ SELECT source,
 FROM bpef_e{n_merges}
 GROUP BY source
 """
+
+
+def bpe_apply_py(word: str, ranks: dict) -> list:
+    """Reference/deploy merge application: greedy lowest-rank-first (the
+    classic BPE apply, e.g. GPT-2's) — equivalent to replaying the
+    merges in training order, because a later merge's inputs can only be
+    produced by earlier merges. ``ranks`` maps ``(left, right) -> rank``."""
+    toks = list(word)
+    while len(toks) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        # merge ALL occurrences of the best pair left-to-right (ties in
+        # position resolve left-first, matching the training fold)
+        l, rgt = toks[best_i], toks[best_i + 1]
+        out = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == rgt:
+                out.append(l + rgt)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def bpe_encode_udf(merges: list):
+    """Deploy-shape tokenizer kernel: an Arrow-batched pandas UDF mapping
+    a text column to ``array<string>`` BPE tokens under the trained
+    ``merges`` (the :func:`bpe_train` output). The expression-fold chain
+    used for training/oracle parity costs one fold PER MERGE — fine for
+    the 12-merge oracle fixtures, unusable at a production 32k-merge
+    vocabulary; this kernel is O(tokens·log-ish) per word with the merge
+    table as a plain dict riding the closure (a 32k-merge table is <2 MB
+    — broadcast-sized BY CONSTRUCTION). Per-word results are memoised
+    per batch (Zipf: the hot words dominate). Parity with the training
+    fold is pytest-pinned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    from rust_triplets_spark.functions.text import WS
+    import re
+
+    ranks = {(l, r): rank for rank, l, r, _, _ in merges}
+    ws = re.compile(WS)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _encode(texts):
+        import pandas as pd
+
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = []
+            for w in ws.split(t.strip()):
+                if not w:
+                    continue
+                enc = cache.get(w)
+                if enc is None:
+                    enc = bpe_apply_py(w, ranks)
+                    cache[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out)
+
+    return _encode

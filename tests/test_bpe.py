@@ -136,3 +136,53 @@ def test_fertility_matches_reference(spark):
 def test_vocab_rejects_bad_n(spark):
     with pytest.raises(ValueError):
         bpe_vocab(_docs(spark, ["a b"]), "text", 0)
+
+
+def test_deploy_kernel_matches_training_fold(spark):
+    """bpe_encode_udf (dict-based greedy lowest-rank apply, the deploy
+    kernel) must tokenize exactly like replaying the training fold chain
+    — on the training corpus AND on unseen words."""
+    from pyspark.sql import functions as F
+
+    from rust_triplets_spark.operators.bpe import (
+        apply_merge_col,
+        bpe_encode_udf,
+        bpe_train,
+        bpe_apply_py,
+    )
+
+    rng = random.Random(31)
+    texts = [
+        " ".join("".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(1, 10)))
+        for _ in range(30)
+    ]
+    docs = _docs(spark, texts)
+    merges, _ = bpe_train(docs, "text", 10)
+    assert merges  # fixture must actually train something
+    # fold-chain encoding of every distinct word
+    words = sorted({w for t in texts for w in t.split()})
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    state = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr(F.col("w"), i, F.lit(1))),
+        "\x1f",
+    )
+    cur = wdf.select(F.col("w"), state.alias("s")).localCheckpoint(eager=True)
+    for _, l, r, _, _ in merges:
+        cur = cur.select("w", apply_merge_col(F.col("s"), l, r).alias("s"))
+        cur = cur.localCheckpoint(eager=True)
+    fold = {r["w"]: r["s"].split("\x1f") for r in cur.collect()}
+    # deploy kernel on the same words + python reference directly
+    ranks = {(l, r): k for k, l, r, _, _ in merges}
+    enc = bpe_encode_udf(merges)
+    got = {r["w"]: r["t"] for r in
+           wdf.select("w", enc(F.col("w")).alias("t")).collect()}
+    for w in words:
+        assert got[w] == fold[w] == bpe_apply_py(w, ranks), w
+    # unseen words (incl. chars never trained) still tokenize
+    unseen = spark.createDataFrame([("zzzz",), ("abab",)], "w string")
+    u = {r["w"]: r["t"] for r in
+         unseen.select("w", enc(F.col("w")).alias("t")).collect()}
+    assert u["zzzz"] == ["z", "z", "z", "z"]
+    assert u["abab"] == bpe_apply_py("abab", ranks)

@@ -190,10 +190,8 @@ BENCH_WINDOW_EXTRA = [
     "pii_scrub",
     "source_token_budget",
     "q5_local_supplier_volume",
-    "corpus_clean_funnel",
     # r5
     "semdedup_clusters",
-    "cluster_aware_splits",
     # r7
     "training_shards",
     "kmv_source_vocab",

@@ -393,7 +393,11 @@ def bpe_encode_udf(merges: list):
                 out.append(None)
                 continue
             toks = []
-            for w in ws.split(t.strip()):
+            # no str.strip(): it strips ALL Unicode whitespace while the
+            # pinned WS class is ASCII-only — leading/trailing WS-class
+            # runs just yield '' tokens the filter below discards, which
+            # is exactly tokens_col's behavior
+            for w in ws.split(t):
                 if not w:
                     continue
                 enc = cache.get(w)

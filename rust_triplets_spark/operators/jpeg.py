@@ -201,6 +201,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "jpeg: non-interleaved (multi-scan) baseline streams "
+                    "unsupported — decoding only the first scan would "
+                    "silently return color-shifted pixels; use PIL"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]

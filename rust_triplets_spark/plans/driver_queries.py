@@ -1981,7 +1981,7 @@ from rust_triplets_spark.operators.similarity import (  # noqa: E402
 )
 
 # A missing/corrupt fixtures/ivf_centroids.json must fail ONLY the one
-# query that needs it, never the whole 125-query registry import (bench,
+# query that needs it, never the whole registry import (bench,
 # driver checks, every test collect) — so the load is guarded and the
 # failure is re-raised lazily at query-call time.
 try:
@@ -4201,8 +4201,9 @@ _CHECK_FIRST = [
     "weighted_recipe_order",
     "qa_mismatch_negatives",
     # staleness rotation: every remaining registry name's last driver
-    # green is r7, so the filler slice takes the alphabetically-first 19
-    # (deterministic tie-break); the rest rotate in over r10-r11. All are
+    # green is r7, so the filler slice takes the alphabetically-first 18
+    # eligible names (deterministic tie-break; 18 = the slots left after
+    # 7 new + 25 deferrals); the rest rotate in over r10-r11. All are
     # re-verified locally each round via scripts/check_correctness.py.
     "affine_index_permutation",
     "ann_bucketed_topk",

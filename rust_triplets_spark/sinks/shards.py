@@ -233,11 +233,12 @@ def write_webdataset_shards(
         tmp_name = final_name = None
 
         def _commit():
-            nonlocal tar
+            nonlocal tar, tmp_name
             if tar is not None:
                 tar.close()
                 tar = None
                 os.replace(tmp_name, final_name)
+                tmp_name = None  # committed — nothing to clean up
 
         try:
             for r in rows:
@@ -263,8 +264,12 @@ def write_webdataset_shards(
                     tar.addfile(info, io.BytesIO(bytes(data)))
             _commit()
         finally:
-            if tar is not None:  # exception path: drop the partial temp
+            # exception path: drop the partial temp. tmp_name is still set
+            # whenever a temp exists and was not committed — including the
+            # case where os.replace itself raised after tar was closed.
+            if tar is not None:
                 tar.close()
+            if tmp_name is not None:
                 try:
                     os.remove(tmp_name)
                 except OSError:

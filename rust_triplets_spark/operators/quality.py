@@ -408,13 +408,17 @@ def unicode_script_mix(df: DataFrame, group_col: str, text_col: str) -> DataFram
         F.sum("__n").cast("long").alias("n_chars"),
         *[F.sum(F.coalesce(F.col(s), F.lit(0))).cast("long").alias(s) for s in _SCRIPTS],
     )
+    # linear CASE over plain columns — NOT a running-best fold: wrapping
+    # best/dominant per script doubles the expression tree per step
+    # (2^10 when-branches) and overflows whole-stage codegen (caught by
+    # tests/test_codegen_tripwire.py). First script in class order whose
+    # count equals the max (and > 0) wins — same first-max semantics.
+    best = F.greatest(*[F.col(s) for s in _SCRIPTS])
     dominant = F.lit("other")
-    best = F.lit(0).cast("long")
-    # fixed priority order: earlier script wins ties (> not >=)
-    for s in _SCRIPTS:
-        cond = F.col(s) > best
-        dominant = F.when(cond, F.lit(s)).otherwise(dominant)
-        best = F.when(cond, F.col(s)).otherwise(best)
+    for s in reversed(_SCRIPTS):
+        dominant = F.when(
+            (F.col(s) > 0) & (F.col(s) == best), F.lit(s)
+        ).otherwise(dominant)
     other = (F.col("n_chars") - sum(F.col(s) for s in _SCRIPTS)).cast("long")
     return agg.select(
         "group", "n_chars", *_SCRIPTS,

@@ -242,6 +242,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 2:  # RGB
         return px.copy()
     if color == 3:  # palette
+        if px.size and int(px.max()) >= plte.shape[0]:
+            raise ValueError("decode_png: palette index out of range")
         return plte[px[..., 0]]
     if color == 4:  # gray + alpha -> drop alpha
         return np.repeat(px[..., :1], 3, axis=2)

@@ -627,18 +627,28 @@ def ngram_containment_pairs(
     (tiny) but containment_a = 1.0 — the Broder (1997) "resemblance vs
     containment" distinction. Candidate generation, skew guard
     (``max_df`` stop-shingles), and the shingle self-join are the exact
-    ngram_jaccard_pairs shapes — cost is Σ bucket², never corpus²."""
+    ngram_jaccard_pairs shapes — cost is Σ bucket², never corpus².
+
+    Both |A ∩ B| AND the denominators |A|, |B| are computed over the
+    ``max_df``-FILTERED shingle universe: stop-shingles are excluded
+    from numerator and denominator alike, so a short document quoted
+    whole still scores containment 1.0 even when some of its shingles
+    are corpus-common. (Sizing from the unfiltered sets while
+    intersecting filtered ones — the r9 shape — biased containment
+    toward 0 for exactly the quoted-short-doc class this operator
+    exists to catch.) Any pair emitted shares ≥ 1 surviving shingle,
+    so filtered sizes are ≥ 1 — no division by zero."""
     from rust_triplets_spark.functions.caching import cache_scoped
 
     sh = cache_scoped(
         _with_shingles(df, id_col, text_col, shingle_n), "dedup.ngram_sh"
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("__sz"))
     w = Window.partitionBy("shingle")
     sh_f = cache_scoped(
         sh.withColumn("__df", F.count("*").over(w)).where(F.col("__df") <= max_df),
         "dedup.ngram_sh_f", eager=True,
     )
+    sizes = sh_f.groupBy("id").agg(F.count("*").alias("__sz"))
     inter = (
         sh_f.alias("l")
         .join(sh_f.alias("r"), "shingle")
@@ -662,16 +672,17 @@ def ngram_containment_pairs_sql(
     table: str, id_sql: str, text_sql: str,
     shingle_n: int = 3, threshold: float = 0.5, max_df: int = 1000,
 ) -> str:
-    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    """DuckDB twin of :func:`ngram_containment_pairs` (sizes over the
+    max_df-filtered shingle universe, matching the Spark side)."""
     return f"""
 WITH csh AS MATERIALIZED (
   SELECT CAST({id_sql} AS BIGINT) AS id, s.shingle
   FROM {table}, UNNEST({_shingles_sql(text_sql, shingle_n)}) AS s(shingle)
-), csizes AS (SELECT id, count(*) AS sz FROM csh GROUP BY id),
-csh_f AS MATERIALIZED (
+), csh_f AS MATERIALIZED (
   SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM csh)
   WHERE df <= {max_df}
-), cinter AS (
+), csizes AS (SELECT id, count(*) AS sz FROM csh_f GROUP BY id),
+cinter AS (
   SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter
   FROM csh_f l JOIN csh_f r ON l.shingle = r.shingle AND l.id < r.id
   GROUP BY l.id, r.id

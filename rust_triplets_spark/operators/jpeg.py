@@ -152,6 +152,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # B.1.1.2: any number of 0xFF fill bytes may pad before the marker
+        # id — skip them, or a padded file reads 0xFF as the id, falls
+        # through every branch, and swallows a bogus segment length.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -223,6 +228,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(scan) == 1:
+        # A.2.2: a single-component scan is NON-interleaved — one data
+        # unit per MCU in component raster order, padded to 8 px (not
+        # 8*h*v). The declared sampling factors only shape interleaved
+        # geometry, so neutralize them here: a jpegtran-grayscaled 4:2:0
+        # source keeps h=v=2 in its SOF and would otherwise decode
+        # scrambled (or trip a misleading truncation error).
+        comp0 = dict(scan[0][0], h=1, v=1)
+        comps = [comp0]
+        scan = [(comp0, scan[0][1], scan[0][2])]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -806,3 +806,54 @@ def test_ivf_trained_profile_single_centroid_parity(spark):
     w = want.sort_values("vec_id").reset_index(drop=True)
     for c in sorted(got.columns):
         assert (g[c].astype(str) == w[c].astype(str)).all(), c
+
+
+def test_ngram_containment_sizes_use_filtered_universe(spark):
+    """A short doc quoted whole inside a long one must score
+    containment_a = 1.0 even when some of its shingles are corpus-common
+    stop-shingles: |A| is computed over the max_df-FILTERED shingle set,
+    matching the filtered intersection (r10 fix — sizing from the
+    unfiltered set biased containment toward 0 for exactly this class).
+    The DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from rust_triplets_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_sql,
+    )
+
+    rows = [
+        (1, "a b c d e"),            # A: shingles {abc, bcd, cde}
+        (2, "a b c d e f g h"),      # B quotes A whole
+        (3, "a b c zz yy xx"),       # C..E make 'a b c' a stop-shingle
+        (4, "a b c qq rr ss"),
+        (5, "a b c tt uu vv"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(
+            df, "id", "text", threshold=0.9, max_df=3
+        ).collect()
+    }
+    # 'a b c' appears in 5 docs > max_df=3 and is filtered; A's surviving
+    # shingles {bcd, cde} are both in B → containment_a = 2/2 = 1.0
+    assert (1, 2) in got
+    inter, ca, cb = got[(1, 2)]
+    assert inter == 2 and abs(ca - 1.0) < 1e-12
+    # B's shingles: abc (df=5, dropped), bcd, cde, def, efg, fgh → 5 kept
+    assert abs(cb - 2.0 / 5.0) < 1e-12
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {
+        (a, b): (i, ca_, cb_)
+        for a, b, i, ca_, cb_ in con.execute(
+            ngram_containment_pairs_sql("t", "t.id", "t.text", threshold=0.9, max_df=3)
+        ).fetchall()
+    }
+    assert set(oracle) == set(got)
+    for k in got:
+        assert got[k][0] == oracle[k][0]
+        assert abs(got[k][1] - oracle[k][1]) < 1e-12
+        assert abs(got[k][2] - oracle[k][2]) < 1e-12

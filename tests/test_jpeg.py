@@ -174,3 +174,63 @@ def test_builtin_dispatch_and_multimodal_branch(spark):
     # wobble, so compare with a loose L1 budget rather than equality
     l1 = sum(abs(a - b) for a, b in zip(out[1], out[2]))
     assert l1 < 0.6, (out[1], out[2])
+
+
+def test_grayscale_frame_with_subsampling_factors_is_noninterleaved():
+    """T.81 A.2.2: a one-component scan is NON-interleaved — one data
+    unit per MCU in raster order, padded to 8 px — even when the SOF
+    declares sampling factors > 1 (jpegtran-grayscaled 4:2:0 sources
+    keep h=v=2). Hand-crafted 16x8 gray frame, sampling (2,2), two
+    DC-only blocks: interleaved decoding would demand 2x2 data units
+    per MCU and fail (or scramble); non-interleaved decodes exactly."""
+    codes = {k: _huff_codes(*v) for k, v in _HT.items()}
+    qy = _scale_q(_K1, 90)
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xDB, bytes([0])
+                   + qy.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+    out += _marker(0xC0, struct.pack(">BHHB", 8, 16, 8, 1)
+                   + bytes([1, 0x22, 0]))  # h=v=2 on the only component
+    for (kind, tid), (counts, syms) in _HT.items():
+        tc = 0 if kind == "dc" else 1
+        out += _marker(0xC4, bytes([(tc << 4) | tid]) + bytes(counts) + syms)
+    out += _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    _write_dc_only_block(bw, codes, 0, 6)   # block (0,0): dc=6
+    _write_dc_only_block(bw, codes, 0, -2)  # block (1,0): dc=6-2=4
+    bw.flush()
+    got = decode_jpeg(bytes(out) + bytes(bw.out) + b"\xff\xd9")
+    assert got.shape == (16, 8, 3)
+    top = round(6 * qy[0, 0] / 8.0 + 128.0)
+    bot = round(4 * qy[0, 0] / 8.0 + 128.0)
+    assert np.all(np.abs(got[:8, :, 0].astype(int) - top) <= 1)
+    assert np.all(np.abs(got[8:, :, 0].astype(int) - bot) <= 1)
+    # all three channels replicate the gray plane
+    assert np.array_equal(got[..., 0], got[..., 1])
+    assert np.array_equal(got[..., 0], got[..., 2])
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """B.1.1.2: any number of 0xFF pad bytes may precede a marker id.
+    Inject fill bytes before every header marker of a valid stream and
+    assert the decode is unchanged."""
+    px = np.full((8, 8, 3), 90, dtype=np.uint8)
+    payload = encode_jpeg(px, 90)
+    want = decode_jpeg(payload)
+    # rebuild the stream with 0xFF fill bytes injected before each
+    # marker in the header section (up to the SOS payload start)
+    padded = bytearray(payload[:2])
+    pos = 2
+    while pos + 4 <= len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        padded += b"\xff\xff"  # two fill bytes, then the real marker
+        padded += payload[pos:pos + 2]
+        pos += 2
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        padded += payload[pos:pos + seglen]
+        pos += seglen
+        if marker == 0xDA:  # entropy data follows — copy verbatim
+            padded += payload[pos:]
+            break
+    got = decode_jpeg(bytes(padded))
+    assert np.array_equal(got, want)

@@ -405,3 +405,31 @@ def test_png_codec_roundtrip_and_filters():
               + chunk(b"IDAT", b"") + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(png_16)
+
+
+def test_png_palette_index_out_of_range_is_loud():
+    """A palette image indexing past PLTE must raise the contract
+    ValueError (not numpy IndexError) so per-payload fault isolation in
+    decode_image_builtin callers holds."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rust_triplets_spark.operators.codecs import decode_png
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    pal = np.zeros((4, 3), dtype=np.uint8)  # only indices 0..3 valid
+    idx = np.full((2, 3, 1), 9, dtype=np.uint8)  # index 9 out of range
+    raster = zlib.compress(
+        b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    )
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", raster) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_png(png)

@@ -119,8 +119,8 @@ def decode_image_builtin(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     raise ValueError(
         "decode_image_builtin: unsupported format (builtin codecs cover "
-        "PPM P6, 24-bit BMP, 8-bit PNG, and baseline JPEG; install PIL "
-        "for progressive JPEG/WebP/...)"
+        "PPM P6, 24-bit BMP, 8-bit PNG, and baseline + progressive JPEG; "
+        "install PIL for WebP/GIF/TIFF/...)"
     )
 
 

@@ -3,23 +3,27 @@
 The last compressed format the multimodal family could not exercise
 in-sandbox: PPM/BMP/PNG are covered by :mod:`operators.codecs`; JPEG is
 the one a web-scale multimodal corpus actually ships most of. This
-module implements the BASELINE sequential DCT process from the public
-spec — enough to decode the overwhelmingly common shape (8-bit, Huffman,
-1 or 3 components, any of the standard 4:4:4 / 4:2:2 / 4:2:0 samplings,
-optional restart intervals) — plus a small 4:4:4 encoder used by the
-tests to produce real bitstreams to decode (JPEG is lossy, so tests
-assert closeness, plus exact checks on DC-only images where the
-transform chain is analytically exact).
+module implements the BASELINE sequential DCT process AND the
+PROGRESSIVE DCT process (SOF2: spectral selection + successive
+approximation, Annex G) from the public spec — together the two shapes
+a web corpus actually ships (8-bit, Huffman, 1 or 3 components, any of
+the standard 4:4:4 / 4:2:2 / 4:2:0 samplings, optional restart
+intervals) — plus small 4:4:4 encoders (sequential and progressive)
+used by the tests to produce real bitstreams to decode (JPEG is lossy,
+so tests assert closeness, plus exact checks on DC-only images where
+the transform chain is analytically exact).
 
-Deliberately NOT covered (loud ``ValueError``): progressive DCT (SOF2),
-arithmetic coding, 12-bit precision, hierarchical. Decode speed is
-pure-Python scale — fine for the bounded-batch `mapInPandas` media
-kernels this feeds (operators/multimodal.py), whose batch shape, not the
-codec, is the 100 TB contract; swap PIL in for production throughput.
+Deliberately NOT covered (loud ``ValueError``): arithmetic coding,
+12-bit precision, hierarchical, lossless. Decode speed is pure-Python
+scale — fine for the bounded-batch `mapInPandas` media kernels this
+feeds (operators/multimodal.py), whose batch shape, not the codec, is
+the 100 TB contract; swap PIL in for production throughput.
 
 Everything here is from the public spec: marker layout (B.2), Huffman
-decoding procedure (F.2.2), the zig-zag order (A.3.6), the IDCT as the
-orthonormal type-III DCT, and the JFIF YCbCr↔RGB matrix (ITU-T T.871).
+decoding procedure (F.2.2), the zig-zag order (A.3.6), the progressive
+DC/AC decode procedures with EOB runs and correction bits (G.1.2), the
+IDCT as the orthonormal type-III DCT, and the JFIF YCbCr↔RGB matrix
+(ITU-T T.871).
 """
 
 from __future__ import annotations
@@ -149,6 +153,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huff] = {}
     frame = None
     restart_interval = 0
+    coefs: dict[int, np.ndarray] | None = None
+    nscans = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -185,7 +191,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = seg[p + 17:p + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, syms)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -193,12 +199,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                # per-component coefficient store, sized to the
+                # interleaved-padded grid (a superset of every scan's
+                # non-interleaved grid); scans accumulate into it and
+                # reconstruction happens once, at EOI (G.1)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"jpeg: non-baseline frame type 0xFF{marker:02X} unsupported "
-                "(progressive/arithmetic/hierarchical need PIL)"
+                f"jpeg: non-DCT/arithmetic frame type 0xFF{marker:02X} "
+                "unsupported (arithmetic/hierarchical/lossless need PIL)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -206,23 +228,41 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            if frame["progressive"]:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if ss == 0 and se != 0:
+                    raise ValueError("jpeg: DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "jpeg: progressive AC scans must be single-component"
+                    )
+                pos = _decode_progressive_scan(
+                    payload, pos + seglen, frame, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval, coefs,
+                )
+                nscans += 1
+                continue
             if ns != len(frame["comps"]):
                 raise ValueError(
                     "jpeg: non-interleaved (multi-scan) baseline streams "
                     "unsupported — decoding only the first scan would "
                     "silently return color-shifted pixels; use PIL"
                 )
-            scan = []
-            for i in range(ns):
-                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0xF))
             pixels = _decode_scan(
                 payload, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
             )
             return pixels
         pos += seglen
+    if frame is not None and frame.get("progressive") and nscans:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("jpeg: no scan found")
 
 
@@ -279,6 +319,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
         # upsample to full resolution (nearest, the T.871 default shape)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
+    return _to_rgb(out)
+
+
+def _to_rgb(out: list[np.ndarray]) -> np.ndarray:
+    """Full-resolution float planes → (h, w, 3) uint8 (T.871 matrix)."""
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=2)
@@ -289,6 +334,205 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     return np.clip(
         np.round(np.stack([r, g, b], axis=2)), 0, 255
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — T.81 Annex G. Scans accumulate coefficients
+# (DC first/refine, AC first with EOB runs, AC refine with correction
+# bits) into the per-component store; reconstruction happens once at EOI.
+# ---------------------------------------------------------------------------
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac, dri, coefs,
+):
+    """Decode one progressive scan's entropy data into ``coefs``; return
+    the byte offset of the next marker."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(data, pos)
+    try:
+        if ss == 0 and len(scan) > 1:
+            # interleaved DC scan: MCU geometry exactly as baseline
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            pred = {c["id"]: 0 for c, _, _ in scan}
+            cnt = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and cnt and cnt % dri == 0:
+                        br.align_to_restart()
+                        pred = {c["id"]: 0 for c, _, _ in scan}
+                    cnt += 1
+                    for comp, tdc, _ in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = coefs[comp["id"]][
+                                    my * comp["v"] + by, mx * comp["h"] + bx
+                                ]
+                                pred[comp["id"]] = _dc_progressive(
+                                    blk, br, huff_dc.get(tdc), ah, al,
+                                    pred[comp["id"]],
+                                )
+        else:
+            # non-interleaved (single-component) scan: one data unit per
+            # MCU over the component's own block grid (A.2.2)
+            comp, tdc, tac = scan[0]
+            cw = -(-(w * comp["h"]) // hmax)
+            chh = -(-(h * comp["v"]) // vmax)
+            bx_n = (cw + 7) // 8
+            by_n = (chh + 7) // 8
+            arr = coefs[comp["id"]]
+            pred_v = 0
+            eobrun = 0
+            cnt = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if dri and cnt and cnt % dri == 0:
+                        br.align_to_restart()
+                        pred_v = 0
+                        eobrun = 0
+                    cnt += 1
+                    blk = arr[by, bx]
+                    if ss == 0:
+                        pred_v = _dc_progressive(
+                            blk, br, huff_dc.get(tdc), ah, al, pred_v
+                        )
+                    elif ah == 0:
+                        eobrun = _ac_first(
+                            blk, br, huff_ac[tac], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine(
+                            blk, br, huff_ac[tac], ss, se, al, eobrun
+                        )
+    except _MarkerHit:
+        raise ValueError("jpeg: entropy data ended early")
+    # resync: advance to the next real (non-stuffed, non-restart) marker
+    p = br.pos
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and data[p + 1] != 0xFF
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
+
+
+def _dc_progressive(blk, br, hdc, ah, al, pred):
+    """G.1.2.1: DC first pass decodes a diff at point-transform Al; the
+    refinement pass appends one bit per block."""
+    if ah == 0:
+        if hdc is None:
+            raise ValueError("jpeg: missing DC Huffman table")
+        t = hdc.decode(br)
+        pred += _extend(br.receive(t), t)
+        blk[0] = pred << al
+    else:
+        if br.read_bit():
+            blk[0] |= 1 << al
+    return pred
+
+
+def _ac_first(blk, br, hac, ss, se, al, eobrun):
+    """G.1.2.2: AC first pass over band [ss, se] with EOBn run codes."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = hac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun - 1  # current block is part of the run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: progressive AC index out of band")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(blk, br, hac, ss, se, al, eobrun):
+    """G.1.2.3: AC refinement — new coefficients arrive as ±1 at bit Al,
+    already-nonzero coefficients receive one correction bit each as the
+    scan passes over them (including inside EOB runs)."""
+    p1 = 1 << al
+
+    def correct(k):
+        if br.read_bit() and (abs(int(blk[k])) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = hac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # remaining coefficients handled by EOB logic
+                # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC refinement symbol")
+                val = p1 if br.read_bit() else -p1
+            # advance over r zero-history positions, correcting any
+            # nonzero-history coefficients passed along the way
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT every accumulated block and assemble RGB."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for c in comps:
+        arr = coefs[c["id"]]
+        by_n, bx_n = arr.shape[:2]
+        q = qt[c["tq"]]
+        plane = np.zeros((by_n * 8, bx_n * 8))
+        for by in range(by_n):
+            for bx in range(bx_n):
+                coef = np.zeros(64)
+                coef[ZIGZAG] = arr[by, bx]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _idct2(coef.reshape(8, 8) * q) + 128.0
+                )
+        p = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out.append(p[:h, :w])
+    return _to_rgb(out)
 
 
 def _decode_block(br: _BitReader, hdc: _Huff, hac: _Huff) -> np.ndarray:
@@ -488,5 +732,104 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
                     bw.write(ln, cd)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 → PROGRESSIVE (SOF2) 4:4:4 JPEG bytes via pure
+    spectral selection: scan 1 is the interleaved DC band, scans 2-4 are
+    per-component full AC bands (Ss=1..63, no successive approximation).
+    Test harness for the progressive decoder — the coefficient math is
+    identical to :func:`encode_jpeg`, so decoding this stream must equal
+    decoding the baseline stream pixel-for-pixel."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_jpeg_progressive: expected (h, w, 3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qy, qc = _scale_q(_K1, quality), _scale_q(_K2, quality)
+    codes = {k: _huff_codes(*v) for k, v in _HT.items()}
+
+    def marker(m, payload_):
+        return b"\xff" + bytes([m]) + struct.pack(">H", len(payload_) + 2) + payload_
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in ((0, qy), (1, qc)):
+        out += marker(0xDB, bytes([tq])
+                      + tbl.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+    out += marker(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for (kind, tid), (counts, syms) in _HT.items():
+        tc = 0 if kind == "dc" else 1
+        out += marker(0xC4, bytes([(tc << 4) | tid]) + bytes(counts) + syms)
+
+    # quantize every block of every component up front (zig-zag order)
+    hpad = (h + 7) // 8 * 8
+    wpad = (w + 7) // 8 * 8
+
+    def pad(p):
+        return np.pad(p, ((0, hpad - h), (0, wpad - w)), mode="edge")
+
+    planes = [(pad(y), qy, 0), (pad(cb), qc, 1), (pad(cr), qc, 1)]
+    by_n, bx_n = hpad // 8, wpad // 8
+    zz = np.zeros((3, by_n, bx_n, 64), dtype=np.int64)
+    for ci, (p, q, _tid) in enumerate(planes):
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = np.round(_dct2(blk) / q).astype(np.int64)
+                zz[ci, by, bx] = coef.reshape(-1)[ZIGZAG]
+
+    # scan 1: interleaved DC (Ss=0, Se=0, Ah=0, Al=0)
+    out += marker(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0]))
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci, tid in ((0, 0), (1, 1), (2, 1)):
+                dc = int(zz[ci, by, bx, 0]) - pred[ci]
+                pred[ci] = int(zz[ci, by, bx, 0])
+                t = dc.bit_length() if dc >= 0 else (-dc).bit_length()
+                ln, cd = codes[("dc", tid)][t]
+                bw.write(ln, cd)
+                if t:
+                    bw.write(t, dc if dc >= 0 else dc + (1 << t) - 1)
+    bw.flush()
+    out += bw.out
+
+    # scans 2-4: one full AC band per component (Ss=1, Se=63, Ah=0, Al=0)
+    for ci, (cs, tid) in enumerate(((1, 0), (2, 1), (3, 1))):
+        out += marker(0xDA, bytes([1, cs, tid, 1, 63, 0]))
+        bw = _BitWriter()
+        for by in range(by_n):
+            for bx in range(bx_n):
+                band = zz[ci, by, bx]
+                run = 0
+                last_nz = max([i for i in range(1, 64) if band[i]] or [0])
+                for k in range(1, 64):
+                    if k > last_nz:
+                        break
+                    v = int(band[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, cd = codes[("ac", tid)][0xF0]
+                        bw.write(ln, cd)
+                        run -= 16
+                    s = v.bit_length() if v >= 0 else (-v).bit_length()
+                    ln, cd = codes[("ac", tid)][(run << 4) | s]
+                    bw.write(ln, cd)
+                    bw.write(s, v if v >= 0 else v + (1 << s) - 1)
+                    run = 0
+                if last_nz < 63:
+                    ln, cd = codes[("ac", tid)][0x00]  # EOB (run of 1)
+                    bw.write(ln, cd)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

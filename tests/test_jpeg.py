@@ -143,9 +143,10 @@ def test_handcrafted_restart_interval_stream():
     assert np.all(np.abs(got[:, 8:, 0].astype(float) - round(y2)) <= 1)
 
 
-def test_progressive_and_corrupt_are_loud():
+def test_arithmetic_and_corrupt_are_loud():
+    # SOF9 = arithmetic-coded sequential: still deliberately rejected
     with pytest.raises(ValueError):
-        decode_jpeg(b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01")
+        decode_jpeg(b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8" + b"garbage" * 10)
     with pytest.raises(ValueError):
@@ -159,11 +160,14 @@ def test_builtin_dispatch_and_multimodal_branch(spark):
     from rust_triplets_spark.operators.codecs import encode_ppm
     from rust_triplets_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
 
+    from rust_triplets_spark.operators.jpeg import encode_jpeg_progressive
+
     yy, xx = np.mgrid[0:16, 0:16]
     px = np.stack([yy * 8, xx * 8, (yy + xx) * 4], axis=2).astype(np.uint8)
     rows = [
         (1, "image", None, encode_ppm(px), {}),
         (2, "image", None, encode_jpeg(px, 95), {}),
+        (3, "image", None, encode_jpeg_progressive(px, 95), {}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {
@@ -174,6 +178,8 @@ def test_builtin_dispatch_and_multimodal_branch(spark):
     # wobble, so compare with a loose L1 budget rather than equality
     l1 = sum(abs(a - b) for a, b in zip(out[1], out[2]))
     assert l1 < 0.6, (out[1], out[2])
+    # progressive carries the same coefficients as baseline → identical
+    assert out[2] == out[3]
 
 
 def test_grayscale_frame_with_subsampling_factors_is_noninterleaved():
@@ -234,3 +240,118 @@ def test_fill_bytes_before_markers_are_skipped():
             break
     got = decode_jpeg(bytes(padded))
     assert np.array_equal(got, want)
+
+
+def test_progressive_spectral_selection_matches_baseline_exactly():
+    """Progressive (SOF2) decode via the spectral-selection test encoder:
+    identical quantized coefficients as the baseline encoder, so the
+    decoded pixels must match the baseline roundtrip BIT-FOR-BIT (this
+    pins interleaved DC scans, non-interleaved AC band scans, EOB codes,
+    and the EOI-time reconstruction)."""
+    from rust_triplets_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for shape, q in [((16, 24, 3), 85), ((13, 19, 3), 90), ((8, 8, 3), 95)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, q))
+        prog = decode_jpeg(encode_jpeg_progressive(px, q))
+        assert np.array_equal(base, prog), (shape, q)
+
+
+def test_progressive_successive_approximation_handcrafted():
+    """Hand-crafted 8x24 gray SOF2 stream exercising all four Annex G
+    scan kinds: DC first at Al=1, DC refine, AC first at Al=1 with an
+    EOB1 run spanning two blocks, AC refine (new ±1 coefficient,
+    correction bits, EOB-run correction path). Expected pixels computed
+    independently from the final coefficient set."""
+    from rust_triplets_spark.operators.jpeg import _idct2
+
+    # custom AC table: Annex K sequential tables carry no EOBn symbols
+    # (progressive-only), so build one with EOB0/EOB1/newval/run-3 codes
+    ac_counts = [0, 3, 1] + [0] * 13
+    ac_syms = bytes([0x00, 0x01, 0x10, 0x31])
+    codes = {k: _huff_codes(*v) for k, v in _HT.items()}
+    codes[("ac", 0)] = _huff_codes(ac_counts, ac_syms)
+    qy = _scale_q(_K1, 90)
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xDB, bytes([0])
+                   + qy.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+    out += _marker(0xC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+    counts, syms = _HT[("dc", 0)]
+    out += _marker(0xC4, bytes([0x00]) + bytes(counts) + syms)
+    out += _marker(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
+
+    def sos(ss, se, ah, al):
+        return _marker(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan A — DC first, Al=1: block1 diff=2 (coef 4), blocks 2,3 diff=0
+    out += sos(0, 0, 0, 1)
+    bw = _BitWriter()
+    ln, cd = codes[("dc", 0)][2]
+    bw.write(ln, cd)
+    bw.write(2, 2)
+    for _ in range(2):
+        ln, cd = codes[("dc", 0)][0]
+        bw.write(ln, cd)
+    bw.flush()
+    out += bw.out
+    # scan B — DC refine to Al=0: block1 bit 1 (4->5), blocks 2,3 bit 0
+    out += sos(0, 0, 1, 0)
+    bw = _BitWriter()
+    bw.write(1, 1)
+    bw.write(1, 0)
+    bw.write(1, 0)
+    bw.flush()
+    out += bw.out
+    # scan C — AC first, band 1..63, Al=1:
+    #   block1: zz1 = +1 (coef 2), zz5 = -1 (coef -2), EOB
+    #   block2: EOB1 with appended bit 0 → run covers blocks 2 AND 3
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    ln, cd = codes[("ac", 0)][0x01]
+    bw.write(ln, cd)
+    bw.write(1, 1)            # +1
+    ln, cd = codes[("ac", 0)][0x31]
+    bw.write(ln, cd)
+    bw.write(1, 0)            # -1
+    ln, cd = codes[("ac", 0)][0x00]
+    bw.write(ln, cd)          # EOB ends block1
+    ln, cd = codes[("ac", 0)][0x10]
+    bw.write(ln, cd)          # EOB1...
+    bw.write(1, 0)            # ...appended bit 0 → eobrun = 2
+    bw.flush()
+    out += bw.out
+    # scan D — AC refine to Al=0:
+    #   block1: new +1 at zz2 (rs 0x01, sign 1), correction bit 1 for zz1
+    #   (2→3) read inside the run, EOB, then correction bit 0 for zz5
+    #   (stays -2) on the EOB path; blocks 2,3 via EOB1 (no bits — no
+    #   nonzero history)
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    ln, cd = codes[("ac", 0)][0x01]
+    bw.write(ln, cd)
+    bw.write(1, 1)            # sign: +1
+    bw.write(1, 1)            # correction for zz1: 2 -> 3
+    ln, cd = codes[("ac", 0)][0x00]
+    bw.write(ln, cd)          # EOB
+    bw.write(1, 0)            # correction for zz5 on the EOB path: stays -2
+    ln, cd = codes[("ac", 0)][0x10]
+    bw.write(ln, cd)          # EOB1...
+    bw.write(1, 0)            # ...appended bit 0 → covers blocks 2 and 3
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    assert got.shape == (8, 24, 3)
+    # expected: block1 zig-zag coefs {0: 5, 1: 3, 2: 1, 5: -2};
+    # blocks 2,3 DC-only with coef 4
+    coef = np.zeros(64)
+    coef[ZIGZAG[[0, 1, 2, 5]]] = [5, 3, 1, -2]
+    blk1 = np.clip(np.round(
+        _idct2(coef.reshape(8, 8) * qy) + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :8, 0], blk1)
+    flat = round(4 * qy[0, 0] / 8.0 + 128.0)
+    assert np.all(got[:, 8:, 0].astype(int) == flat)
+    assert np.array_equal(got[..., 0], got[..., 1])
+    assert np.array_equal(got[..., 0], got[..., 2])

@@ -178,6 +178,65 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema=schema)
 
 
+AUDIT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("lum_bucket", T.LongType()),
+])
+
+
+def media_decode_audit(
+    media: DataFrame, batch_rows: int = 64
+) -> DataFrame:
+    """Decode every binary payload with the VENDORED codecs (explicitly —
+    not PIL, so the numbers are pinned to this repo's decode path) and
+    emit integer facts: geometry plus a mean-luminance bucket.
+
+    All math is integer: ``lum_sum = Σ (299·R + 587·G + 114·B)`` over
+    int64, ``lum_bucket = (lum_sum // (1000 · n_pixels)) // 16`` — no
+    float anywhere, so the output is bit-stable across runs and engines
+    and can be oracle-checked against a committed expected frame. Same
+    mapInPandas shape as :func:`extract_features`: ``batch_rows`` bounds
+    the decode working set at execution time; blobs never leave the
+    Arrow stage — only 5 small columns come out."""
+    import numpy as np
+
+    from rust_triplets_spark.operators.codecs import decode_image_builtin
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo : lo + batch_rows]
+                hs, ws, lbs = [], [], []
+                for payload in sub["payload"]:
+                    px = decode_image_builtin(bytes(payload)).astype(np.int64)
+                    h, w = int(px.shape[0]), int(px.shape[1])
+                    n = h * w
+                    if n == 0:
+                        hs.append(h); ws.append(w); lbs.append(0)
+                        continue
+                    lum_sum = int(
+                        (299 * px[..., 0] + 587 * px[..., 1]
+                         + 114 * px[..., 2]).sum()
+                    )
+                    hs.append(h)
+                    ws.append(w)
+                    lbs.append(int((lum_sum // (1000 * n)) // 16))
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "fmt": sub["fmt"].to_numpy(),
+                    "height": np.array(hs, dtype=np.int64),
+                    "width": np.array(ws, dtype=np.int64),
+                    "lum_bucket": np.array(lbs, dtype=np.int64),
+                })
+
+    return media.select("media_id", "fmt", "payload").mapInPandas(
+        run, schema=AUDIT_SCHEMA
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_n_frames: int = 30, max_frames: int = 8
 ) -> DataFrame:

@@ -3009,6 +3009,50 @@ def jsonl_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal decode audit: the vendored image codecs (PPM/BMP/PNG/baseline
+# + progressive JPEG) under the driver's hard correctness signal. The
+# committed fixture (scripts/gen_media_fixture.py) carries real encoded
+# payloads PLUS the expected integer decode facts; Spark decodes the
+# binary column distributed (mapInPandas, vendored codecs, pure integer
+# luminance math) and the oracle reads the committed expectations —
+# DuckDB cannot decode images, so the pin is the generator's output,
+# itself verified by the hand-computed-raster tests in tests/test_jpeg.py
+# and tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+
+_MEDIA_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "media_sample.parquet",
+)
+
+
+@_register(
+    "media_decode_audit",
+    f"""
+SELECT media_id, fmt,
+       CAST(exp_height AS BIGINT) AS height,
+       CAST(exp_width AS BIGINT) AS width,
+       CAST(exp_lum_bucket AS BIGINT) AS lum_bucket
+FROM read_parquet('{_MEDIA_FIXTURE}')
+""",
+)
+def media_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image decode audit: every vendored codec format
+    (PPM, BMP, PNG color+palette, baseline AND progressive JPEG)
+    decoded inside an Arrow-batched mapInPandas stage, emitting integer
+    geometry + mean-luminance-bucket facts. Blobs never leave the Arrow
+    stage — only the 5 small audit columns come out, the 100 TB rule
+    for binary columns (multimodal.py module doc)."""
+    from rust_triplets_spark.operators.multimodal import media_decode_audit
+
+    media = spark.read.parquet(_MEDIA_FIXTURE).select(
+        "media_id", "fmt", "payload"
+    )
+    return media_decode_audit(media, batch_rows=4)
+
+
+# ---------------------------------------------------------------------------
 # corpus cleaning funnel: the end-to-end web-corpus hygiene pipeline as ONE
 # plan — C4 document gate → boilerplate line removal → exact dedup — with
 # per-stage survivor counts (docs + tokens), the audit table every

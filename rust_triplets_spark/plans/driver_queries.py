@@ -3844,6 +3844,45 @@ def bloom_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.streaming.funnel import (  # noqa: E402
+    fit_ingest_models,
+    ingest_funnel,
+    ingest_funnel_trace_sql,
+)
+
+_IFT_BUCKET = f"({hash31_sql('CAST(doc_id AS BIGINT)', SEED)} % 10)"
+
+
+@_register(
+    "ingest_funnel_trace",
+    ingest_funnel_trace_sql(
+        f"SELECT * FROM documents WHERE {_IFT_BUCKET} >= 7",
+        f"SELECT * FROM documents WHERE {_IFT_BUCKET} <= 4",
+        f"SELECT * FROM documents WHERE {_IFT_BUCKET} = 5",
+        f"SELECT * FROM documents WHERE {_IFT_BUCKET} = 6",
+        "t.doc_id",
+        "t.text",
+    ),
+)
+def ingest_funnel_trace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest funnel's admission trace, correctness-HARD:
+    history/eval/target/arrivals are deterministic hash slices of
+    `documents`; the THREE models (Bloom novelty filter, benchmark band
+    key set, DSIR bucket table) are fitted batch-side exactly as a
+    delivery cycle would, then every arriving document gets the full
+    per-gate decision row `(is_new, quality_ok, decontam_ok, dsir_ok,
+    avg_logratio, admitted)`. The Spark side is the SAME `ingest_funnel`
+    the streaming capstone runs (batch==stream pinned by pytest); the
+    oracle recomposes all four gates from their registered twins — so
+    the r9 capstone now carries a driver row, not only parity tests."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.pmod(hash31_col(F.col("doc_id").cast("long"), SEED), F.lit(10))
+    models = fit_ingest_models(
+        docs.where(b <= 4), docs.where(b == 5), docs.where(b == 6), "text"
+    )
+    return ingest_funnel(docs.where(b >= 7), models, "doc_id", "text")
+
+
 from rust_triplets_spark.operators.quality_clf import (  # noqa: E402
     hashed_ngram_features,
     hashed_ngram_features_sql,

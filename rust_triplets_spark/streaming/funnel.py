@@ -258,3 +258,188 @@ def stream_ingest_funnel(
     :func:`ingest_funnel` — append-mode, stateless."""
     raw = spark.readStream.schema(schema).parquet(source_dir)
     return ingest_funnel(raw, models, id_col, text_col)
+
+
+def ingest_funnel_trace_sql(
+    arrivals_sql: str,
+    history_sql: str,
+    eval_sql: str,
+    target_sql: str,
+    id_sql: str,
+    text_sql: str,
+    *,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+    bloom_seed: int = BLOOM_SEED,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    minhash_seed: int = MINHASH_SEED,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_stop_hits: int = 1,
+    min_avg_logratio: float = 0.0,
+    n_buckets: int | None = None,
+    dsir_seed: int | None = None,
+) -> str:
+    """DuckDB twin of ``fit_ingest_models`` + :func:`ingest_funnel` over
+    BATCH frames — what makes the streaming capstone correctness-HARD
+    rather than only batch==stream parity-tested: every gate's model fit
+    AND its application are re-expressed from the gates' own registered
+    twins (bloom build/probe, Gopher signals, MinHash band collision,
+    DSIR bucket table), composed into the one per-document admission
+    trace ``(id, is_new, quality_ok, decontam_ok, dsir_ok, avg_logratio,
+    admitted)``.
+
+    The four ``*_sql`` inputs are full SELECT statements producing the
+    arrivals / history / eval / target corpora; ``id_sql`` / ``text_sql``
+    are column expressions valid over each of them."""
+    from rust_triplets_spark.functions.hashing import mix31_sql
+    from rust_triplets_spark.operators.bloom import (
+        bloom_build_sql,
+        bloom_probe_sql,
+        text_fingerprint_sql,
+    )
+    from rust_triplets_spark.operators.dedup import (
+        BAND_SEED,
+        minhash_signatures_sql,
+    )
+    from rust_triplets_spark.operators.dsir import (
+        DSIR_BUCKETS,
+        DSIR_SEED,
+        _feature_buckets_sql,
+    )
+    from rust_triplets_spark.operators.gopher import (
+        MAX_BULLET_FRAC,
+        MAX_ELLIPSIS_FRAC,
+        MAX_MWL,
+        MAX_SYMBOL_RATIO,
+        MIN_ALPHA_FRAC,
+        MIN_MWL,
+        gopher_quality_signals_sql,
+    )
+    from rust_triplets_spark.operators.lm_quality import LM_QSCALE
+
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
+    nb = DSIR_BUCKETS if n_buckets is None else n_buckets
+    ds = DSIR_SEED if dsir_seed is None else dsir_seed
+
+    seen = bloom_probe_sql(
+        bloom_build_sql(
+            "SELECT text FROM if_hist",
+            text_fingerprint_sql("t.text"),
+            m_bits, k_hashes, bloom_seed,
+        ),
+        "SELECT id, text FROM if_arr",
+        "t.id",
+        text_fingerprint_sql("t.text"),
+        m_bits, k_hashes, bloom_seed,
+    )
+    gopher = gopher_quality_signals_sql("if_arr", "id", "text")
+    arr_sigs = minhash_signatures_sql(
+        "if_arr", "id", "text", num_hashes, shingle_n, minhash_seed
+    )
+    ev_sigs = minhash_signatures_sql(
+        "if_eval", "id", "text", num_hashes, shingle_n, minhash_seed
+    )
+
+    def _banded(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, "
+            f"{mix31_sql([f'mh_{b * r + j}' for j in range(r)], BAND_SEED + b)}"
+            f" AS sig FROM {src}"
+            for b in range(bands)
+        )
+
+    feats = _feature_buckets_sql("text", nb, ds)
+    avg = (
+        f"(CAST(d.weight_q AS DOUBLE) / "
+        f"(CAST(d.n_feats AS DOUBLE) * {float(LM_QSCALE)!r}))"
+    )
+    quality_pass = (
+        f"COALESCE(n_words >= {min_words} AND n_words <= {max_words}"
+        f" AND mean_word_len >= {MIN_MWL!r} AND mean_word_len <= {MAX_MWL!r}"
+        f" AND symbol_word_ratio <= {MAX_SYMBOL_RATIO!r}"
+        f" AND bullet_line_frac <= {MAX_BULLET_FRAC!r}"
+        f" AND ellipsis_line_frac <= {MAX_ELLIPSIS_FRAC!r}"
+        f" AND alpha_word_frac >= {MIN_ALPHA_FRAC!r}"
+        f" AND stop_hits >= {min_stop_hits}, false)"
+    )
+    return f"""
+WITH if_arr AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text FROM ({arrivals_sql}) t
+),
+if_hist AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text FROM ({history_sql}) t
+),
+if_eval AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text FROM ({eval_sql}) t
+),
+if_tgt AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text FROM ({target_sql}) t
+),
+if_seen AS MATERIALIZED ({seen}),
+if_gopher AS MATERIALIZED (
+  SELECT id, {quality_pass} AS quality_ok FROM ({gopher}) gq
+),
+if_arr_band AS MATERIALIZED ({_banded(f'({arr_sigs})')}),
+if_ev_band AS MATERIALIZED ({_banded(f'({ev_sigs})')}),
+if_collide AS MATERIALIZED (
+  SELECT DISTINCT l.id FROM if_arr_band l
+  JOIN if_ev_band e ON l.band = e.band AND l.sig = e.sig
+),
+if_hist_occ AS MATERIALIZED (
+  SELECT u.b AS b FROM if_hist, UNNEST({feats}) AS u(b)
+),
+if_tgt_occ AS MATERIALIZED (
+  SELECT u.b AS b FROM if_tgt, UNNEST({feats}) AS u(b)
+),
+if_p AS (SELECT b, CAST(count(*) AS BIGINT) AS c_p FROM if_tgt_occ GROUP BY b),
+if_q AS (SELECT b, CAST(count(*) AS BIGINT) AS c_q FROM if_hist_occ GROUP BY b),
+if_tot AS (
+  SELECT (SELECT count(*) FROM if_tgt_occ) AS tp,
+         (SELECT count(*) FROM if_hist_occ) AS tq
+),
+if_buckets AS MATERIALIZED (
+  SELECT COALESCE(p.b, q.b) AS b,
+         CAST(round((ln(CAST(COALESCE(p.c_p, 0) AS DOUBLE) * 2 + 1)
+                   - ln(CAST(t.tp AS DOUBLE) * 2 + {float(nb)!r})
+                   - ln(CAST(COALESCE(q.c_q, 0) AS DOUBLE) * 2 + 1)
+                   + ln(CAST(t.tq AS DOUBLE) * 2 + {float(nb)!r}))
+                   * {float(LM_QSCALE)!r}) AS BIGINT) AS lrq
+  FROM if_p p FULL JOIN if_q q ON p.b = q.b CROSS JOIN if_tot t
+),
+if_default AS (
+  SELECT CAST(round((ln(CAST(0 AS DOUBLE) * 2 + 1)
+                   - ln(CAST(t.tp AS DOUBLE) * 2 + {float(nb)!r})
+                   - ln(CAST(0 AS DOUBLE) * 2 + 1)
+                   + ln(CAST(t.tq AS DOUBLE) * 2 + {float(nb)!r}))
+                   * {float(LM_QSCALE)!r}) AS BIGINT) AS lrq
+  FROM if_tot t
+),
+if_arr_occ AS MATERIALIZED (
+  SELECT id, u.b AS b FROM if_arr, UNNEST({feats}) AS u(b)
+),
+if_dsir AS (
+  SELECT o.id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(COALESCE(s.lrq, (SELECT lrq FROM if_default))) AS BIGINT)
+           AS weight_q
+  FROM if_arr_occ o LEFT JOIN if_buckets s ON o.b = s.b
+  GROUP BY o.id
+)
+SELECT a.id,
+       NOT s.maybe_present AS is_new,
+       g.quality_ok,
+       (c.id IS NULL) AS decontam_ok,
+       COALESCE({avg} >= {min_avg_logratio!r}, false) AS dsir_ok,
+       {avg} AS avg_logratio,
+       ((NOT s.maybe_present) AND g.quality_ok AND (c.id IS NULL)
+        AND COALESCE({avg} >= {min_avg_logratio!r}, false)) AS admitted
+FROM if_arr a
+JOIN if_seen s ON a.id = s.id
+JOIN if_gopher g ON a.id = g.id
+LEFT JOIN if_collide c ON a.id = c.id
+LEFT JOIN if_dsir d ON a.id = d.id
+"""

@@ -3883,6 +3883,30 @@ def ingest_funnel_trace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_funnel(docs.where(b >= 7), models, "doc_id", "text")
 
 
+from rust_triplets_spark.plans.funnel import (  # noqa: E402
+    text_granularity_funnel,
+    text_granularity_funnel_sql,
+)
+
+
+@_register(
+    "text_granularity_funnel",
+    text_granularity_funnel_sql("documents", "doc_id", "text"),
+)
+def text_granularity_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three text-granularity dedups (paragraph keep-first →
+    boilerplate lines → cross-doc substring excision) as ORDERED
+    excision stages feeding document-level MinHash — each stage rewrites
+    the text the next stage sees, and the audit row per stage pins the
+    composition's exact doc + token counts. Excision order matters
+    (substring excision destroys the line/paragraph structure the
+    earlier stages key on — pinned by pytest), which is why the
+    individually-green operators need this composed driver row too."""
+    return text_granularity_funnel(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 from rust_triplets_spark.operators.quality_clf import (  # noqa: E402
     hashed_ngram_features,
     hashed_ngram_features_sql,

@@ -371,3 +371,159 @@ UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM cf_dec)
 UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM cf_ded)
 UNION ALL SELECT 5, 'selected', (SELECT count(*) FROM cf_sel)
 """
+
+
+def text_granularity_funnel(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_line_docs: int = 3,
+) -> DataFrame:
+    """The three TEXT-GRANULARITY dedups composed as ordered EXCISION
+    stages feeding document-level MinHash — the real pipeline shape
+    (each stage rewrites the text the next stage sees, coarse → fine →
+    whole-document):
+
+    0. ``raw``        — the input corpus;
+    1. ``paragraph``  — corpus-wide keep-first paragraph dedup
+       (``operators/lines.paragraph_dedup``); docs excised to emptiness
+       drop out;
+    2. ``line``       — boilerplate lines in ≥ ``min_line_docs`` docs
+       removed (``boilerplate_line_dedup``) from the paragraph-cleaned
+       text;
+    3. ``substring``  — cross-doc duplicate n-gram spans excised
+       (``substrings.excise_duplicate_spans``) from the line-cleaned
+       text. LAST of the excisions because it re-joins surviving tokens
+       with single spaces (destroys line/paragraph structure the earlier
+       stages key on) — the order-sensitivity pytest pins this;
+    4. ``minhash``    — document-level MinHash-LSH cluster
+       representatives of the fully-excised texts.
+
+    Returns ``(stage, name, n_docs, n_tokens)`` — the audit row per
+    stage. Each stage is an independently oracle-checked operator; this
+    query pins the COMPOSITION (stage N's counts are over stage N-1's
+    REWRITTEN text, not the raw corpus). Intermediate frames are
+    scope-cached: the four stage aggregates are independent plan
+    branches and each stage frame feeds both its own count branch and
+    the next stage. Scale shape inherited per stage: fingerprint-keyed
+    shuffles (text rides re-assembly as values), span frames tiny vs the
+    corpus, bucketed LSH + O(log n) pointer jumping."""
+    from rust_triplets_spark.functions.text import token_count_col
+    from rust_triplets_spark.operators.dedup import minhash_dedup_keep
+    from rust_triplets_spark.operators.lines import (
+        boilerplate_line_dedup,
+        paragraph_dedup,
+    )
+    from rust_triplets_spark.operators.substrings import excise_duplicate_spans
+
+    s0 = cache_scoped(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(text_col).alias("text"),
+        ),
+        "funnel.tg_raw",
+    )
+    s1 = cache_scoped(
+        paragraph_dedup(s0, "id", "text")
+        .where(F.length("clean_text") > 0)
+        .select("id", F.col("clean_text").alias("text")),
+        "funnel.tg_para",
+    )
+    s2 = cache_scoped(
+        boilerplate_line_dedup(s1, "id", "text", min_line_docs)
+        .where(F.length("clean_text") > 0)
+        .select("id", F.col("clean_text").alias("text")),
+        "funnel.tg_line",
+    )
+    s3 = cache_scoped(
+        excise_duplicate_spans(s2, "id", "text")
+        .where(F.length("clean_text") > 0)
+        .select("id", F.col("clean_text").alias("text")),
+        "funnel.tg_span",
+    )
+    keep = minhash_dedup_keep(s3, "id", "text").where(F.col("keep")).select("id")
+    s4 = s3.join(keep, "id")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(token_count_col(F.col("text"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "raw", s0)
+        .unionByName(stage(1, "paragraph", s1))
+        .unionByName(stage(2, "line", s2))
+        .unionByName(stage(3, "substring", s3))
+        .unionByName(stage(4, "minhash", s4))
+    )
+
+
+def text_granularity_funnel_sql(
+    table: str,
+    id_sql: str,
+    text_sql: str,
+    *,
+    min_line_docs: int = 3,
+) -> str:
+    """DuckDB twin of :func:`text_granularity_funnel` — the same four
+    excision/dedup twins chained so each consumes the previous stage's
+    REWRITTEN text."""
+    from rust_triplets_spark.functions.text import token_count_sql
+    from rust_triplets_spark.operators.dedup import minhash_dedup_keep_sql
+    from rust_triplets_spark.operators.lines import (
+        boilerplate_line_dedup_sql,
+        paragraph_dedup_sql,
+    )
+    from rust_triplets_spark.operators.substrings import excise_duplicate_spans_sql
+
+    p_sql = paragraph_dedup_sql(
+        "(SELECT id, text FROM tg0) AS src", "src.id", "src.text"
+    )
+    l_sql = boilerplate_line_dedup_sql(
+        "(SELECT id, text FROM tg1) AS src", "src.id", "src.text", min_line_docs
+    )
+    # excise's CTEs append their own alias ``t``; minhash's chain reuses
+    # the table reference several times — pass the bare CTE name
+    x_sql = excise_duplicate_spans_sql(
+        "(SELECT id, text FROM tg2)", "t.id", "t.text"
+    )
+    k_sql = minhash_dedup_keep_sql("tg3", "id", "text")
+
+    def stage(idx: int, name: str, src: str) -> str:
+        return (
+            f"SELECT CAST({idx} AS BIGINT) AS stage, '{name}' AS name, "
+            f"CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(COALESCE(sum({token_count_sql('text')}), 0) AS BIGINT) "
+            f"AS n_tokens FROM {src}"
+        )
+
+    return f"""
+WITH tg0 AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS id, {text_sql} AS text FROM {table}
+),
+tgp AS ({p_sql}),
+tg1 AS MATERIALIZED (
+  SELECT id, clean_text AS text FROM tgp WHERE length(clean_text) > 0
+),
+tgl AS ({l_sql}),
+tg2 AS MATERIALIZED (
+  SELECT id, clean_text AS text FROM tgl WHERE length(clean_text) > 0
+),
+tgx AS ({x_sql}),
+tg3 AS MATERIALIZED (
+  SELECT id, clean_text AS text FROM tgx WHERE length(clean_text) > 0
+),
+tgk AS ({k_sql}),
+tg4 AS (SELECT t.id, t.text FROM tg3 t JOIN tgk k ON t.id = k.id AND k.keep)
+{stage(0, 'raw', 'tg0')}
+UNION ALL {stage(1, 'paragraph', 'tg1')}
+UNION ALL {stage(2, 'line', 'tg2')}
+UNION ALL {stage(3, 'substring', 'tg3')}
+UNION ALL {stage(4, 'minhash', 'tg4')}
+"""

@@ -196,3 +196,54 @@ def test_corpus_datasheet_metrics_are_exact(spark):
     assert got["exact_dup_frac"] == 0.25  # 3 distinct fingerprints / 4 docs
     assert 0.0 <= got["gopher_pass_frac"] <= 1.0
     assert len(got) == 9
+
+
+def test_text_granularity_funnel_excision_order_sensitivity(spark):
+    """The composed funnel's documented order (paragraph → line →
+    substring) is load-bearing: substring excision re-joins surviving
+    tokens with single spaces, destroying the line structure the
+    boilerplate stage keys on. Three docs share a 7-token banner line;
+    in the documented order the line stage removes it from ALL three,
+    while the swapped order (substring first) removes nothing — the
+    banner survives in every doc."""
+    from pyspark.sql import functions as F
+
+    from rust_triplets_spark.operators.lines import boilerplate_line_dedup
+    from rust_triplets_spark.operators.substrings import excise_duplicate_spans
+    from rust_triplets_spark.plans.funnel import text_granularity_funnel
+
+    banner = "click accept cookies to continue browsing here"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta\n" + banner),
+        (2, "one two three four five six seven\n" + banner),
+        (3, "red orange yellow green blue indigo\n" + banner),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    out = {
+        r["name"]: (r["n_docs"], r["n_tokens"])
+        for r in text_granularity_funnel(
+            df, "id", "text", min_line_docs=3
+        ).collect()
+    }
+    # 6+7 / 7+7 / 6+7 tokens; single \n so each doc is ONE paragraph
+    assert out["raw"] == (3, 40)
+    assert out["paragraph"] == (3, 40)
+    # the banner line (3 docs >= min_line_docs) drops from every doc
+    assert out["line"] == (3, 19)
+    # remaining lines are distinct and shorter than SPAN_N windows
+    assert out["substring"] == (3, 19)
+    assert out["minhash"] == (3, 19)
+
+    # swapped order: substring excision first (no cross-doc 8-token
+    # window exists — every window crosses into doc-specific tokens),
+    # then line dedup sees single-line docs and removes NOTHING
+    sub_first = excise_duplicate_spans(df, "id", "text").select(
+        "id", F.col("clean_text").alias("text")
+    )
+    swapped = boilerplate_line_dedup(sub_first, "id", "text", 3)
+    assert swapped.agg(F.sum("n_removed")).collect()[0][0] == 0
+    n_tok = sub_first.agg(
+        F.sum(F.size(F.split("text", r"\s+")))
+    ).collect()[0][0]
+    assert n_tok == 40  # the banner survives in all three docs

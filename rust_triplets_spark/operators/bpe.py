@@ -409,3 +409,153 @@ def bpe_encode_udf(merges: list):
         return pd.Series(out)
 
     return _encode
+
+
+# ---------------------------------------------------------------------------
+# Batched merge rounds — the 100 TB training path. One Spark job per merge
+# (bpe_train) is exact but serializes a 30k-merge vocabulary into 30k
+# sequential rounds; this variant accepts a BATCH of merges per round while
+# PROVABLY reproducing the sequential merge table (pytest-pinned at 256+
+# merges against a pure-Python sequential reference, and against the
+# unrolled DuckDB oracle at the 12-merge fixture size).
+#
+# Sequential-equivalence argument (the "frequency-gap-safe batch"): fetch
+# the top (M+1) pairs in the sequential total order (count desc, l, r) and
+# accept the maximal PREFIX p_1..p_k such that
+#
+#   (1) accepted pairs are mutually SYMBOL-DISJOINT, and no accepted
+#       symbol equals another accepted pair's concatenation — so applying
+#       p_1..p_{i-1} leaves every occurrence of p_i untouched (neither of
+#       its symbols participates in an earlier merge, and no earlier merge
+#       mints its symbols), i.e. count(p_i) is unchanged at step i;
+#   (2) the prefix has no gaps — the first rejected candidate caps every
+#       later candidate's count. Any pair TOUCHING an accepted symbol is,
+#       by (1), not in the accepted prefix, so its count is <= c_{k+1};
+#       pairs created by merging p_j are (x, l_j+r_j) / (l_j+r_j, y) with
+#       count <= count((x, l_j)) / count((r_j, y)) <= c_{k+1};
+#   (3) count(p_k) > c_{k+1} STRICTLY — so at every sequential step i <= k
+#       the argmax over {unchanged accepted (>= c_k), decayed originals
+#       (<= c_{k+1} < c_k), created pairs (<= c_{k+1} < c_k)} is exactly
+#       p_i, including ties among accepted pairs (the fetch order IS the
+#       sequential tie order).
+#
+# Application: because accepted pairs are symbol/concat-disjoint, applying
+# them simultaneously in ONE left-to-right fold equals applying them
+# sequentially (no merge can produce or consume another's symbols), so a
+# round costs one fold regardless of k — never a k-deep fold chain (the
+# 4^N Catalyst blowup this module's sequential loop checkpoints against).
+# ---------------------------------------------------------------------------
+
+
+def _accept_batch(rows: list, max_batch: int) -> list[tuple[str, str, int]]:
+    """Greedy maximal frequency-gap-safe prefix of the sorted top list.
+    ``rows`` must hold at least one extra candidate beyond ``max_batch``
+    when available (the gap sentinel)."""
+    symbols: set[str] = set()
+    concats: set[str] = set()
+    prefix: list[tuple[str, str, int]] = []
+    for row in rows[:max_batch]:
+        l, r, c = row["l"], row["r"], int(row["c"])
+        merged = l + r
+        if (
+            l in symbols or r in symbols or merged in symbols
+            or l in concats or r in concats or merged in concats
+        ):
+            break  # prefix rule: the first interaction cuts the batch
+        symbols.update((l, r))
+        concats.add(merged)
+        prefix.append((l, r, c))
+    # strict-gap rule: shrink until count(p_k) > count of the first
+    # non-accepted candidate (k=1 is always sequential-exact)
+    k = len(prefix)
+    while k > 1 and k < len(rows) and prefix[k - 1][2] <= int(rows[k]["c"]):
+        k -= 1
+    return prefix[:k]
+
+
+def apply_merges_col(state: Column, batch: list[tuple[str, str]]) -> Column:
+    """Apply a SYMBOL-DISJOINT merge batch in one left-to-right fold —
+    value-equal to applying the merges sequentially (see the section
+    comment). Expression size is linear in the batch, and there is one
+    fold total, so rounds never chain folds."""
+    toks = F.split(state, _DELIM)
+    first = F.element_at(toks, 1)
+    rest = F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0)))
+
+    def step(acc: Column, x: Column) -> Column:
+        chain = None
+        for l, r in batch:
+            cond = (x == F.lit(r)) & (
+                (acc == F.lit(l)) | acc.endswith(_DELIM + l)
+            )
+            chain = (
+                F.when(cond, F.concat(acc, x))
+                if chain is None
+                else chain.when(cond, F.concat(acc, x))
+            )
+        fallback = F.concat(acc, F.lit(_DELIM), x)
+        return fallback if chain is None else chain.otherwise(fallback)
+
+    return F.aggregate(rest, first, step)
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    max_batch: int = 32,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Batched-round BPE training with the sequential merge-table
+    contract: returns exactly what :func:`bpe_train` returns, in
+    ceil(n_merges / accepted-batch-size) Spark jobs instead of
+    n_merges. Each round collects ``max_batch + 1`` rows (the +1 is the
+    frequency-gap sentinel), never the corpus."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if max_batch < 1:
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+    words = word_freq_table(df, text_col)
+    cur = words.select(
+        _chars_state_col(F.col("w")).alias("s"), F.col("cnt")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(max_batch, n_merges - len(merges))
+        rows = (
+            cur.select(
+                F.explode(_pairs_from_state_col(F.col("s"))).alias("__p"),
+                F.col("cnt"),
+            )
+            .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(want + 1)
+            .collect()
+        )
+        if not rows:
+            break  # no adjacent pairs left anywhere
+        batch = _accept_batch(rows, want)
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+        if len(merges) < n_merges:
+            cur = cur.select(
+                apply_merges_col(F.col("s"), [(l, r) for l, r, _ in batch])
+                .alias("s"),
+                F.col("cnt"),
+            ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_vocab_batched(
+    df: DataFrame, text_col: str, n_merges: int = 12, max_batch: int = 32
+) -> DataFrame:
+    """:func:`bpe_vocab` computed by batched rounds — same merge table
+    (the equivalence :func:`bpe_train_batched` guarantees and pytest
+    pins), a fraction of the jobs."""
+    merges, _ = bpe_train_batched(df, text_col, n_merges, max_batch)
+    spark = df.sparkSession
+    schema = (
+        "merge_rank INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT"
+    )
+    return spark.createDataFrame(merges, schema)

@@ -186,3 +186,65 @@ def test_deploy_kernel_matches_training_fold(spark):
          unseen.select("w", enc(F.col("w")).alias("t")).collect()}
     assert u["zzzz"] == ["z", "z", "z", "z"]
     assert u["abab"] == bpe_apply_py("abab", ranks)
+
+
+def test_accept_batch_prefix_gap_and_symbol_rules():
+    """The frequency-gap-safe batch acceptor: prefix-only, symbol/concat
+    disjointness cuts, and the strict count gap at the boundary."""
+    from rust_triplets_spark.operators.bpe import _accept_batch
+
+    def rows(*triples):
+        return [{"l": l, "r": r, "c": c} for l, r, c in triples]
+
+    # clean disjoint prefix, tie at the boundary shrinks k
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 8), ("e", "f", 5), ("g", "h", 5)), 3
+    )
+    assert got == [("a", "b", 10), ("c", "d", 8)]
+    # shared symbol cuts the prefix at the first interaction
+    got = _accept_batch(rows(("a", "b", 10), ("b", "c", 9), ("x", "y", 8)), 3)
+    assert got == [("a", "b", 10)]
+    # a symbol equal to an earlier concat cuts too
+    got = _accept_batch(rows(("a", "b", 10), ("x", "ab", 9)), 2)
+    assert got == [("a", "b", 10)]
+    # k=1 is exempt from the gap rule (plain sequential step)
+    got = _accept_batch(rows(("a", "b", 5), ("c", "d", 5)), 1)
+    assert got == [("a", "b", 5)]
+
+
+def test_batched_train_equals_sequential_spark(spark):
+    """Batched rounds reproduce the sequential Spark merge table exactly
+    at every max_batch, including max_batch=1 (degenerates to the
+    sequential loop) — the 12-merge oracle fixture size."""
+    from rust_triplets_spark.operators.bpe import bpe_train_batched
+
+    rng = random.Random(9)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(40)
+    ]
+    df = _docs(spark, texts)
+    seq = bpe_train(df, "text", 12)[0]
+    for mb in (1, 4, 32):
+        assert bpe_train_batched(df, "text", 12, max_batch=mb)[0] == seq, mb
+
+
+def test_batched_train_256_merges_matches_reference(spark):
+    """The production-scale contract: a 256-merge train via batched
+    rounds equals the classic sequential algorithm bit-for-bit (counts,
+    tie-breaks, merge order) on a 300-word Zipf-ish fixture corpus."""
+    from rust_triplets_spark.operators.bpe import bpe_train_batched
+
+    rng = random.Random(77)
+    words = {}
+    for i in range(300):
+        w = "".join(rng.choice("abcdefghij") for _ in range(rng.randint(4, 10)))
+        words[w] = words.get(w, 0) + 1 + (7919 * i) % 97
+    texts = [" ".join([w] * c) for w, c in words.items()]
+    ref, _ = _ref_train(words, 256)
+    assert len(ref) == 256  # the corpus must support the full train
+    got = bpe_train_batched(_docs(spark, texts), "text", 256, max_batch=32)[0]
+    assert got == ref

@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "token_entropy",
     "tfidf_top_terms",
     "unicode_script_mix",
+    # round 10 additions
+    "media_decode_audit",
+    "ingest_funnel_trace",
+    "text_granularity_funnel",
+    "bpe_vocab_batched",
+    "audio_decode_audit",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -176,33 +182,94 @@ BENCH_QUERIES = [
 #   1. the ENTIRE r1_r3 series prefix (fixed longitudinal core — keeps the
 #      strongest cross-round comparison measured by the driver every round);
 #   2. every query new or plan-changed this round;
-#   3. a rotating slice of the remaining registry, eras represented, chosen
-#      by bench staleness (longest since last min-of-3 driver timing).
+#   3. BENCH_WINDOW_EXTRA — a rotating slice of the remaining registry,
+#      chosen STALEST-FIRST (longest since last driver-window timing, per
+#      BENCH_WINDOW_LOG below), ties broken cheapest-first by the last
+#      committed full-registry times (maximizes names refreshed per
+#      budget-second), then name.
 # Sizing invariant: the window's min-of-3 sum from the last committed
-# full-registry run must stay ≤ ~120 s (≈4.5x cold+warm cost ≈ 540 s on the
-# driver box — inside the 720 s budget with headroom), so every windowed
-# query gets >= 3 timings (tests/test_plan_quality.py pins the structure).
+# full-registry run must stay ≤ ~150 s (≈4.5x cold+warm cost on the driver
+# box — inside the 720 s budget with headroom), so every windowed query
+# gets >= 3 timings.
+# ENFORCEMENT (tests/test_plan_quality.py, the r9 verdict's "pin the bench
+# rotation" item): a test fails if (a) any registry name's last windowed
+# round, per BENCH_WINDOW_LOG + the current window, is more than
+# BENCH_MAX_STALE rounds ago, (b) any extra is NOT from the stalest tier,
+# or (c) fewer than 10 stalest-tier names rotate in while a backlog exists
+# — the same silent-staleness class the correctness window fixed in r4.
 _R1_R3_CORE_END = "selector_text_samples"
+
+# this build round (bumped when a new round's window is composed; the
+# PREVIOUS round's realized window must be appended to BENCH_WINDOW_LOG in
+# the same commit — the test pins both).
+BENCH_CURRENT_ROUND = 10
+BENCH_MAX_STALE = 4
+
+# realized driver-window composition per round (window mode began r9; every
+# name in the registry at r8 was last full-registry-timed in r8, which is
+# the staleness baseline the test uses for names in no log entry).
+BENCH_WINDOW_LOG: dict[int, list[str]] = {
+    9: [
+        # r9 = r1_r3 core + the r9 extras + the 7 new r9 queries
+        # (BENCH_r09.json: window_size 58, passes 3)
+        "q1_pricing_summary", "sliding_window_chunks", "epoch_shuffle",
+        "weighted_source_interleave", "qa_mismatch_negatives",
+        "wrong_article_negatives", "wrong_date_negatives",
+        "temporal_asof_join", "triplet_assembly", "pairs_from_triplets",
+        "exact_dedup", "minhash_lsh_pairs", "simhash_signatures",
+        "ngram_jaccard_pairs", "cosine_topk", "lang_id", "doc_fingerprint",
+        "denoise_gates", "tumbling_window_counts", "sessionization",
+        "bm25_topk", "kvp_decoration", "text_samples", "rollup_revenue",
+        "window_topn_orders", "sentence_split", "round_robin_interleave",
+        "sliding_window_counts", "ann_bucketed_topk", "simhash_band_pairs",
+        "temporal_offset_triplets", "denoise_gate3_waves",
+        "derived_text_recipes", "folder_date_parsing", "corpus_clean",
+        "selector_text_samples",
+        "sequence_packing", "decontamination", "pii_scrub",
+        "source_token_budget", "q5_local_supplier_volume",
+        "semdedup_clusters", "training_shards", "kmv_source_vocab",
+        "bigram_lm_quality", "gopher_quality", "dsir_importance",
+        "bloom_ingest_probe", "substring_dedup_clean", "vocab_coverage",
+        "corpus_datasheet",
+        "bpe_vocab", "bpe_fertility", "paragraph_dedup",
+        "ngram_containment", "token_entropy", "tfidf_top_terms",
+        "unicode_script_mix",
+    ],
+}
+
+# r10 extras: the stalest tier is the 46 names last timed in the r8 full
+# run (everything outside the r9 window); ties broken cheapest-first by the
+# r8 min-of-3 times (commit 47ae107), prefix sized so the projected window
+# sum stays ≤ ~150 s: core 81.3 + new-r10 36.6 + extras 25.8 ≈ 144 s. The
+# remaining 20 (heavier) stale names rotate in over r11-r12 — forced by the
+# BENCH_MAX_STALE test before they can exceed 4 rounds unbenched.
 BENCH_WINDOW_EXTRA = [
-    # r4 representatives (rotating slice)
-    "sequence_packing",
-    "decontamination",
-    "pii_scrub",
-    "source_token_budget",
-    "q5_local_supplier_volume",
-    # r5
-    "semdedup_clusters",
-    # r7
-    "training_shards",
-    "kmv_source_vocab",
-    "bigram_lm_quality",
-    # r8
-    "gopher_quality",
-    "dsir_importance",
-    "bloom_ingest_probe",
-    "substring_dedup_clean",
-    "vocab_coverage",
-    "corpus_datasheet",
+    "recipe_auto_injection",
+    "length_grouped_batches",
+    "padding_efficiency",
+    "temperature_source_mix",
+    "label_centroids",
+    "source_length_quantiles",
+    "embedding_int8_codes",
+    "bpe_merge_candidates",
+    "quality_clf_features",
+    "top_tokens_per_source",
+    "source_vocab_stats",
+    "epoch_batch_plan",
+    "budgeted_source_sample",
+    "batch_pad_with_reuse",
+    "event_gap_quantiles",
+    "c4_doc_filter",
+    "source_datasheet",
+    "exact_dedup_verified",
+    "pack_bin_stats",
+    "split_leakage_check",
+    "dup_ngram_spans",
+    "embedding_neardup_pairs",
+    "source_vocab_overlap",
+    "contamination_fraction",
+    "repetition_signals",
+    "ann_hard_negatives",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -212,7 +279,7 @@ BENCH_WINDOW_EXTRA = [
 # without reconstructing old lists from git history.
 # last registry entry of the PREVIOUS round: everything after it is
 # new-this-round and always enters the bench window.
-_LAST_ROUND_END = "source_datasheet"
+_LAST_ROUND_END = "unicode_script_mix"
 
 _SERIES_ENDS = {
     "r1_r3": "selector_text_samples",
@@ -222,6 +289,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
+    "r10": "audio_decode_audit",
 }
 
 
@@ -265,6 +333,7 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "720"))
     t_start = time.time()
     times: dict[str, float] = {}
+    all_times: dict[str, list[float]] = {}  # every timing, for the noise floor
     pass_counts: dict[str, int] = {}  # timings actually taken per query
     failures: dict[str, str] = {}
     passes_run = 0
@@ -301,6 +370,7 @@ def main() -> None:
                 ).save()
                 dt = round(time.time() - t0, 3)
                 times[name] = min(times.get(name, dt), dt)
+                all_times.setdefault(name, []).append(dt)
                 pass_counts[name] = pass_counts.get(name, 0) + 1
             except Exception as exc:  # noqa: BLE001
                 msg = f"{type(exc).__name__}: {exc}"[:500]
@@ -324,6 +394,30 @@ def main() -> None:
             del failures[name]
 
     total = round(sum(times.values()), 3)
+    # Noise floor (r9 verdict "what's wrong" #1): the in-run repeatability
+    # estimate that classifies round-over-round deltas from the artifact
+    # alone. The reported value per round is a MIN-of-N, so the relevant
+    # stability is between the two BEST timings — (2nd-best − best) / best
+    # — NOT max-vs-min, which would only measure pass-1's one-shot
+    # JIT/codegen inflation. A cross-round per-query delta inside
+    # p90_spread_pct is indistinguishable from session/warm-up noise and
+    # is not a plan regression signal (r9's five phantom ">1.25x" names
+    # all sat inside this band).
+    spreads = sorted(
+        round((sorted(ts)[1] - sorted(ts)[0]) / sorted(ts)[0] * 100.0, 1)
+        for ts in all_times.values()
+        if len(ts) >= 2 and min(ts) > 0
+    )
+    noise = (
+        {
+            "median_spread_pct": spreads[len(spreads) // 2],
+            "p90_spread_pct": spreads[min(len(spreads) - 1, int(len(spreads) * 0.9))],
+            "max_spread_pct": spreads[-1],
+            "n_multi_pass": len(spreads),
+        }
+        if spreads
+        else {"n_multi_pass": 0}
+    )
     series_totals = {}
     for era, last_name in _SERIES_ENDS.items():
         prefix = BENCH_QUERIES[: BENCH_QUERIES.index(last_name) + 1]
@@ -340,6 +434,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "methodology": BENCH_METHODOLOGY,
+        "noise": noise,
         "series_totals": series_totals,
         "passes": passes_run,
         # window vs full regime (see module doc): "window" = the rotating

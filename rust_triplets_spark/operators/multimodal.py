@@ -3,11 +3,13 @@
 ``mapInPandas`` stages.
 
 The image kernels run REAL decode/resize in any environment: PIL when
-present (compressed formats), else the vendored pure-Python PPM/BMP
-codecs (:mod:`rust_triplets_spark.operators.codecs`) — an unsupported
-format without PIL raises per-payload. Deterministic stand-in kernels
+present (compressed formats), else the vendored pure-Python
+PPM/BMP/PNG/JPEG codecs (:mod:`rust_triplets_spark.operators.codecs`,
+:mod:`...operators.jpeg`) — an unsupported format without PIL raises
+per-payload. Audio decodes for real too (vendored WAV/PCM RIFF parser,
+:mod:`...operators.audio`). Deterministic stand-in kernels
 (``use_stub=True``) remain for plumbing tests and for media kinds with
-no vendored codec (audio/video). The Spark-side contract is the same on
+no vendored codec (video, compressed audio). The Spark-side contract is the same on
 every branch: schema, binary-safe Arrow batching, partition-size control
 for large blobs, and codec-free metadata (sizes, magic-byte sniffing,
 content hashes).
@@ -234,6 +236,68 @@ def media_decode_audit(
 
     return media.select("media_id", "fmt", "payload").mapInPandas(
         run, schema=AUDIT_SCHEMA
+    )
+
+
+AUDIO_AUDIT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("rms_bucket", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_decode_audit(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """The audio counterpart of :func:`media_decode_audit`: decode every
+    WAV payload with the vendored PCM codec (``operators/audio.py``) and
+    emit integer facts — geometry (frames/channels/rate), an RMS-loudness
+    bucket, and the channel-0 zero-crossing count (the classic cheap
+    voiced/unvoiced + silence signals an audio curation pass gates on).
+
+    All math is integer on the decoder's 16-bit grid:
+    ``rms_bucket = isqrt(Σ s₀² // n) // 2048`` (0..16) and
+    ``zero_crossings = Σ [(sᵢ ≥ 0) ≠ (sᵢ₊₁ ≥ 0)]`` — bit-stable across
+    engines, oracle-checkable against committed expectations. Same blob
+    rules as the image audit: payloads never leave the Arrow stage."""
+    import math
+
+    import numpy as np
+
+    from rust_triplets_spark.operators.audio import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo : lo + batch_rows]
+                rows = {k: [] for k in
+                        ("n_frames", "n_channels", "sample_rate",
+                         "rms_bucket", "zero_crossings")}
+                for payload in sub["payload"]:
+                    s, rate = decode_wav(bytes(payload))
+                    n = int(s.shape[0])
+                    rows["n_frames"].append(n)
+                    rows["n_channels"].append(int(s.shape[1]))
+                    rows["sample_rate"].append(int(rate))
+                    if n == 0:
+                        rows["rms_bucket"].append(0)
+                        rows["zero_crossings"].append(0)
+                        continue
+                    ch0 = s[:, 0].astype(np.int64)
+                    ssum = int((ch0 * ch0).sum())
+                    rows["rms_bucket"].append(math.isqrt(ssum // n) // 2048)
+                    nn = ch0 >= 0
+                    rows["zero_crossings"].append(int((nn[1:] != nn[:-1]).sum()))
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "fmt": sub["fmt"].to_numpy(),
+                    **{k: np.array(v, dtype=np.int64) for k, v in rows.items()},
+                })
+
+    return media.select("media_id", "fmt", "payload").mapInPandas(
+        run, schema=AUDIO_AUDIT_SCHEMA
     )
 
 

@@ -139,5 +139,81 @@ def main() -> None:
         print(f"  {mid:3d} {fmt:16s} {len(payload):6d} B  {h}x{w} lum_bucket={lb}")
 
 
+
+
+def _expected_audio(payload: bytes) -> tuple[int, int, int, int, int]:
+    """audio_decode_audit's exact integer math, at generation time."""
+    import math
+
+    from rust_triplets_spark.operators.audio import decode_wav
+
+    s, rate = decode_wav(payload)
+    n = int(s.shape[0])
+    if n == 0:
+        return n, int(s.shape[1]), int(rate), 0, 0
+    ch0 = s[:, 0].astype(np.int64)
+    ssum = int((ch0 * ch0).sum())
+    nn = ch0 >= 0
+    return (
+        n, int(s.shape[1]), int(rate),
+        math.isqrt(ssum // n) // 2048,
+        int((nn[1:] != nn[:-1]).sum()),
+    )
+
+
+def gen_audio() -> None:
+    from rust_triplets_spark.operators.audio import encode_wav
+
+    rng = np.random.default_rng(42)
+    t = np.arange(8000)
+    sine = np.round(20000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int32)
+    quiet = np.round(900 * np.sin(2 * np.pi * 100 * t / 8000)).astype(np.int32)
+    square = np.where((t // 50) % 2 == 0, 12000, -12000).astype(np.int32)
+    noise = rng.integers(-30000, 30000, 8000, dtype=np.int64).astype(np.int32)
+    stereo = np.stack([sine, noise], axis=1)
+    silence = np.zeros(4000, dtype=np.int32)
+    f32 = (np.sin(2 * np.pi * 220 * t / 8000) * 0.5).astype(np.float32)
+
+    def wav_f32(x: np.ndarray, rate: int) -> bytes:
+        import struct as st
+        body = x.astype("<f4").tobytes()
+        fmt = st.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+        chunks = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                  + b"data" + st.pack("<I", len(body)) + body)
+        return b"RIFF" + st.pack("<I", len(chunks)) + chunks
+
+    rows = [
+        (1, "wav_pcm16", encode_wav(sine, 8000, 16)),
+        (2, "wav_pcm16", encode_wav(quiet, 8000, 16)),
+        (3, "wav_pcm16", encode_wav(square, 16000, 16)),
+        (4, "wav_pcm16_stereo", encode_wav(stereo, 44100, 16)),
+        (5, "wav_pcm8", encode_wav(noise >> 8, 8000, 8)),
+        (6, "wav_pcm32", encode_wav(noise.astype(np.int64) << 16, 8000, 32)),
+        (7, "wav_pcm16", encode_wav(silence, 8000, 16)),
+        (8, "wav_float32", wav_f32(f32, 22050)),
+    ]
+    exp = [_expected_audio(p) for _, _, p in rows]
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "exp_n_frames": pa.array([e[0] for e in exp], pa.int64()),
+        "exp_n_channels": pa.array([e[1] for e in exp], pa.int64()),
+        "exp_sample_rate": pa.array([e[2] for e in exp], pa.int64()),
+        "exp_rms_bucket": pa.array([e[3] for e in exp], pa.int64()),
+        "exp_zero_crossings": pa.array([e[4] for e in exp], pa.int64()),
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "audio_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+    for (mid, fmt, payload), e in zip(rows, exp):
+        print(f"  {mid:3d} {fmt:18s} {len(payload):6d} B  "
+              f"frames={e[0]} ch={e[1]} rate={e[2]} rms={e[3]} zc={e[4]}")
+
+
 if __name__ == "__main__":
     main()
+    gen_audio()

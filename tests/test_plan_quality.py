@@ -217,14 +217,14 @@ def test_bench_window_invariants():
     (b) contain the whole r1_r3 longitudinal core, (c) contain every
     new-this-round query (everything after _LAST_ROUND_END), (d) hold no
     duplicates, and (e) stay small enough that 3 passes fit the budget
-    (structural proxy: <= 65 names; the time-based sizing lives in the
+    (structural proxy: <= 70 names; the time-based sizing lives in the
     committed BENCH_LOCAL_FULL.json review step)."""
     import bench
     from rust_triplets_spark.plans import driver_queries as DQ
 
     window = bench.bench_window()
     assert len(window) == len(set(window))
-    assert len(window) <= 65
+    assert len(window) <= 70
     for name in window:
         assert name in bench.BENCH_QUERIES
         assert name in DQ.QUERIES
@@ -238,6 +238,65 @@ def test_bench_window_invariants():
     assert set(new_names) <= set(window)
     # the rotating slice names real registry entries only
     assert set(bench.BENCH_WINDOW_EXTRA) <= set(bench.BENCH_QUERIES)
+
+
+def test_bench_window_staleness_rotation():
+    """r9 verdict next-round #3(b): BENCH_WINDOW_EXTRA follows an ASSERTED
+    staleness rotation, like the correctness window since r4 — hand
+    curation can no longer silently starve a bench-series name. From
+    BENCH_WINDOW_LOG (window mode began r9; every name in the registry at
+    r8 was last timed by the r8 full-registry driver run):
+
+    (a) no registry name's last driver-window timing may be more than
+        BENCH_MAX_STALE rounds ago, counting the current window;
+    (b) the extras are a stalest-first selection — no name left outside
+        the window is staler than any chosen extra;
+    (c) at least 10 stalest-tier names rotate in while a backlog exists;
+    (d) the log is consistent: this round is max(log)+1, and each logged
+        window names real registry queries without duplicates."""
+    import bench
+
+    cur = bench.BENCH_CURRENT_ROUND
+    assert cur == max(bench.BENCH_WINDOW_LOG) + 1
+    for _rnd, names in bench.BENCH_WINDOW_LOG.items():
+        assert len(names) == len(set(names))
+        assert set(names) <= set(bench.BENCH_QUERIES)
+
+    new_names = set(
+        bench.BENCH_QUERIES[bench.BENCH_QUERIES.index(bench._LAST_ROUND_END) + 1:]
+    )
+
+    def last_timed(name: str) -> int:
+        rounds = [r for r, ns in bench.BENCH_WINDOW_LOG.items() if name in ns]
+        return max(rounds) if rounds else 8  # r8 full-registry baseline
+
+    window = set(bench.bench_window())
+    core = set(
+        bench.BENCH_QUERIES[: bench.BENCH_QUERIES.index(bench._R1_R3_CORE_END) + 1]
+    )
+    pool = [n for n in bench.BENCH_QUERIES if n not in core and n not in new_names]
+    # (a) hard staleness bound
+    for n in pool:
+        if n not in window:
+            assert cur - last_timed(n) <= bench.BENCH_MAX_STALE, (
+                f"{n} last driver-window-timed r{last_timed(n)} — "
+                f"over the {bench.BENCH_MAX_STALE}-round bound"
+            )
+    # (b) stalest-first: nothing outside the window is staler than a pick
+    outside = [cur - last_timed(n) for n in pool if n not in window]
+    chosen = [cur - last_timed(e) for e in bench.BENCH_WINDOW_EXTRA]
+    if outside and chosen:
+        assert max(outside) <= min(chosen)
+    # (c) minimum refresh rate while a backlog exists
+    oldest = max(cur - last_timed(n) for n in pool)
+    backlog = [n for n in pool if cur - last_timed(n) == oldest and n not in window]
+    refreshed_oldest = [
+        e for e in bench.BENCH_WINDOW_EXTRA if cur - last_timed(e) == oldest
+    ]
+    if backlog or refreshed_oldest:
+        assert len(refreshed_oldest) >= min(
+            10, len(backlog) + len(refreshed_oldest)
+        )
 
 
 def test_semdedup_in_cell_join_is_equi_join(spark):

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "text_granularity_funnel",
     "bpe_vocab_batched",
     "audio_decode_audit",
+    "embedding_random_projection",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -289,7 +290,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
-    "r10": "audio_decode_audit",
+    "r10": "embedding_random_projection",
 }
 
 

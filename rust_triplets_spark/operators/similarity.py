@@ -1604,3 +1604,82 @@ SELECT label, d,
 FROM lc_vals
 GROUP BY label, d
 """
+
+
+# ---------------------------------------------------------------------------
+# Seeded random projection (Johnson–Lindenstrauss sketch) — the embedding
+# compression path that precedes ANN at corpus scale: project d-dim float
+# vectors to k integer coordinates with a DATA-INDEPENDENT seeded ±1
+# (Rademacher/Achlioptas 2003) matrix, so the sketch is reproducible from
+# (seed, dims) alone and distances are preserved in expectation (JL lemma).
+# ---------------------------------------------------------------------------
+
+RP_SEED = 4_100_009
+
+
+def _rp_signs(in_dim: int, out_dim: int, seed: int) -> list:
+    """The ±1 projection matrix, derived from the shared 31-bit hash:
+    ``sign[i][j] = +1 if hash31(i·out_dim + j, seed) is even else −1``.
+    Data-independent, so it is precomputed driver-side and enters BOTH
+    engines' plans as literal coefficients — no hash evaluation in the
+    hot path, and the twin agrees by construction."""
+    from rust_triplets_spark.functions.hashing import hash31_py
+
+    return [
+        [1 - 2 * (hash31_py(i * out_dim + j, seed) & 1) for j in range(out_dim)]
+        for i in range(in_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame, id_col: str, vec_col: str,
+    in_dim: int, out_dim: int = 16, seed: int = RP_SEED,
+) -> DataFrame:
+    """``(id, proj_0 … proj_{k−1})`` — exact int64 JL sketch: the QUANT-
+    grid quantized vector times the seeded ±1 matrix. Entirely row-local
+    column arithmetic (one flat sum of signed terms per output
+    coordinate — no fold chains, no shuffle, no UDF): at 100 TB this is
+    a pure map stage that cuts every downstream ANN/dedup exchange by
+    d/k. Integer end-to-end, so the DuckDB twin hash-matches and the
+    sketch is bit-reproducible across engines and runs (the property a
+    persisted corpus-wide sketch table must have)."""
+    signs = _rp_signs(in_dim, out_dim, seed)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _quantize(F.col(vec_col)).alias("__q"),
+    )
+    cols = []
+    for j in range(out_dim):
+        expr = None
+        for i in range(in_dim):
+            term = F.element_at(F.col("__q"), i + 1)
+            if signs[i][j] < 0:
+                expr = -term if expr is None else expr - term
+            else:
+                expr = term if expr is None else expr + term
+        cols.append(expr.cast("long").alias(f"proj_{j}"))
+    return base.select("id", *cols)
+
+
+def random_projection_sql(
+    table: str, id_sql: str, vec_sql: str,
+    in_dim: int, out_dim: int = 16, seed: int = RP_SEED,
+) -> str:
+    """DuckDB twin of :func:`random_projection` — the same literal ±1
+    coefficients over the same QUANT grid."""
+    signs = _rp_signs(in_dim, out_dim, seed)
+    q = f"list_transform({vec_sql}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    cols = ",\n       ".join(
+        "("
+        + " ".join(
+            ("-" if signs[i][j] < 0 else "+") + f" qv[{i + 1}]"
+            for i in range(in_dim)
+        ).lstrip("+ ")
+        + f") AS proj_{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+SELECT id,
+       {cols}
+FROM (SELECT CAST({id_sql} AS BIGINT) AS id, {q} AS qv FROM {table} t) s
+"""

@@ -4024,6 +4024,30 @@ def embedding_int8_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rust_triplets_spark.operators.similarity import (  # noqa: E402
+    random_projection,
+    random_projection_sql,
+)
+
+
+@_register(
+    "embedding_random_projection",
+    random_projection_sql("embeddings", "t.vec_id", "t.embedding", in_dim=64),
+)
+def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded JL random-projection sketch (new r10): 64-dim float
+    embeddings → 16 exact int64 coordinates under a data-independent
+    Rademacher matrix derived from the shared 31-bit hash — the
+    compression stage that precedes corpus-scale ANN (every downstream
+    exchange shrinks by d/k; distances preserved in expectation, JL
+    lemma — the preservation bound is pytest-pinned). Pure row-local
+    map: no shuffle, no UDF, literal ±1 coefficients in both engines'
+    plans."""
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", in_dim=64
+    )
+
+
 @_register(
     "ann_hard_negatives",
     ivf_seeded_topk_sql(
@@ -4354,6 +4378,7 @@ _CHECK_FIRST = [
     "ingest_funnel_trace",
     "text_granularity_funnel",
     "bpe_vocab_batched",
+    "embedding_random_projection",
     "ngram_containment",
     # staleness rotation, COMPLETED this round (r9 verdict next-round #1):
     # all 31 remaining names whose last driver-green row is r7 (the r9
@@ -4393,7 +4418,7 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 13 of the names whose last
+    # filler slice: the alphabetically-first 12 of the names whose last
     # driver row is r8 (the now-oldest tier) — the rotation's steady state
     "ann_hard_negatives",
     "ann_ivf_float_cells",
@@ -4407,7 +4432,6 @@ _CHECK_FIRST = [
     "capacity_estimation",
     "ccnet_quality_buckets",
     "chunk_rotation",
-    "cluster_aware_splits",
 ]
 
 

@@ -857,3 +857,70 @@ def test_ngram_containment_sizes_use_filtered_universe(spark):
         assert got[k][0] == oracle[k][0]
         assert abs(got[k][1] - oracle[k][1]) < 1e-12
         assert abs(got[k][2] - oracle[k][2]) < 1e-12
+
+
+def test_random_projection_preserves_distances_and_is_exact(spark):
+    """JL sketch: (a) the Spark frame equals a numpy recomputation of the
+    same integer math bit-for-bit; (b) linearity holds exactly; (c) the
+    JL property — cosine over the 16-dim sketch tracks cosine over the
+    64-dim original (rank correlation over seeded random pairs)."""
+    import numpy as np
+
+    from rust_triplets_spark.operators.similarity import (
+        QUANT,
+        _rp_signs,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(13)
+    n, d, k = 60, 64, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["id"]: [r[f"proj_{j}"] for j in range(k)]
+        for r in random_projection(df, "vec_id", "embedding", d, k).collect()
+    }
+    signs = np.array(_rp_signs(d, k, 4_100_009), dtype=np.int64)
+    # round-half-to-even matches Spark/DuckDB round() on doubles? No —
+    # both engines round() HALF UP on doubles; emulate exactly
+    q = np.floor(vecs.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    q = np.where(
+        vecs.astype(np.float64) * QUANT < 0,
+        -np.floor(-vecs.astype(np.float64) * QUANT + 0.5).astype(np.int64),
+        q,
+    )
+    expect = q @ signs
+    for i in range(n):
+        assert got[i] == list(expect[i]), i
+    # linearity: proj(a) + proj(b) == proj computed from q_a + q_b
+    ab = (q[0] + q[1]) @ signs
+    assert list(ab) == [a + b for a, b in zip(expect[0], expect[1])]
+    # JL preservation on STRUCTURED data (random unit vectors in 64-dim
+    # are pairwise near-orthogonal — nothing to preserve): members of a
+    # tight cluster must stay closer under the sketch than cross-cluster
+    # pairs, with a clear margin
+    cvecs = []
+    for c in range(6):
+        center = rng.normal(size=d)
+        center /= np.linalg.norm(center)
+        for _ in range(8):
+            v = center + rng.normal(size=d) * 0.05
+            cvecs.append(v / np.linalg.norm(v))
+    cvecs = np.array(cvecs)
+    qc = np.floor(np.abs(cvecs) * QUANT + 0.5).astype(np.int64) * np.sign(
+        cvecs
+    ).astype(np.int64)
+    pc = qc @ signs
+    pc = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    sk = pc @ pc.T
+    labels = np.repeat(np.arange(6), 8)
+    same = labels[:, None] == labels[None, :]
+    iu = np.triu_indices(len(cvecs), 1)
+    within = sk[iu][same[iu]]
+    across = sk[iu][~same[iu]]
+    assert within.mean() > across.mean() + 0.5, (within.mean(), across.mean())
+    assert within.min() > across.max() - 0.2

@@ -144,12 +144,20 @@ def resize_nearest(pixels: np.ndarray, w: int, h: int) -> np.ndarray:
 # multimodal corpus actually ships; the deflate layer is stdlib zlib, so a
 # pure-Python decoder needs only chunk parsing + scanline unfiltering.
 # Coverage: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
-# 4 (gray+alpha), 6 (RGBA); interlace 0. Alpha is dropped (PIL's
-# convert("RGB") semantics). Encoder emits color type 2, filter 0, fixed
-# zlib level — byte-reproducible.
+# 4 (gray+alpha), 6 (RGBA); interlace 0 AND Adam7 (each of the 7 passes
+# is an independently-filtered sub-image placed on the (x0, y0, dx, dy)
+# grid — PNG spec §8.2). Alpha is dropped (PIL's convert("RGB")
+# semantics). Encoder emits color type 2, filter 0, fixed zlib level —
+# byte-reproducible.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -162,46 +170,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, 3) uint8. Pure Python + stdlib zlib; see the
-    section comment for the supported subset (the overwhelmingly common
-    8-bit non-interlaced shapes)."""
-    if not payload.startswith(_PNG_MAGIC):
-        raise ValueError("decode_png: missing PNG signature")
-    pos = len(_PNG_MAGIC)
-    ihdr = None
-    idat = bytearray()
-    plte = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        if len(data) != length:
-            raise ValueError("decode_png: truncated chunk")
-        pos += 12 + length  # length + type + data + crc (crc unchecked)
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("decode_png: no IHDR chunk")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"decode_png: unsupported bit depth {depth} (only 8)")
-    if comp != 0 or filt != 0:
-        raise ValueError("decode_png: nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("decode_png: Adam7 interlace not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise ValueError(f"decode_png: unknown color type {color}")
-    if color == 3 and plte is None:
-        raise ValueError("decode_png: palette image without PLTE")
-    raw = zlib.decompress(bytes(idat))
+def _unfilter_lines(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse per-scanline filtering (types 0-4) over one (sub-)image:
+    ``h`` filtered scanlines of ``w * channels`` bytes each, every line
+    prefixed by its filter byte. Returns the (h, stride) raster."""
     stride = w * channels
     if len(raw) != h * (1 + stride):
         raise ValueError(
@@ -236,7 +208,70 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"decode_png: unknown filter {f} on row {y}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-    px = out.reshape(h, w, channels)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Pure Python + stdlib zlib; see the
+    section comment for the supported subset (the overwhelmingly common
+    8-bit non-interlaced shapes)."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("decode_png: missing PNG signature")
+    pos = len(_PNG_MAGIC)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("decode_png: truncated chunk")
+        pos += 12 + length  # length + type + data + crc (crc unchecked)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("decode_png: no IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"decode_png: unsupported bit depth {depth} (only 8)")
+    if comp != 0 or filt != 0:
+        raise ValueError("decode_png: nonstandard compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"decode_png: unknown interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"decode_png: unknown color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("decode_png: palette image without PLTE")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        px = _unfilter_lines(raw, h, w, channels).reshape(h, w, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images, each placed on
+        # its (x0, y0, dx, dy) grid; empty passes contribute zero bytes
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (1 + pw * channels)
+            sub = _unfilter_lines(raw[pos:pos + nbytes], ph, pw, channels)
+            pos += nbytes
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if pos != len(raw):
+            raise ValueError(
+                f"decode_png: Adam7 raster size mismatch ({len(raw)} bytes, "
+                f"consumed {pos})"
+            )
     if color == 0:  # gray
         return np.repeat(px, 3, axis=2)
     if color == 2:  # RGB

@@ -433,3 +433,50 @@ def test_png_palette_index_out_of_range_is_loud():
            + chunk(b"IDAT", raster) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="palette index out of range"):
         decode_png(png)
+
+
+def test_png_adam7_interlace_decodes():
+    """Adam7: hand-built interlaced PNGs (per-pass filtered sub-images,
+    spec §8.2 grid) must decode identically to their progressive-free
+    raster, across color types and awkward dimensions (passes that are
+    empty, 1xN, Nx1)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rust_triplets_spark.operators.codecs import _ADAM7, decode_png
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def adam7_png(px, color, extra=b""):
+        h, w = px.shape[:2]
+        ch = px.shape[2]
+        parts = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                parts += b"\x00" + sub[y].tobytes()  # filter type 0
+        sig = b"\x89PNG\r\n\x1a\n"
+        return (sig
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
+                + extra
+                + chunk(b"IDAT", zlib.compress(bytes(parts)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(21)
+    for shape in [(16, 16), (13, 19), (1, 9), (9, 1), (7, 7), (3, 3)]:
+        px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        got = decode_png(adam7_png(px, 2))
+        assert np.array_equal(got, px), shape
+    # gray and palette shapes through the same grid
+    g = rng.integers(0, 256, (11, 6, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(adam7_png(g, 0)), np.repeat(g, 3, axis=2))
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (10, 13, 1), dtype=np.uint8)
+    got = decode_png(adam7_png(idx, 3, extra=chunk(b"PLTE", pal.tobytes())))
+    assert np.array_equal(got, pal[idx[..., 0]])

@@ -41,7 +41,18 @@ def fuzzy_eval_index(
 ) -> DataFrame:
     """Static benchmark index: one (eval_id, band, sig) row per band.
     Built with the same row-local expressions as the stream side, so both
-    sides' band signatures agree bit-for-bit."""
+    sides' band signatures agree bit-for-bit.
+
+    The band-struct array is staged as its OWN projection attribute and
+    the explode consumes that attribute — never the expression. The mix31
+    band chain duplicates its accumulated sub-expression at every fold
+    step (textually ~3x per slot), and a Generate's generator is compiled
+    into ``generate_doConsume`` where codegen can neither split methods
+    nor reuse subexpressions: inlining the chain there overflows janino's
+    64 KB method limit and the whole stage silently falls back to
+    interpreted mode (or fails outright under
+    ``spark.sql.codegen.fallback=false`` — the tripwire test). Hosting
+    the same expression in a Project keeps it splittable."""
     sig = minhash_signature_array_col(F.col(text_col), num_hashes, shingle_n, seed)
     return (
         evaldf.select(
@@ -50,10 +61,11 @@ def fuzzy_eval_index(
         .where(F.col("__sig").isNotNull())
         .select(
             "eval_id",
-            F.explode(minhash_band_structs_col(F.col("__sig"), num_hashes, bands)).alias(
-                "__b"
+            minhash_band_structs_col(F.col("__sig"), num_hashes, bands).alias(
+                "__bands"
             ),
         )
+        .select("eval_id", F.explode("__bands").alias("__b"))
         .select("eval_id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
     )
 
@@ -123,10 +135,13 @@ def fuzzy_decontam_flags(
         .where(F.col("__sig").isNotNull())
         .select(
             "id",
-            F.explode(minhash_band_structs_col(F.col("__sig"), num_hashes, bands)).alias(
-                "__b"
+            # staged attribute, not an inline generator expression — see
+            # the fuzzy_eval_index docstring (64 KB generate_doConsume)
+            minhash_band_structs_col(F.col("__sig"), num_hashes, bands).alias(
+                "__bands"
             ),
         )
+        .select("id", F.explode("__bands").alias("__b"))
         .select("id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
     )
     return banded.join(F.broadcast(eval_index), ["band", "sig"]).select(

@@ -1,0 +1,542 @@
+"""Minimal pure-Python MP4 (ISO base media file format) container parser
++ integer frame-sampling planner.
+
+The video branch of the multimodal family. Reference scope: the
+reference engine carries no media code at all (its sources are text
+only), so this module is beyond-reference surface in the same tier as
+:mod:`operators.jpeg` / :mod:`operators.audio` — the operations a
+100 TB training-data pipeline needs over a `binary` video column.
+
+What a video curation pass actually needs from a clip BEFORE paying for
+codec decode is all in the CONTAINER: duration, track inventory, codec
+fourcc, geometry, the sample (frame) timing table, and the keyframe
+index. ISO/IEC 14496-12 lays those out as a tree of length-prefixed
+boxes; this module walks ftyp/moov/trak/mdia/minf/stbl and reads:
+
+- ``mvhd`` — movie timescale + duration (ISO 14496-12 §8.2.2),
+- ``tkhd`` — track id, 16.16 fixed-point width/height (§8.3.2),
+- ``mdhd``/``hdlr`` — media timescale + handler (vide/soun, §8.4),
+- ``stsd`` — sample-entry fourcc, i.e. the codec tag (§8.5.2),
+- ``stts`` — run-length decode-time deltas (§8.6.1.2),
+- ``stss`` — sync (key) sample numbers; ABSENT means every sample is a
+  sync point (§8.6.2),
+- ``stsz``/``stz2`` header — sample count (§8.7.3).
+
+Box sizes: 32-bit, ``size==1`` → 64-bit largesize, ``size==0`` → to end
+of enclosing container (§4.2). Unknown boxes are skipped by size;
+truncation and structural violations raise a loud per-payload
+``ValueError`` (the same fault-isolation contract as the image/audio
+codecs). Actual bitstream decode (H.264 etc.) is deliberately out of
+scope — that is what ``extract_features``'s stub branch documents — but
+everything the SAMPLING PLAN needs is container-level and exact.
+
+The planner (:func:`plan_frame_picks`) answers the canonical question a
+frame-sampling pipeline asks per clip: "decode which samples?" — uniform
+in TIME (not sample index: variable frame rate is why stts exists),
+each pick snapped back to the latest keyframe at-or-before it (what a
+seek-then-decode worker actually does). All integer math on the
+container's own tick grid, so the plan is bit-stable across engines and
+oracle-checkable against committed expectations.
+
+Scale shape: payload blobs never leave the Arrow stage; the audit emits
+a handful of integer columns per clip and the plan at most ``n_picks``
+small rows per clip — the frames-to-decode WORKLIST a 1000-executor
+decode stage would then consume, partitioned by clip.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+# containers whose children we descend into (everything else is a leaf
+# we either read or skip whole)
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+@dataclass
+class Mp4Track:
+    track_id: int = 0
+    handler: str = ""  # "vide" | "soun" | other 4cc
+    fourcc: str = ""  # sample-entry codec tag, e.g. "avc1", "mp4a"
+    width: int = 0  # integer part of tkhd 16.16 fixed
+    height: int = 0
+    timescale: int = 0  # mdhd media timescale (ticks/second)
+    duration: int = 0  # mdhd duration in media ticks
+    n_samples: int = 0  # stsz/stz2 sample_count
+    stts: list = field(default_factory=list)  # [(sample_count, delta)]
+    sync_samples: list | None = None  # 1-based sample numbers; None = all
+
+
+@dataclass
+class Mp4Meta:
+    major_brand: str = ""
+    timescale: int = 0  # mvhd movie timescale
+    duration: int = 0  # mvhd duration in movie ticks
+    tracks: list = field(default_factory=list)
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from(">I", b, off)[0]
+
+
+def _u64(b: bytes, off: int) -> int:
+    return struct.unpack_from(">Q", b, off)[0]
+
+
+def _iter_boxes(payload: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each box in
+    ``payload[start:end]`` (§4.2 size rules)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = _u32(payload, pos)
+        btype = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize header")
+            size = _u64(payload, pos + 8)
+            body = pos + 16
+            if size < 16:
+                raise ValueError("mp4: largesize smaller than header")
+        elif size == 0:
+            size = end - pos  # extends to end of enclosing container
+        elif size < 8:
+            raise ValueError(f"mp4: box size {size} smaller than header")
+        if pos + size > end:
+            raise ValueError(
+                f"mp4: box '{btype.decode('latin1')}' overruns container"
+            )
+        yield btype, body, pos + size
+        pos += size
+
+
+def _full_box(payload: bytes, body: int) -> tuple[int, int]:
+    """(version, first-field offset) for a FullBox (§4.2: 1-byte version
+    + 3-byte flags before the fields)."""
+    return payload[body], body + 4
+
+
+def _parse_mvhd(payload: bytes, body: int, end: int, meta: Mp4Meta) -> None:
+    v, off = _full_box(payload, body)
+    if v == 1:
+        if off + 28 > end:
+            raise ValueError("mp4: mvhd v1 truncated")
+        meta.timescale = _u32(payload, off + 16)
+        meta.duration = _u64(payload, off + 20)
+    else:
+        if off + 16 > end:
+            raise ValueError("mp4: mvhd v0 truncated")
+        meta.timescale = _u32(payload, off + 8)
+        meta.duration = _u32(payload, off + 12)
+
+
+def _parse_tkhd(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    v, off = _full_box(payload, body)
+    # v0: ctime(4) mtime(4) track_id(4) rsvd(4) dur(4) -> 20 B to dur end
+    # v1: ctime(8) mtime(8) track_id(4) rsvd(4) dur(8) -> 32 B
+    if v == 1:
+        idoff, tail = off + 16, off + 32
+    else:
+        idoff, tail = off + 8, off + 20
+    # after duration: reserved(8) layer(2) altgroup(2) volume(2)
+    # reserved(2) matrix(36) width(4) height(4)
+    wh = tail + 8 + 2 + 2 + 2 + 2 + 36
+    if wh + 8 > end:
+        raise ValueError("mp4: tkhd truncated")
+    trk.track_id = _u32(payload, idoff)
+    trk.width = _u32(payload, wh) >> 16  # 16.16 fixed → integer part
+    trk.height = _u32(payload, wh + 4) >> 16
+
+
+def _parse_mdhd(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    v, off = _full_box(payload, body)
+    if v == 1:
+        if off + 28 > end:
+            raise ValueError("mp4: mdhd v1 truncated")
+        trk.timescale = _u32(payload, off + 16)
+        trk.duration = _u64(payload, off + 20)
+    else:
+        if off + 16 > end:
+            raise ValueError("mp4: mdhd v0 truncated")
+        trk.timescale = _u32(payload, off + 8)
+        trk.duration = _u32(payload, off + 12)
+
+
+def _parse_stts(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    n = _u32(payload, off)
+    if off + 4 + 8 * n > end:
+        raise ValueError("mp4: stts truncated")
+    trk.stts = [
+        (_u32(payload, off + 4 + 8 * i), _u32(payload, off + 8 + 8 * i))
+        for i in range(n)
+    ]
+
+
+def _parse_stss(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    n = _u32(payload, off)
+    if off + 4 + 4 * n > end:
+        raise ValueError("mp4: stss truncated")
+    trk.sync_samples = [_u32(payload, off + 8 + 4 * i - 4) for i in range(n)]
+
+
+def _parse_stsz(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    if off + 8 > end:
+        raise ValueError("mp4: stsz truncated")
+    trk.n_samples = _u32(payload, off + 4)  # after sample_size field
+
+
+def _parse_stsd(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    n = _u32(payload, off)
+    if n >= 1:
+        if off + 12 > end:
+            raise ValueError("mp4: stsd truncated")
+        trk.fourcc = payload[off + 8:off + 12].decode("latin1")
+
+
+def _parse_hdlr(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    if off + 8 > end:
+        raise ValueError("mp4: hdlr truncated")
+    trk.handler = payload[off + 4:off + 8].decode("latin1")
+
+
+_TRACK_LEAVES = {
+    b"tkhd": _parse_tkhd,
+    b"mdhd": _parse_mdhd,
+    b"hdlr": _parse_hdlr,
+    b"stsd": _parse_stsd,
+    b"stts": _parse_stts,
+    b"stss": _parse_stss,
+    b"stsz": _parse_stsz,
+}
+
+
+def _walk(payload: bytes, start: int, end: int, meta: Mp4Meta,
+          trk: Mp4Track | None) -> None:
+    for btype, body, bend in _iter_boxes(payload, start, end):
+        if btype == b"trak":
+            t = Mp4Track()
+            _walk(payload, body, bend, meta, t)
+            meta.tracks.append(t)
+        elif btype in _CONTAINERS:
+            _walk(payload, body, bend, meta, trk)
+        elif btype == b"mvhd":
+            _parse_mvhd(payload, body, bend, meta)
+        elif trk is not None and btype in _TRACK_LEAVES:
+            _TRACK_LEAVES[btype](payload, body, bend, trk)
+        # anything else: skip whole by size (spec-sanctioned)
+
+
+def parse_mp4(payload: bytes) -> Mp4Meta:
+    """MP4/ISO-BMFF bytes → :class:`Mp4Meta`. Raises ``ValueError`` on
+    structural violations (truncated boxes, missing moov/mvhd)."""
+    if len(payload) < 8:
+        raise ValueError("mp4: payload shorter than one box header")
+    meta = Mp4Meta()
+    saw_moov = False
+    for btype, body, bend in _iter_boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            if body + 4 > bend:
+                raise ValueError("mp4: ftyp truncated")
+            meta.major_brand = payload[body:body + 4].decode("latin1")
+        elif btype == b"moov":
+            saw_moov = True
+            _walk(payload, body, bend, meta, None)
+    if not saw_moov:
+        raise ValueError("mp4: no moov box")
+    if meta.timescale == 0:
+        raise ValueError("mp4: no mvhd (or zero timescale)")
+    return meta
+
+
+def video_track(meta: Mp4Meta) -> Mp4Track | None:
+    """First ``vide``-handler track, or None (audio-only file)."""
+    for t in meta.tracks:
+        if t.handler == "vide":
+            return t
+    return None
+
+
+# ---------------------------------------------------------------------------
+# frame-sampling plan (integer, container-tick domain)
+# ---------------------------------------------------------------------------
+
+
+def expand_stts(stts: list) -> list:
+    """Run-length stts → per-sample DTS list (ticks). Sample i's decode
+    time is the prefix sum of deltas before it (§8.6.1.2)."""
+    dts = []
+    t = 0
+    for count, delta in stts:
+        for _ in range(count):
+            dts.append(t)
+            t += delta
+    return dts
+
+
+def plan_frame_picks(
+    stts: list, sync_samples: list | None, n_picks: int
+) -> list:
+    """Uniform-in-time sampling plan over one track's timing tables.
+
+    For pick ``i`` of ``n_picks``: target tick ``tᵢ = (i·D) // n_picks``
+    (``D`` = total track ticks), the picked sample is the one whose DTS
+    interval contains ``tᵢ``, and the decode entry point is the latest
+    sync sample at-or-before it (``stss`` absent → every sample is sync,
+    §8.6.2 — the pick is its own entry point). Returns
+    ``[(pick_ord, target_tick, sample_n, dts_tick, key_sample_n)]`` with
+    1-based sample numbers (the spec's numbering). All integer."""
+    dts = expand_stts(stts)
+    if not dts or n_picks <= 0:
+        return []
+    total = dts[-1] + (stts[-1][1] if stts else 0)
+    picks = []
+    sync = sorted(sync_samples) if sync_samples is not None else None
+    j = 0  # dts walk cursor — targets are nondecreasing
+    for i in range(n_picks):
+        target = (i * total) // n_picks
+        while j + 1 < len(dts) and dts[j + 1] <= target:
+            j += 1
+        sample_n = j + 1
+        if sync is None:
+            key = sample_n
+        else:
+            key = 1  # spec requires the first sample of a sync table era
+            for s in sync:
+                if s <= sample_n:
+                    key = s
+                else:
+                    break
+        picks.append((i, target, sample_n, dts[j], key))
+    return picks
+
+
+# ---------------------------------------------------------------------------
+# deterministic MP4 writer (fixture/test harness for the parser)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, version: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def encode_mp4(
+    *,
+    movie_timescale: int,
+    tracks: list,
+    major_brand: str = "isom",
+    mdat: bytes = b"",
+) -> bytes:
+    """Write a structurally-valid minimal MP4. Each track dict:
+    ``{track_id, handler ('vide'|'soun'), fourcc, width, height,
+    timescale, stts: [(count, delta)], sync_samples: list|None}``.
+    Sample count and durations are derived from stts. The mdat payload
+    is opaque (no codec bitstream is claimed) — stsz sizes are written
+    as a constant 1-byte-per-sample table so every required stbl box is
+    present and consistent."""
+    trak_boxes = []
+    movie_dur = 0
+    for t in tracks:
+        n_samples = sum(c for c, _ in t["stts"])
+        media_dur = sum(c * d for c, d in t["stts"])
+        movie_dur = max(
+            movie_dur,
+            media_dur * movie_timescale // max(t["timescale"], 1),
+        )
+        tkhd = _full(
+            b"tkhd", 0,
+            struct.pack(">IIIII", 0, 0, t["track_id"], 0, media_dur)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">HHHH", 0, 0, 0x0100 if t["handler"] == "soun" else 0, 0)
+            + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                          0x40000000)  # identity matrix
+            + struct.pack(">II", t["width"] << 16, t["height"] << 16),
+        )
+        mdhd = _full(
+            b"mdhd", 0,
+            struct.pack(">IIIIHH", 0, 0, t["timescale"], media_dur,
+                        0x55C4, 0),  # 'und' language, pre_defined
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            struct.pack(">I", 0) + t["handler"].encode("latin1")
+            + b"\x00" * 12 + b"\x00",
+        )
+        stsd = _full(
+            b"stsd", 0,
+            struct.pack(">I", 1)
+            + _box(t["fourcc"].encode("latin1"),
+                   b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16),
+        )
+        stts = _full(
+            b"stts", 0,
+            struct.pack(">I", len(t["stts"]))
+            + b"".join(struct.pack(">II", c, d) for c, d in t["stts"]),
+        )
+        stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+        # stsz v0: sample_size=0 → per-sample size table follows (§8.7.3)
+        stsz = _full(b"stsz", 0, struct.pack(">II", 0, n_samples)
+                     + b"".join(struct.pack(">I", 1) for _ in range(n_samples)))
+        stco = _full(b"stco", 0, struct.pack(">I", 0))
+        stbl_children = [stsd, stts, stsc, stsz, stco]
+        if t.get("sync_samples") is not None:
+            stbl_children.append(_full(
+                b"stss", 0,
+                struct.pack(">I", len(t["sync_samples"]))
+                + b"".join(struct.pack(">I", s) for s in t["sync_samples"]),
+            ))
+        stbl = _box(b"stbl", b"".join(stbl_children))
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak_boxes.append(_box(b"trak", tkhd + mdia))
+
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, movie_timescale, movie_dur)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _box(b"moov", mvhd + b"".join(trak_boxes))
+    ftyp = _box(b"ftyp", major_brand.encode("latin1")
+                + struct.pack(">I", 0x200) + b"isommp41")
+    out = ftyp + moov
+    if mdat:
+        out += _box(b"mdat", mdat)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (Arrow-batched; blobs never leave the stage)
+# ---------------------------------------------------------------------------
+
+
+def video_metadata_audit(media, batch_rows: int = 64):
+    """Distributed container audit over a binary MP4 column → one integer
+    row per clip: ``(media_id, fmt, n_tracks, duration_ms, v_width,
+    v_height, v_n_samples, v_n_sync, v_fourcc)``. ``duration_ms`` is the
+    movie duration on the integer millisecond grid
+    (``duration·1000 // timescale``); ``v_*`` come from the first video
+    track (−1 / '' when the file has none — audio-only clips are data,
+    not errors). ``v_n_sync`` is the keyframe count (no ``stss`` → every
+    sample is sync, so it equals ``v_n_samples``)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("v_width", T.LongType()),
+        T.StructField("v_height", T.LongType()),
+        T.StructField("v_n_samples", T.LongType()),
+        T.StructField("v_n_sync", T.LongType()),
+        T.StructField("v_fourcc", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                cols = {k: [] for k in ("n_tracks", "duration_ms", "v_width",
+                                        "v_height", "v_n_samples", "v_n_sync",
+                                        "v_fourcc")}
+                for payload in sub["payload"]:
+                    meta = parse_mp4(bytes(payload))
+                    cols["n_tracks"].append(len(meta.tracks))
+                    cols["duration_ms"].append(
+                        meta.duration * 1000 // meta.timescale
+                    )
+                    vt = video_track(meta)
+                    if vt is None:
+                        cols["v_width"].append(-1)
+                        cols["v_height"].append(-1)
+                        cols["v_n_samples"].append(-1)
+                        cols["v_n_sync"].append(-1)
+                        cols["v_fourcc"].append("")
+                    else:
+                        cols["v_width"].append(vt.width)
+                        cols["v_height"].append(vt.height)
+                        cols["v_n_samples"].append(vt.n_samples)
+                        cols["v_n_sync"].append(
+                            vt.n_samples if vt.sync_samples is None
+                            else len(vt.sync_samples)
+                        )
+                        cols["v_fourcc"].append(vt.fourcc)
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "fmt": sub["fmt"].to_numpy(),
+                    **{k: (np.array(v, dtype=np.int64) if k != "v_fourcc"
+                           else v)
+                       for k, v in cols.items()},
+                })
+
+    return media.select("media_id", "fmt", "payload").mapInPandas(
+        run, schema=schema
+    )
+
+
+def video_frame_plan(media, n_picks: int = 4, batch_rows: int = 64):
+    """Distributed frame-sampling plan: per clip, the ≤ ``n_picks``
+    ``(pick_ord, target_tick, sample_n, dts_tick, key_sample_n)`` rows of
+    :func:`plan_frame_picks` over the first video track (audio-only clips
+    contribute no rows). This is the decode WORKLIST: downstream, a
+    decode stage repartitions it by clip and seeks ``key_sample_n`` →
+    decodes forward to ``sample_n`` — the plan is the part that must be
+    exact, cheap, and engine-stable, and it is all container-tick
+    integers."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pick_ord", T.LongType()),
+        T.StructField("target_tick", T.LongType()),
+        T.StructField("sample_n", T.LongType()),
+        T.StructField("dts_tick", T.LongType()),
+        T.StructField("key_sample_n", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                out = {k: [] for k in ("media_id", "pick_ord", "target_tick",
+                                       "sample_n", "dts_tick",
+                                       "key_sample_n")}
+                for mid, payload in zip(sub["media_id"], sub["payload"]):
+                    vt = video_track(parse_mp4(bytes(payload)))
+                    if vt is None:
+                        continue
+                    for row in plan_frame_picks(
+                        vt.stts, vt.sync_samples, n_picks
+                    ):
+                        out["media_id"].append(int(mid))
+                        for k, v in zip(
+                            ("pick_ord", "target_tick", "sample_n",
+                             "dts_tick", "key_sample_n"), row,
+                        ):
+                            out[k].append(v)
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+                )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)

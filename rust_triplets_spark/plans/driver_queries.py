@@ -3089,6 +3089,139 @@ def audio_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_decode_audit(media, batch_rows=3)
 
 
+_VIDEO_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "video_sample.parquet",
+)
+
+
+@_register(
+    "video_metadata_audit",
+    f"""
+SELECT media_id, fmt,
+       CAST(exp_n_tracks AS BIGINT) AS n_tracks,
+       CAST(exp_duration_ms AS BIGINT) AS duration_ms,
+       CAST(exp_v_width AS BIGINT) AS v_width,
+       CAST(exp_v_height AS BIGINT) AS v_height,
+       CAST(exp_v_n_samples AS BIGINT) AS v_n_samples,
+       CAST(exp_v_n_sync AS BIGINT) AS v_n_sync,
+       exp_v_fourcc AS v_fourcc
+FROM read_parquet('{_VIDEO_FIXTURE}')
+""",
+)
+def video_metadata_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg of the media audits: real ISO-BMFF container parsing
+    (vendored box walker, operators/video.py — mvhd/tkhd/mdhd/hdlr/stsd/
+    stts/stss/stsz per ISO 14496-12) inside an Arrow-batched mapInPandas
+    stage, emitting the integer facts a video curation pass gates on
+    BEFORE paying for codec decode: duration on the millisecond grid,
+    track inventory, geometry, codec fourcc, sample and keyframe counts.
+    The fixture covers constant/variable frame durations, stss-less
+    (all-sync) tracks, multi-track A/V, audio-only (−1 sentinels), and a
+    single-sample poster clip."""
+    from rust_triplets_spark.operators.video import video_metadata_audit
+
+    media = spark.read.parquet(_VIDEO_FIXTURE).select(
+        "media_id", "fmt", "payload"
+    )
+    return video_metadata_audit(media, batch_rows=3)
+
+
+@_register(
+    "video_frame_plan",
+    f"""
+SELECT media_id,
+       CAST(unnest(exp_pick_ord) AS BIGINT) AS pick_ord,
+       CAST(unnest(exp_target_tick) AS BIGINT) AS target_tick,
+       CAST(unnest(exp_sample_n) AS BIGINT) AS sample_n,
+       CAST(unnest(exp_dts_tick) AS BIGINT) AS dts_tick,
+       CAST(unnest(exp_key_sample_n) AS BIGINT) AS key_sample_n
+FROM read_parquet('{_VIDEO_FIXTURE}')
+""",
+)
+def video_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-snapped uniform-in-TIME frame-sampling plan per clip
+    (operators/video.plan_frame_picks): pick ``i``'s target tick is
+    ``(i·D)//n_picks`` on the container's own tick grid, the picked
+    sample is the stts interval containing it, and the decode entry
+    point is the latest stss sync sample at-or-before it — what a
+    seek-then-decode worker executes. Time-uniform ≠ index-uniform under
+    variable frame durations (the vfr fixture row pins the difference);
+    audio-only clips contribute zero rows. All integer math → the oracle
+    unnests the committed expected plan and must match value-for-value.
+    At scale this output is the decode WORKLIST a downstream GPU/codec
+    stage consumes, repartitioned by clip; blobs never leave the Arrow
+    stage here."""
+    from rust_triplets_spark.operators.video import video_frame_plan
+
+    media = spark.read.parquet(_VIDEO_FIXTURE).select("media_id", "payload")
+    return video_frame_plan(media, n_picks=4, batch_rows=3)
+
+
+_GIF_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "gif_sample.parquet",
+)
+
+
+@_register(
+    "gif_frame_audit",
+    f"""
+SELECT media_id,
+       CAST(unnest(exp_pick_ord) AS BIGINT) AS pick_ord,
+       CAST(unnest(exp_frame_idx) AS BIGINT) AS frame_idx,
+       CAST(unnest(exp_target_cs) AS BIGINT) AS target_cs,
+       CAST(unnest(exp_lum_bucket) AS BIGINT) AS lum_bucket
+FROM read_parquet('{_GIF_FIXTURE}')
+""",
+)
+def gif_frame_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling with REAL pixels: the same
+    uniform-in-time integer planner as `video_frame_plan` (per-frame
+    centisecond delays as the tick grid), but the picked frames actually
+    decode (vendored LZW + disposal/transparency compositing,
+    operators/gif.py) and each emits the image audit's integer
+    mean-luminance bucket. The fixture pins the cases that distinguish a
+    player from a naive frame splitter: transparency holes compositing
+    the PREVIOUS frame through, restore-to-background disposal flipping
+    the canvas between picks, variable delays making time-uniform picks
+    differ from index-uniform, and interlaced frames."""
+    from rust_triplets_spark.operators.multimodal import gif_frame_audit
+
+    media = spark.read.parquet(_GIF_FIXTURE).select("media_id", "payload")
+    return gif_frame_audit(media, n_picks=4, batch_rows=3)
+
+
+from rust_triplets_spark.operators.zorder import (  # noqa: E402
+    zorder_pruning_audit,
+    zorder_pruning_audit_sql,
+)
+
+
+@_register(
+    "zorder_pruning_audit",
+    zorder_pruning_audit_sql(
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events",
+        "t.event_id",
+        "t.user_id",
+        "t.ts_us",
+    ),
+)
+def zorder_pruning_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout effectiveness, measured (operators/zorder.py): lay
+    events out by the Morton interleave of (user_id, ts) vs arrival
+    order, compute the per-file min/max stats a parquet footer would
+    carry, and replay a deterministic probe workload (user slices, time
+    slices, combined cells) against both — files-scanned side by side
+    per probe. The global rank never single-partitions
+    (functions/ordering.bucketed_position); the oracle keeps the plain
+    row_number form. All integer math on the quantized grid."""
+    ev = _read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return zorder_pruning_audit(ev, "event_id", "user_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # corpus cleaning funnel: the end-to-end web-corpus hygiene pipeline as ONE
 # plan — C4 document gate → boilerplate line removal → exact dedup — with
@@ -4375,6 +4508,10 @@ _CHECK_FIRST = [
     # universe — r10 advice fix, so it re-enters the window)
     "media_decode_audit",
     "audio_decode_audit",
+    "video_metadata_audit",
+    "video_frame_plan",
+    "gif_frame_audit",
+    "zorder_pruning_audit",
     "ingest_funnel_trace",
     "text_granularity_funnel",
     "bpe_vocab_batched",
@@ -4418,7 +4555,7 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 12 of the names whose last
+    # filler slice: the alphabetically-first 8 of the names whose last
     # driver row is r8 (the now-oldest tier) — the rotation's steady state
     "ann_hard_negatives",
     "ann_ivf_float_cells",
@@ -4428,10 +4565,6 @@ _CHECK_FIRST = [
     "bigram_lm_quality",
     "binary_columns",
     "bloom_ingest_probe",
-    "bpe_merge_candidates",
-    "capacity_estimation",
-    "ccnet_quality_buckets",
-    "chunk_rotation",
 ]
 
 

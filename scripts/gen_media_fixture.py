@@ -120,6 +120,19 @@ def main() -> None:
         (13, "jpeg_progressive", encode_jpeg_progressive(noise, 95)),
     ]
 
+    # GIF: palette-quantized stills (the vendored LZW decoder's rows in
+    # the same audit) — indices into a random palette, one progressive
+    # and one interlaced
+    from rust_triplets_spark.operators.gif import encode_gif
+
+    gpal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    gidx = rng.integers(0, 16, (14, 21), dtype=np.uint8)
+    rows += [
+        (14, "gif", encode_gif([gidx], gpal)),
+        (15, "gif_interlaced", encode_gif([gidx.T.copy()], gpal,
+                                          interlace=True)),
+    ]
+
     exp = [_expected(p) for _, _, p in rows]
     table = pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -214,6 +227,198 @@ def gen_audio() -> None:
               f"frames={e[0]} ch={e[1]} rate={e[2]} rms={e[3]} zc={e[4]}")
 
 
+def gen_video() -> None:
+    """fixtures/video_sample.parquet: structurally-valid MP4 containers
+    (ISO 14496-12 box trees from operators/video.encode_mp4 — the parser
+    itself is pinned against hand-built raw bytes in tests/test_video.py)
+    plus the expected integer audit columns and the expected 4-pick
+    frame-sampling plan as parallel list columns. All container-tick
+    integers → engine- and run-stable."""
+    from rust_triplets_spark.operators.video import (
+        encode_mp4,
+        parse_mp4,
+        plan_frame_picks,
+        video_track,
+    )
+
+    def vid(stts, sync, *, w, h, ts, fourcc="mp4v", tid=1):
+        return {"track_id": tid, "handler": "vide", "fourcc": fourcc,
+                "width": w, "height": h, "timescale": ts, "stts": stts,
+                "sync_samples": sync}
+
+    def aud(stts, *, ts, tid=2):
+        return {"track_id": tid, "handler": "soun", "fourcc": "mp4a",
+                "width": 0, "height": 0, "timescale": ts, "stts": stts,
+                "sync_samples": None}
+
+    rows = [
+        # constant 30 fps-ish, keyframe every 10th sample
+        (1, "mp4_cfr_gop10", encode_mp4(
+            movie_timescale=1000,
+            tracks=[vid([(90, 20)], [1, 11, 21, 31, 41, 51, 61, 71, 81],
+                        w=640, h=360, ts=600)],
+            mdat=b"\x11" * 90)),
+        # variable frame durations (three stts runs), sparse keyframes
+        (2, "mp4_vfr", encode_mp4(
+            movie_timescale=90000,
+            tracks=[vid([(10, 3000), (20, 1500), (10, 6000)], [1, 15, 31],
+                        w=1280, h=720, ts=90000, fourcc="avc1")])),
+        # no stss box: every sample is a sync point
+        (3, "mp4_allsync", encode_mp4(
+            movie_timescale=600,
+            tracks=[vid([(48, 25)], None, w=320, h=240, ts=1200)])),
+        # audio+video multi-track (video is track 2 here)
+        (4, "mp4_av", encode_mp4(
+            movie_timescale=1000,
+            tracks=[aud([(430, 1024)], ts=44100, tid=1),
+                    vid([(240, 1001)], [1, 61, 121, 181],
+                        w=1920, h=1080, ts=24000, fourcc="hvc1", tid=2)])),
+        # audio-only: no video track → audit -1s, plan contributes 0 rows
+        (5, "mp4_audio_only", encode_mp4(
+            movie_timescale=600, tracks=[aud([(100, 160)], ts=16000)])),
+        # single-sample clip (a poster frame)
+        (6, "mp4_single", encode_mp4(
+            movie_timescale=600,
+            tracks=[vid([(1, 600)], [1], w=100, h=100, ts=600)])),
+    ]
+
+    n_picks = 4
+    meta_cols = {k: [] for k in ("n_tracks", "duration_ms", "v_width",
+                                 "v_height", "v_n_samples", "v_n_sync",
+                                 "v_fourcc")}
+    pick_cols = {k: [] for k in ("pick_ord", "target_tick", "sample_n",
+                                 "dts_tick", "key_sample_n")}
+    for _, _, payload in rows:
+        meta = parse_mp4(payload)
+        meta_cols["n_tracks"].append(len(meta.tracks))
+        meta_cols["duration_ms"].append(meta.duration * 1000 // meta.timescale)
+        vt = video_track(meta)
+        if vt is None:
+            for k, v in (("v_width", -1), ("v_height", -1),
+                         ("v_n_samples", -1), ("v_n_sync", -1),
+                         ("v_fourcc", "")):
+                meta_cols[k].append(v)
+            picks = []
+        else:
+            meta_cols["v_width"].append(vt.width)
+            meta_cols["v_height"].append(vt.height)
+            meta_cols["v_n_samples"].append(vt.n_samples)
+            meta_cols["v_n_sync"].append(
+                vt.n_samples if vt.sync_samples is None
+                else len(vt.sync_samples))
+            meta_cols["v_fourcc"].append(vt.fourcc)
+            picks = plan_frame_picks(vt.stts, vt.sync_samples, n_picks)
+        for i, k in enumerate(pick_cols):
+            pick_cols[k].append([p[i] for p in picks])
+
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        **{f"exp_{k}": pa.array(
+            v, pa.string() if k == "v_fourcc" else pa.int64())
+           for k, v in meta_cols.items()},
+        **{f"exp_{k}": pa.array(v, pa.list_(pa.int64()))
+           for k, v in pick_cols.items()},
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "video_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+    for (mid, fmt, payload), nt, dm in zip(
+        rows, meta_cols["n_tracks"], meta_cols["duration_ms"]
+    ):
+        print(f"  {mid:3d} {fmt:16s} {len(payload):6d} B  tracks={nt} "
+              f"dur={dm}ms")
+
+
+def gen_gif() -> None:
+    """fixtures/gif_sample.parquet: animated GIFs (disposal methods,
+    transparency holes, variable delays, interlace, a static single
+    frame) plus the expected 4-pick frame audit — pick schedule AND the
+    picked frames' integer luminance buckets, both computed through the
+    vendored decode+planner path at generation time (the decoders
+    themselves are pinned against hand-built bitstreams in
+    tests/test_gif.py)."""
+    from rust_triplets_spark.operators.gif import decode_gif_frames, encode_gif
+    from rust_triplets_spark.operators.video import plan_frame_picks
+
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+
+    def frames_of(k, h, w, seed):
+        r = np.random.default_rng(seed)
+        return [r.integers(0, 8, (h, w), dtype=np.uint8) for _ in range(k)]
+
+    rows = [
+        # 10 frames, uniform 10cs delays
+        (1, "gif_anim_uniform", encode_gif(
+            frames_of(10, 12, 16, 1), pal, delays_cs=[10] * 10)),
+        # variable delays: time-uniform picks != index-uniform
+        (2, "gif_anim_vfr", encode_gif(
+            frames_of(6, 9, 9, 2), pal,
+            delays_cs=[50, 2, 2, 2, 2, 50])),
+        # transparency + keep disposal: later frames composite over
+        (3, "gif_anim_transparent", encode_gif(
+            [np.full((8, 8), 1, np.uint8),
+             np.full((8, 8), 7, np.uint8),
+             np.full((8, 8), 3, np.uint8)],
+            pal, delays_cs=[5, 5, 5], transparent=7)),
+        # restore-to-background disposal between frames
+        (4, "gif_anim_dispose_bg", encode_gif(
+            [np.full((6, 10), 2, np.uint8),
+             np.full((6, 10), 7, np.uint8)],
+            pal, delays_cs=[8, 8], disposals=[2, 0], transparent=7,
+            bg_index=4)),
+        # static single frame, zero delay (degrades to index-uniform)
+        (5, "gif_static", encode_gif(
+            frames_of(1, 15, 11, 5), pal)),
+        # interlaced animation
+        (6, "gif_anim_interlaced", encode_gif(
+            frames_of(4, 16, 8, 6), pal, delays_cs=[4, 4, 4, 4],
+            interlace=True)),
+    ]
+
+    n_picks = 4
+    pick_cols = {k: [] for k in ("pick_ord", "frame_idx", "target_cs",
+                                 "lum_bucket")}
+    for _, _, payload in rows:
+        frames, delays = decode_gif_frames(payload)
+        stts = [(1, max(int(d), 1)) for d in delays]
+        picks = plan_frame_picks(stts, None, n_picks)
+        pick_cols["pick_ord"].append([p[0] for p in picks])
+        pick_cols["frame_idx"].append([p[2] - 1 for p in picks])
+        pick_cols["target_cs"].append([p[1] for p in picks])
+        lbs = []
+        for p in picks:
+            px = frames[p[2] - 1].astype(np.int64)
+            n = px.shape[0] * px.shape[1]
+            lum = int((299 * px[..., 0] + 587 * px[..., 1]
+                       + 114 * px[..., 2]).sum())
+            lbs.append((lum // (1000 * n)) // 16 if n else 0)
+        pick_cols["lum_bucket"].append(lbs)
+
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        **{f"exp_{k}": pa.array(v, pa.list_(pa.int64()))
+           for k, v in pick_cols.items()},
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "gif_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+    for (mid, fmt, payload), lbs in zip(rows, pick_cols["lum_bucket"]):
+        print(f"  {mid:3d} {fmt:22s} {len(payload):6d} B  lum_buckets={lbs}")
+
+
 if __name__ == "__main__":
     main()
     gen_audio()
+    gen_video()
+    gen_gif()

@@ -1,0 +1,203 @@
+"""MP4 container parser + frame-sampling planner (operators/video.py).
+
+Parser facts are pinned against hand-built box trees (the writer is
+exercised too, but the truncation/structure tests build raw bytes by
+hand so the parser isn't graded by its own encoder). The plan math is
+hand-computed on small stts/stss tables. Spark-side: the audit and plan
+kernels run over the committed fixture and must match its expected
+columns exactly (the same contract the driver's oracle checks)."""
+
+import os
+import struct
+
+import pytest
+
+from rust_triplets_spark.operators.video import (
+    encode_mp4,
+    expand_stts,
+    parse_mp4,
+    plan_frame_picks,
+    video_track,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "video_sample.parquet",
+)
+
+
+def _vid(stts, sync, *, w=64, h=48, ts=600, fourcc="mp4v", tid=1):
+    return {
+        "track_id": tid, "handler": "vide", "fourcc": fourcc,
+        "width": w, "height": h, "timescale": ts, "stts": stts,
+        "sync_samples": sync,
+    }
+
+
+def _aud(stts, *, ts=8000, tid=2):
+    return {
+        "track_id": tid, "handler": "soun", "fourcc": "mp4a",
+        "width": 0, "height": 0, "timescale": ts, "stts": stts,
+        "sync_samples": None,
+    }
+
+
+class TestParse:
+    def test_roundtrip_single_video_track(self):
+        payload = encode_mp4(
+            movie_timescale=1000,
+            tracks=[_vid([(30, 20)], [1, 11, 21])],
+            mdat=b"\x00" * 30,
+        )
+        meta = parse_mp4(payload)
+        assert meta.major_brand == "isom"
+        assert meta.timescale == 1000
+        # 30 samples x 20 ticks @600 → 600 media ticks = 1000 movie ticks
+        assert meta.duration == 1000
+        assert len(meta.tracks) == 1
+        t = meta.tracks[0]
+        assert (t.track_id, t.handler, t.fourcc) == (1, "vide", "mp4v")
+        assert (t.width, t.height) == (64, 48)
+        assert (t.timescale, t.duration) == (600, 600)
+        assert t.n_samples == 30
+        assert t.stts == [(30, 20)]
+        assert t.sync_samples == [1, 11, 21]
+
+    def test_multi_track_and_video_track_helper(self):
+        payload = encode_mp4(
+            movie_timescale=90000,
+            tracks=[_aud([(80, 1024)]), _vid([(24, 25)], None)],
+        )
+        meta = parse_mp4(payload)
+        assert len(meta.tracks) == 2
+        vt = video_track(meta)
+        assert vt is not None and vt.handler == "vide"
+        assert vt.sync_samples is None  # no stss box → all-sync
+        assert meta.tracks[0].fourcc == "mp4a"
+
+    def test_audio_only_has_no_video_track(self):
+        meta = parse_mp4(encode_mp4(movie_timescale=600,
+                                    tracks=[_aud([(10, 160)])]))
+        assert video_track(meta) is None
+
+    def test_variable_stts_runs(self):
+        meta = parse_mp4(encode_mp4(
+            movie_timescale=600,
+            tracks=[_vid([(3, 100), (2, 50), (1, 200)], [1])],
+        ))
+        t = meta.tracks[0]
+        assert t.stts == [(3, 100), (2, 50), (1, 200)]
+        assert t.n_samples == 6
+        assert t.duration == 3 * 100 + 2 * 50 + 200
+
+    def test_largesize_box(self):
+        # wrap a valid file's moov in a size==1 (64-bit largesize) header
+        payload = encode_mp4(movie_timescale=600,
+                             tracks=[_vid([(5, 100)], None)])
+        # find moov
+        i = payload.index(b"moov") - 4
+        size = struct.unpack(">I", payload[i:i + 4])[0]
+        body = payload[i + 8:i + size]
+        big = (struct.pack(">I", 1) + b"moov"
+               + struct.pack(">Q", 16 + len(body)) + body)
+        meta = parse_mp4(payload[:i] + big)
+        assert meta.tracks[0].n_samples == 5
+
+    def test_unknown_boxes_skipped(self):
+        payload = encode_mp4(movie_timescale=600,
+                             tracks=[_vid([(5, 100)], None)])
+        junk = struct.pack(">I", 16) + b"skip" + b"\xde\xad\xbe\xef" * 2
+        meta = parse_mp4(junk + payload)
+        assert meta.tracks[0].n_samples == 5
+
+    def test_truncated_header_raises(self):
+        with pytest.raises(ValueError, match="mp4"):
+            parse_mp4(b"\x00\x00\x00\x10ftyp")  # size 16, only 8 bytes
+
+    def test_box_overrun_raises(self):
+        bad = struct.pack(">I", 9999) + b"moov" + b"\x00" * 16
+        with pytest.raises(ValueError, match="overruns"):
+            parse_mp4(bad)
+
+    def test_no_moov_raises(self):
+        only_ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        with pytest.raises(ValueError, match="no moov"):
+            parse_mp4(only_ftyp)
+
+    def test_size_smaller_than_header_raises(self):
+        with pytest.raises(ValueError, match="smaller than header"):
+            parse_mp4(struct.pack(">I", 4) + b"ftyp" + b"\x00" * 8)
+
+
+class TestPlan:
+    def test_expand_stts(self):
+        assert expand_stts([(3, 10), (2, 5)]) == [0, 10, 20, 30, 35]
+
+    def test_uniform_picks_constant_rate(self):
+        # 10 samples x 10 ticks = 100 ticks; picks at 0,25,50,75
+        picks = plan_frame_picks([(10, 10)], None, 4)
+        assert [p[1] for p in picks] == [0, 25, 50, 75]
+        assert [p[2] for p in picks] == [1, 3, 6, 8]  # dts 0,20,50,70
+        assert [p[3] for p in picks] == [0, 20, 50, 70]
+        # no stss → pick is its own keyframe
+        assert [p[4] for p in picks] == [1, 3, 6, 8]
+
+    def test_keyframe_snap(self):
+        # sync at samples 1 and 6: picks past sample 6 snap to 6
+        picks = plan_frame_picks([(10, 10)], [1, 6], 4)
+        assert [p[2] for p in picks] == [1, 3, 6, 8]
+        assert [p[4] for p in picks] == [1, 1, 6, 6]
+
+    def test_variable_rate_time_uniform_not_index_uniform(self):
+        # 2 long samples (100 ticks) then 8 short (10): total 280
+        picks = plan_frame_picks([(2, 100), (8, 10)], None, 4)
+        # targets 0,70,140,210 → samples 1 (dts0), 1 (dts0<=70<100),
+        # 2 (100<=140<200), 4 (dts 210)
+        assert [p[2] for p in picks] == [1, 1, 2, 4]
+        assert [p[3] for p in picks] == [0, 0, 100, 210]
+
+    def test_single_sample(self):
+        assert plan_frame_picks([(1, 100)], None, 3) == [
+            (0, 0, 1, 0, 1), (1, 33, 1, 0, 1), (2, 66, 1, 0, 1),
+        ]
+
+    def test_empty(self):
+        assert plan_frame_picks([], None, 4) == []
+        assert plan_frame_picks([(5, 10)], None, 0) == []
+
+
+class TestSpark:
+    def test_metadata_audit_matches_fixture(self, spark):
+        from rust_triplets_spark.operators.video import video_metadata_audit
+
+        media = spark.read.parquet(FIXTURE)
+        got = {
+            r["media_id"]: r.asDict()
+            for r in video_metadata_audit(
+                media.select("media_id", "fmt", "payload"), batch_rows=3
+            ).collect()
+        }
+        for r in media.collect():
+            g = got[r["media_id"]]
+            for col in ("n_tracks", "duration_ms", "v_width", "v_height",
+                        "v_n_samples", "v_n_sync", "v_fourcc"):
+                assert g[col] == r["exp_" + col], (r["media_id"], col)
+
+    def test_frame_plan_matches_fixture(self, spark):
+        from rust_triplets_spark.operators.video import video_frame_plan
+
+        media = spark.read.parquet(FIXTURE)
+        got = sorted(
+            tuple(r) for r in video_frame_plan(
+                media.select("media_id", "payload"), n_picks=4, batch_rows=2
+            ).collect()
+        )
+        exp = []
+        for r in media.collect():
+            for i in range(len(r["exp_pick_ord"])):
+                exp.append((
+                    r["media_id"], r["exp_pick_ord"][i],
+                    r["exp_target_tick"][i], r["exp_sample_n"][i],
+                    r["exp_dts_tick"][i], r["exp_key_sample_n"][i],
+                ))
+        assert got == sorted(exp)

@@ -117,10 +117,14 @@ def decode_image_builtin(payload: bytes) -> np.ndarray:
         from rust_triplets_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        from rust_triplets_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(
         "decode_image_builtin: unsupported format (builtin codecs cover "
-        "PPM P6, 24-bit BMP, 8-bit PNG, and baseline + progressive JPEG; "
-        "install PIL for WebP/GIF/TIFF/...)"
+        "PPM P6, 24-bit BMP, 8-bit PNG, baseline + progressive JPEG, and "
+        "GIF; install PIL for WebP/TIFF/...)"
     )
 
 

@@ -414,3 +414,66 @@ def resize_media(
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+GIF_FRAME_AUDIT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("pick_ord", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("target_cs", T.LongType()),
+    T.StructField("lum_bucket", T.LongType()),
+])
+
+
+def gif_frame_audit(
+    media: DataFrame, n_picks: int = 4, batch_rows: int = 64
+) -> DataFrame:
+    """Animated-GIF frame sampling WITH real decoded pixels — the bridge
+    between the image audits and the MP4 frame-plan: the planner is the
+    SAME uniform-in-time integer pick math as the video branch
+    (:func:`operators.video.plan_frame_picks` over the GIF's per-frame
+    centisecond delays, each frame an stts run of one sample; a zero
+    delay counts 1 tick so static GIFs degrade to index-uniform picks),
+    but here the picked frames actually decode in-sandbox (vendored LZW,
+    :mod:`operators.gif`), compositing disposal/transparency state
+    forward exactly as a player would.
+
+    Emits per pick: ``(media_id, pick_ord, frame_idx [0-based],
+    target_cs, lum_bucket)`` with the image audit's integer luminance
+    math — engine-stable, oracle-checkable against committed
+    expectations. Frames never leave the Arrow stage; only ≤ ``n_picks``
+    integer rows per clip come out."""
+    import numpy as np
+
+    from rust_triplets_spark.operators.gif import decode_gif_frames
+    from rust_triplets_spark.operators.video import plan_frame_picks
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                out = {k: [] for k in ("media_id", "pick_ord", "frame_idx",
+                                       "target_cs", "lum_bucket")}
+                for mid, payload in zip(sub["media_id"], sub["payload"]):
+                    frames, delays = decode_gif_frames(bytes(payload))
+                    stts = [(1, max(int(d), 1)) for d in delays]
+                    for ord_, target, sample_n, _dts, _key in \
+                            plan_frame_picks(stts, None, n_picks):
+                        px = frames[sample_n - 1].astype(np.int64)
+                        n = px.shape[0] * px.shape[1]
+                        lum_sum = int((299 * px[..., 0] + 587 * px[..., 1]
+                                       + 114 * px[..., 2]).sum())
+                        out["media_id"].append(int(mid))
+                        out["pick_ord"].append(ord_)
+                        out["frame_idx"].append(sample_n - 1)
+                        out["target_cs"].append(target)
+                        out["lum_bucket"].append(
+                            (lum_sum // (1000 * n)) // 16 if n else 0
+                        )
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=GIF_FRAME_AUDIT_SCHEMA
+    )

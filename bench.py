@@ -176,6 +176,10 @@ BENCH_QUERIES = [
     "bpe_vocab_batched",
     "audio_decode_audit",
     "embedding_random_projection",
+    "video_metadata_audit",
+    "video_frame_plan",
+    "gif_frame_audit",
+    "zorder_pruning_audit",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -241,9 +245,11 @@ BENCH_WINDOW_LOG: dict[int, list[str]] = {
 # r10 extras: the stalest tier is the 46 names last timed in the r8 full
 # run (everything outside the r9 window); ties broken cheapest-first by the
 # r8 min-of-3 times (commit 47ae107), prefix sized so the projected window
-# sum stays ≤ ~150 s: core 81.3 + new-r10 36.6 + extras 25.8 ≈ 144 s. The
-# remaining 20 (heavier) stale names rotate in over r11-r12 — forced by the
-# BENCH_MAX_STALE test before they can exceed 4 rounds unbenched.
+# sum stays ≤ ~150 s: core 81.3 + new-r10 ~40 (incl. the three sub-second
+# fixture audits video_metadata_audit/video_frame_plan/gif_frame_audit) +
+# extras 24.2 ≈ 146 s. The remaining 21 (heavier) stale names rotate in
+# over r11-r12 — forced by the BENCH_MAX_STALE test before they can exceed
+# 4 rounds unbenched.
 BENCH_WINDOW_EXTRA = [
     "recipe_auto_injection",
     "length_grouped_batches",
@@ -269,8 +275,6 @@ BENCH_WINDOW_EXTRA = [
     "embedding_neardup_pairs",
     "source_vocab_overlap",
     "contamination_fraction",
-    "repetition_signals",
-    "ann_hard_negatives",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -290,7 +294,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
-    "r10": "embedding_random_projection",
+    "r10": "zorder_pruning_audit",
 }
 
 

@@ -1,0 +1,327 @@
+"""Z-order (Morton) data layout + a measured scan-pruning audit.
+
+The 100 TB lever this operator encodes: at scale, the dominant cost of a
+selective query is HOW MANY FILES the scan must open, and that is purely
+a function of data LAYOUT — every columnar format (parquet row groups,
+Delta/Iceberg data files) carries per-file min/max statistics that let
+the planner skip files whose range cannot match. A table laid out in
+arrival order clusters only its arrival dimension; a multi-dimensional
+workload ("this user's events in this window") then overlaps EVERY file.
+Interleaving the bits of the quantized dimensions (the Z-order / Morton
+curve — Morton 1966; the technique behind Delta OPTIMIZE ZORDER and
+Iceberg sort orders) makes file ranges tight in ALL interleaved
+dimensions at once.
+
+This module does the whole loop, engine-exactly:
+
+1. quantize each dimension to ``bits`` integer buckets over its global
+   min/max (pure BIGINT math),
+2. interleave the bits into the z-key (shift/and/or expressions — no
+   UDF),
+3. assign rows to ``n_files`` equal-count files by z-key rank — the
+   global rank runs on :func:`functions.ordering.bucketed_position`
+   (range-bucketed parallel rank), NEVER a single-partition window,
+4. compute each file's per-dimension min/max — exactly the stats a
+   parquet footer would carry,
+5. replay a deterministic probe workload (dimension slices + combined
+   cells) against those stats for BOTH layouts (z-order vs arrival
+   order) and report files-scanned side by side.
+
+The output is the pruning-effectiveness table a layout decision needs,
+and the whole computation is integer arithmetic shared verbatim with the
+DuckDB twin (the oracle keeps the plain ``row_number`` form of the rank;
+``bucketed_position``'s equality to it is its own contract). The
+row-level probe match counts ride a broadcast nested-loop against the
+tiny probe frame — linear × n_probes, map-only, no shuffle.
+
+Scale shape: two global aggregates (bounds), one parallel rank, one
+``n_files``-row stats aggregate per layout, and one broadcast
+nested-loop — nothing quadratic, no blob columns, no driver collect
+beyond the bounded stats frames Spark aggregates anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_triplets_spark.functions.caching import cache_scoped
+from rust_triplets_spark.functions.ordering import (
+    bucketed_position,
+    bucketed_position_numeric,
+)
+
+DEFAULT_BITS = 8
+DEFAULT_FILES = 32
+DEFAULT_SLICES = 4
+
+
+def quantize_col(v: str, vmin: str, vmax: str, bits: int) -> Column:
+    """``(v - vmin) * 2^bits // (vmax - vmin + 1)`` on BIGINT (named
+    columns; ``DIV`` is Spark's integer division — epoch-micro scale
+    values overflow double-precision float division, so never ``/``) —
+    monotone, engine-exact, in ``[0, 2^bits)`` for ``v`` in
+    ``[vmin, vmax]``."""
+    return F.expr(
+        f"(({v} - {vmin}) * {1 << bits}) DIV ({vmax} - {vmin} + 1)"
+    ).cast("long")
+
+
+def _q_sql(v: str, vmin: str, vmax: str, bits: int) -> str:
+    return f"(({v} - {vmin}) * {1 << bits} // ({vmax} - {vmin} + 1))"
+
+
+def zorder_key_col(qa: Column, qb: Column, bits: int) -> Column:
+    """Interleave two ``bits``-bit quantized values: bit ``i`` of ``qa``
+    lands at position ``2i+1``, of ``qb`` at ``2i`` — pure shift/and
+    column expressions, 2·bits terms."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(qa.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = z + F.shiftleft(
+            F.shiftright(qb.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+    return z
+
+
+def _z_sql(qa: str, qb: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _probes_sql(n_slices: int, bits: int) -> str:
+    """The deterministic probe workload over the QUANTIZED grid: per
+    slice s — a dim-a slice (full b), a dim-b slice (full a), and the
+    (s, s) diagonal cell. Quantized-grid bounds are integers shared by
+    both engines; slice s covers ``[s*2^bits//n, (s+1)*2^bits//n - 1]``."""
+    full = (1 << bits) - 1
+    rows = []
+    for s in range(n_slices):
+        lo = s * (1 << bits) // n_slices
+        hi = (s + 1) * (1 << bits) // n_slices - 1
+        rows.append(f"('a_slice', {s}, {lo}, {hi}, 0, {full})")
+        rows.append(f"('b_slice', {s}, 0, {full}, {lo}, {hi})")
+        rows.append(f"('cell', {s}, {lo}, {hi}, {lo}, {hi})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS probes(probe_kind, probe_id, a_lo, a_hi, b_lo, b_hi)"
+    )
+
+
+def _probe_rows(n_slices: int, bits: int) -> list[tuple]:
+    full = (1 << bits) - 1
+    out = []
+    for s in range(n_slices):
+        lo = s * (1 << bits) // n_slices
+        hi = (s + 1) * (1 << bits) // n_slices - 1
+        out.append(("a_slice", s, lo, hi, 0, full))
+        out.append(("b_slice", s, 0, full, lo, hi))
+        out.append(("cell", s, lo, hi, lo, hi))
+    return out
+
+
+def zorder_pruning_audit(
+    df: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    *,
+    bits: int = DEFAULT_BITS,
+    n_files: int = DEFAULT_FILES,
+    n_slices: int = DEFAULT_SLICES,
+) -> DataFrame:
+    """Per-probe pruning effectiveness of a z-order layout vs the arrival
+    (id-order) layout: ``(probe_kind, probe_id, rows_matched,
+    files_zorder, files_linear, files_total)``.
+
+    ``a_col``/``b_col`` must be integer-valued (cast timestamps to epoch
+    micros first); ``id_col`` is the arrival order AND the z tie-break,
+    so both layouts are total orders and the result is engine-exact."""
+    spark = df.sparkSession
+    ident = F.col(id_col).cast("long")
+    base = df.select(
+        ident.alias("__id"),
+        F.col(a_col).cast("long").alias("__a"),
+        F.col(b_col).cast("long").alias("__b"),
+    )
+    bounds = base.agg(
+        F.min("__a").alias("__amin"), F.max("__a").alias("__amax"),
+        F.min("__b").alias("__bmin"), F.max("__b").alias("__bmax"),
+    )
+    q = base.crossJoin(F.broadcast(bounds)).select(
+        "__id",
+        quantize_col("__a", "__amin", "__amax", bits).alias("__qa"),
+        quantize_col("__b", "__bmin", "__bmax", bits).alias("__qb"),
+    )
+    q = q.withColumn(
+        "__z", zorder_key_col(F.col("__qa"), F.col("__qb"), bits)
+    )
+    q = cache_scoped(q, "zorder.quantized")  # reused by both layouts + probes
+
+    total = q.count()  # scalar; also fixes the file-size arithmetic
+    if total == 0:
+        return spark.createDataFrame(
+            [],
+            "probe_kind string, probe_id bigint, rows_matched bigint, "
+            "files_zorder bigint, files_linear bigint, files_total bigint",
+        )
+
+    def _stats(ranked: DataFrame, out: str) -> DataFrame:
+        return (
+            ranked.withColumn(
+                "__f",
+                F.expr(f"(__pos * {n_files}) DIV {total}").cast("long"),
+            )
+            .groupBy("__f")
+            .agg(
+                F.min("__qa").alias("a_min"), F.max("__qa").alias("a_max"),
+                F.min("__qb").alias("b_min"), F.max("__qb").alias("b_max"),
+            )
+            .select(F.lit(out).alias("layout"), "__f",
+                    "a_min", "a_max", "b_min", "b_max")
+        )
+
+    z_files = _stats(
+        bucketed_position(
+            q, "__z", tiebreak=["__id"], key_space=1 << (2 * bits),
+            out_col="__pos",
+        ),
+        "zorder",
+    )
+    # arrival order: ids are arbitrary non-negative longs — the numeric
+    # variant derives its bucket bounds from the data (no extra collect)
+    lin_files = _stats(
+        bucketed_position_numeric(q, "__id", out_col="__pos"), "linear"
+    )
+
+    files = z_files.unionByName(lin_files)
+
+    probes = spark.createDataFrame(
+        _probe_rows(n_slices, bits),
+        "probe_kind string, probe_id bigint, a_lo bigint, a_hi bigint, "
+        "b_lo bigint, b_hi bigint",
+    )
+    overlap = (
+        files.crossJoin(F.broadcast(probes))
+        .where(
+            (F.col("a_min") <= F.col("a_hi")) & (F.col("a_max") >= F.col("a_lo"))
+            & (F.col("b_min") <= F.col("b_hi")) & (F.col("b_max") >= F.col("b_lo"))
+        )
+        .groupBy("probe_kind", "probe_id")
+        .agg(
+            F.count_if(F.col("layout") == "zorder").alias("zorder"),
+            F.count_if(F.col("layout") == "linear").alias("linear"),
+        )
+    )
+    matched = (
+        q.crossJoin(F.broadcast(probes))
+        .where(
+            F.col("__qa").between(F.col("a_lo"), F.col("a_hi"))
+            & F.col("__qb").between(F.col("b_lo"), F.col("b_hi"))
+        )
+        .groupBy("probe_kind", "probe_id")
+        .agg(F.count("*").cast("long").alias("rows_matched"))
+    )
+    return (
+        probes.select("probe_kind", "probe_id")
+        .join(matched, ["probe_kind", "probe_id"], "left")
+        .join(overlap, ["probe_kind", "probe_id"], "left")
+        .select(
+            "probe_kind",
+            "probe_id",
+            F.coalesce("rows_matched", F.lit(0)).cast("long")
+            .alias("rows_matched"),
+            F.coalesce("zorder", F.lit(0)).cast("long").alias("files_zorder"),
+            F.coalesce("linear", F.lit(0)).cast("long").alias("files_linear"),
+            F.lit(n_files).cast("long").alias("files_total"),
+        )
+    )
+
+
+def zorder_pruning_audit_sql(
+    src_sql: str,
+    id_sql: str,
+    a_sql: str,
+    b_sql: str,
+    *,
+    bits: int = DEFAULT_BITS,
+    n_files: int = DEFAULT_FILES,
+    n_slices: int = DEFAULT_SLICES,
+) -> str:
+    """DuckDB twin: plain ``row_number`` global ranks (the oracle keeps
+    the canonical form; the Spark side's bucketed rank equals it by
+    construction), identical quantize/interleave/file/probe integer
+    math."""
+    q_a = _q_sql("__a", "__amin", "__amax", bits)
+    q_b = _q_sql("__b", "__bmin", "__bmax", bits)
+    return f"""
+WITH zbase AS MATERIALIZED (
+  SELECT CAST({id_sql} AS BIGINT) AS __id,
+         CAST({a_sql} AS BIGINT) AS __a,
+         CAST({b_sql} AS BIGINT) AS __b
+  FROM ({src_sql}) t
+),
+zbounds AS (
+  SELECT min(__a) AS __amin, max(__a) AS __amax,
+         min(__b) AS __bmin, max(__b) AS __bmax,
+         count(*) AS __n
+  FROM zbase
+),
+zq AS MATERIALIZED (
+  SELECT __id, {q_a} AS __qa, {q_b} AS __qb, __n
+  FROM zbase CROSS JOIN zbounds
+),
+zk AS MATERIALIZED (
+  SELECT __id, __qa, __qb, __n, {_z_sql("__qa", "__qb", bits)} AS __z
+  FROM zq
+),
+zfiles AS (
+  SELECT 'zorder' AS layout,
+         ((row_number() OVER (ORDER BY __z, __id) - 1) * {n_files}) // __n
+           AS __f,
+         __qa, __qb
+  FROM zk
+),
+lfiles AS (
+  SELECT 'linear' AS layout,
+         ((row_number() OVER (ORDER BY __id) - 1) * {n_files}) // __n AS __f,
+         __qa, __qb
+  FROM zk
+),
+stats AS MATERIALIZED (
+  SELECT layout, __f,
+         min(__qa) AS a_min, max(__qa) AS a_max,
+         min(__qb) AS b_min, max(__qb) AS b_max
+  FROM (SELECT * FROM zfiles UNION ALL SELECT * FROM lfiles) u
+  GROUP BY layout, __f
+),
+probes AS ({_probes_sql(n_slices, bits)}),
+overlap AS (
+  SELECT p.probe_kind, p.probe_id,
+         count(*) FILTER (WHERE s.layout = 'zorder') AS files_zorder,
+         count(*) FILTER (WHERE s.layout = 'linear') AS files_linear
+  FROM probes p JOIN stats s
+    ON s.a_min <= p.a_hi AND s.a_max >= p.a_lo
+   AND s.b_min <= p.b_hi AND s.b_max >= p.b_lo
+  GROUP BY p.probe_kind, p.probe_id
+),
+matched AS (
+  SELECT p.probe_kind, p.probe_id, count(*) AS rows_matched
+  FROM probes p JOIN zk
+    ON __qa BETWEEN p.a_lo AND p.a_hi AND __qb BETWEEN p.b_lo AND p.b_hi
+  GROUP BY p.probe_kind, p.probe_id
+)
+SELECT p.probe_kind, CAST(p.probe_id AS BIGINT) AS probe_id,
+       CAST(COALESCE(m.rows_matched, 0) AS BIGINT) AS rows_matched,
+       CAST(COALESCE(o.files_zorder, 0) AS BIGINT) AS files_zorder,
+       CAST(COALESCE(o.files_linear, 0) AS BIGINT) AS files_linear,
+       CAST({n_files} AS BIGINT) AS files_total
+FROM probes p
+LEFT JOIN matched m ON p.probe_kind = m.probe_kind AND p.probe_id = m.probe_id
+LEFT JOIN overlap o ON p.probe_kind = o.probe_kind AND p.probe_id = o.probe_id
+"""

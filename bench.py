@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "video_frame_plan",
     "gif_frame_audit",
     "zorder_pruning_audit",
+    "unigram_vocab",
+    "unigram_fertility",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -273,8 +275,6 @@ BENCH_WINDOW_EXTRA = [
     "split_leakage_check",
     "dup_ngram_spans",
     "embedding_neardup_pairs",
-    "source_vocab_overlap",
-    "contamination_fraction",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -294,7 +294,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
-    "r10": "zorder_pruning_audit",
+    "r10": "unigram_fertility",
 }
 
 

@@ -3222,6 +3222,41 @@ def zorder_pruning_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_pruning_audit(ev, "event_id", "user_id", "ts")
 
 
+from rust_triplets_spark.operators.unigram import (  # noqa: E402
+    unigram_fertility,
+    unigram_fertility_sql,
+    unigram_vocab,
+    unigram_vocab_sql,
+)
+
+
+@_register("unigram_vocab", unigram_vocab_sql("documents", "t.text"))
+def unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py; Kudo 2018 —
+    the SentencePiece algorithm family), the second subword tokenizer
+    next to BPE: substring-seeded vocabulary, hard-EM rounds (distributed
+    Viterbi segmentation of the vocabulary-shaped word table, piece
+    scores integer-quantized on the 1/LM_QSCALE grid), frequency
+    pruning. The oracle unrolls the whole loop — per-position DP chains,
+    longest-piece tie-break CASEs, recursive-CTE segmentation walks, one
+    chain per EM round — and the piece table matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_vocab(docs, "text")
+
+
+@_register(
+    "unigram_fertility",
+    unigram_fertility_sql("documents", "t.text", "t.source"),
+)
+def unigram_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility (pieces/word, milli-units) under the FINAL
+    pruned unigram vocabulary — the deploy-side audit of what the trained
+    tokenizer does to each corpus slice; distinct words segment once and
+    per-source counts join on (the unigram twin of bpe_fertility)."""
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_fertility(docs, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # corpus cleaning funnel: the end-to-end web-corpus hygiene pipeline as ONE
 # plan — C4 document gate → boilerplate line removal → exact dedup — with
@@ -4512,6 +4547,8 @@ _CHECK_FIRST = [
     "video_frame_plan",
     "gif_frame_audit",
     "zorder_pruning_audit",
+    "unigram_vocab",
+    "unigram_fertility",
     "ingest_funnel_trace",
     "text_granularity_funnel",
     "bpe_vocab_batched",
@@ -4555,7 +4592,7 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 8 of the names whose last
+    # filler slice: the alphabetically-first 6 of the names whose last
     # driver row is r8 (the now-oldest tier) — the rotation's steady state
     "ann_hard_negatives",
     "ann_ivf_float_cells",
@@ -4563,8 +4600,6 @@ _CHECK_FIRST = [
     "ann_ivfpq_topk",
     "ann_lsh_buckets",
     "bigram_lm_quality",
-    "binary_columns",
-    "bloom_ingest_probe",
 ]
 
 

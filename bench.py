@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "zorder_pruning_audit",
     "unigram_vocab",
     "unigram_fertility",
+    "language_segments",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -274,7 +275,6 @@ BENCH_WINDOW_EXTRA = [
     "pack_bin_stats",
     "split_leakage_check",
     "dup_ngram_spans",
-    "embedding_neardup_pairs",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -294,7 +294,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
-    "r10": "unigram_fertility",
+    "r10": "language_segments",
 }
 
 

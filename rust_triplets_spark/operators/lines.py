@@ -380,3 +380,94 @@ SELECT d.id,
        COALESCE(a.clean_text, '') AS clean_text
 FROM pd_docs d LEFT JOIN pd_agg a ON d.id = a.id
 """
+
+
+# ---------------------------------------------------------------------------
+# line-level language segmentation — multilingual document splitting.
+# Web documents routinely interleave languages (boilerplate in one, body
+# in another; quoted passages; code comments); corpus pipelines split
+# them into contiguous single-language segments before per-language
+# filtering (the CCNet/Dolma shape). Line granularity + run-length merge:
+# classify every line with the SAME lang_id heuristic both engines
+# already share (functions/text.py), then merge adjacent same-language
+# runs into segments. All row-local work + two per-document windows
+# (docs are the partition key — bounded per doc, never global).
+# ---------------------------------------------------------------------------
+
+
+def language_segments(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Contiguous same-language line runs per document:
+    ``(id, seg_idx, lang, n_lines, n_chars)``. Blank lines classify as
+    'und' and form their own runs (they separate language blocks exactly
+    when the surrounding languages differ — a blank line BETWEEN equal
+    languages still splits the run only into und/lang segments, never
+    merges across languages)."""
+    from pyspark.sql import Window
+
+    from rust_triplets_spark.functions.text import lang_id_col
+
+    lines = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).withColumn("lang", lang_id_col(F.col("line")))
+    w = Window.partitionBy("id").orderBy("line_idx")
+    runs = lines.withColumn(
+        "__new",
+        F.when(
+            F.lag("lang").over(w).isNull()
+            | (F.lag("lang").over(w) != F.col("lang")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    ).withColumn(
+        "seg_idx",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1,
+    )
+    return runs.groupBy("id", "seg_idx", "lang").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.length("line")).cast("long").alias("n_chars"),
+    )
+
+
+def language_segments_sql(table: str, id_sql: str, text_sql: str) -> str:
+    """DuckDB twin: same per-line lang_id expression, same run-length
+    window arithmetic."""
+    from rust_triplets_spark.functions.text import lang_id_sql
+
+    return f"""
+WITH ls_lines AS MATERIALIZED (
+  -- no WITH ORDINALITY in DuckDB: index via the 2-arg lambda (param
+  -- names must not collide with outer columns — DuckDB resolves the
+  -- outer binding on collision)
+  SELECT CAST({id_sql} AS BIGINT) AS id,
+         u.s['i'] - 1 AS line_idx,
+         u.s['line'] AS line
+  FROM {table} t,
+       UNNEST(list_transform(string_split({text_sql}, chr(10)),
+              (el, ix) -> {{'line': el, 'i': ix}})) AS u(s)
+),
+ls_lang AS MATERIALIZED (
+  SELECT id, line_idx, line, {lang_id_sql("line")} AS lang FROM ls_lines
+),
+ls_runs AS (
+  SELECT id, line_idx, line, lang,
+         CASE WHEN lag(lang) OVER w IS NULL
+                OR lag(lang) OVER w <> lang THEN 1 ELSE 0 END AS __new
+  FROM ls_lang
+  WINDOW w AS (PARTITION BY id ORDER BY line_idx)
+),
+ls_seg AS (
+  SELECT id, line, lang,
+         sum(__new) OVER (PARTITION BY id ORDER BY line_idx
+                          ROWS UNBOUNDED PRECEDING) - 1 AS seg_idx
+  FROM ls_runs
+)
+SELECT id, CAST(seg_idx AS BIGINT) AS seg_idx, lang,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(line)) AS BIGINT) AS n_chars
+FROM ls_seg
+GROUP BY 1, 2, 3
+"""

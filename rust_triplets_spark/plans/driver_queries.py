@@ -3257,6 +3257,27 @@ def unigram_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(docs, "text", "source")
 
 
+from rust_triplets_spark.operators.lines import (  # noqa: E402
+    language_segments,
+    language_segments_sql,
+)
+
+
+@_register(
+    "language_segments",
+    language_segments_sql("documents", "t.doc_id", "t.text"),
+)
+def language_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level language segmentation (operators/lines.py): classify
+    every line with the shared lang_id heuristic, merge adjacent
+    same-language runs into contiguous segments — the multilingual
+    document-splitting pass (CCNet/Dolma shape) that runs BEFORE
+    per-language filtering. Row-local line work + two per-document
+    windows (docs are the partition key, never a global window)."""
+    docs = _t(spark, sf_dir, "documents")
+    return language_segments(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # corpus cleaning funnel: the end-to-end web-corpus hygiene pipeline as ONE
 # plan — C4 document gate → boilerplate line removal → exact dedup — with
@@ -4549,6 +4570,7 @@ _CHECK_FIRST = [
     "zorder_pruning_audit",
     "unigram_vocab",
     "unigram_fertility",
+    "language_segments",
     "ingest_funnel_trace",
     "text_granularity_funnel",
     "bpe_vocab_batched",
@@ -4592,14 +4614,13 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 6 of the names whose last
+    # filler slice: the alphabetically-first 5 of the names whose last
     # driver row is r8 (the now-oldest tier) — the rotation's steady state
     "ann_hard_negatives",
     "ann_ivf_float_cells",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_buckets",
-    "bigram_lm_quality",
 ]
 
 

@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "unigram_vocab",
     "unigram_fertility",
     "language_segments",
+    "compaction_plan",
+    "cdc_upsert_latest",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -273,8 +275,6 @@ BENCH_WINDOW_EXTRA = [
     "source_datasheet",
     "exact_dedup_verified",
     "pack_bin_stats",
-    "split_leakage_check",
-    "dup_ngram_spans",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -294,7 +294,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
-    "r10": "language_segments",
+    "r10": "cdc_upsert_latest",
 }
 
 

@@ -325,3 +325,87 @@ FROM probes p
 LEFT JOIN matched m ON p.probe_kind = m.probe_kind AND p.probe_id = m.probe_id
 LEFT JOIN overlap o ON p.probe_kind = o.probe_kind AND p.probe_id = o.probe_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sort-order-preserving compaction planning — the OTHER half of the layout
+# story. Z-ordering decides WHERE rows go; compaction decides how many
+# FILES carry them: a 100 TB table accretes small files (streaming
+# commits, partitioned writes, late data), every one of which costs a
+# scan task + a footer read + an open. Table formats' OPTIMIZE coalesces
+# ADJACENT files (preserving the sort/cluster order, so the min/max
+# pruning the layout bought stays intact) into target-size outputs.
+# Adjacent greedy packing = running-total arithmetic, which is why this
+# plan is engine-exact: out_group = cumulative_bytes_before DIV target.
+# ---------------------------------------------------------------------------
+
+
+def compaction_plan(
+    files: DataFrame,
+    file_col: str,
+    bytes_col: str,
+    *,
+    target_bytes: int,
+) -> DataFrame:
+    """Assign each input file (ordered by ``file_col`` — the sort/cluster
+    order) to an output group: ``out_group = (running total of PRIOR
+    files' bytes) DIV target_bytes``. Oversized files stay alone in
+    their own group (they already exceed the target; splitting them is
+    the writer's job, not the planner's). Emits the per-group audit:
+    ``(out_group, n_files, total_bytes, fill_milli)`` where
+    ``fill_milli = total_bytes * 1000 // target_bytes``.
+
+    The running total is a single-sequence window over FILE STATS —
+    thousands of rows for a 100 TB table (files, not rows), which is
+    exactly the frame a metadata layer hands the planner; the window
+    never touches row-level data, so the one-partition sort is fine
+    here (and deliberate: adjacency IS the semantics)."""
+    planned = files.select(
+        F.col(file_col).alias("__f"),
+        F.col(bytes_col).cast("long").alias("__b"),
+    ).withColumn(
+        "out_group",
+        F.expr(
+            f"COALESCE(sum(__b) OVER (ORDER BY __f ASC ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV {target_bytes}"
+        ).cast("long"),
+    )
+    return (
+        planned.groupBy("out_group")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("__b").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "out_group",
+            "n_files",
+            "total_bytes",
+            F.expr(f"(total_bytes * 1000) DIV {target_bytes}").cast("long")
+            .alias("fill_milli"),
+        )
+    )
+
+
+def compaction_plan_sql(
+    files_sql: str, file_sql: str, bytes_sql: str, *, target_bytes: int
+) -> str:
+    """DuckDB twin — identical running-total arithmetic."""
+    return f"""
+WITH cp_files AS MATERIALIZED (
+  SELECT {file_sql} AS __f, CAST({bytes_sql} AS BIGINT) AS __b
+  FROM ({files_sql}) t
+),
+cp_plan AS (
+  SELECT __f, __b,
+         COALESCE(sum(__b) OVER (ORDER BY __f ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {target_bytes} AS out_group
+  FROM cp_files
+)
+SELECT CAST(out_group AS BIGINT) AS out_group,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(__b) AS BIGINT) AS total_bytes,
+       CAST((sum(__b) * 1000) // {target_bytes} AS BIGINT) AS fill_milli
+FROM cp_plan
+GROUP BY 1
+"""

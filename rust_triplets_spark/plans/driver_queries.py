@@ -3278,6 +3278,106 @@ def language_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_segments(docs, "doc_id", "text")
 
 
+from rust_triplets_spark.operators.zorder import (  # noqa: E402
+    compaction_plan,
+    compaction_plan_sql,
+)
+
+_CP_TARGET = 256 * 1024
+_CP_ROWS_PER_FILE = 400
+# byte length: Spark octet_length(string) == DuckDB strlen(varchar)
+# (DuckDB's octet_length binds only BLOB/BIT)
+_CP_FILES_SQL = (
+    f"SELECT CAST(event_id DIV {_CP_ROWS_PER_FILE} AS BIGINT) AS file_id, "
+    f"CAST(sum(strlen(props) + 64) AS BIGINT) AS size_bytes "
+    f"FROM events GROUP BY 1"
+)
+
+
+@_register(
+    "compaction_plan",
+    compaction_plan_sql(
+        _CP_FILES_SQL.replace(" DIV ", " // "),
+        "t.file_id",
+        "t.size_bytes",
+        target_bytes=_CP_TARGET,
+    ),
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order-preserving compaction planning (operators/zorder.py):
+    coalesce ADJACENT small files into target-size output groups via
+    running-total DIV — what a table format's OPTIMIZE does so min/max
+    pruning survives the rewrite. The file-stats frame is synthesized
+    deterministically from events (arrival-order groups of 400 rows,
+    size = Σ payload bytes + row overhead) — the planner itself only
+    ever sees file stats, never rows."""
+    ev = _read_events(spark, sf_dir)
+    files = (
+        ev.groupBy(
+            F.expr(f"CAST(event_id DIV {_CP_ROWS_PER_FILE} AS BIGINT)")
+            .alias("file_id")
+        )
+        .agg(
+            F.sum(F.octet_length("props") + F.lit(64)).cast("long")
+            .alias("size_bytes")
+        )
+    )
+    return compaction_plan(
+        files, "file_id", "size_bytes", target_bytes=_CP_TARGET
+    )
+
+
+@_register(
+    "cdc_upsert_latest",
+    f"""
+WITH cdc AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS __rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS __n
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(__n AS BIGINT) AS n_versions
+FROM cdc WHERE __rn = 1
+""",
+)
+def cdc_upsert_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert-to-latest: collapse an event stream to each key's
+    latest state row (the MERGE/SCD-0 shape every lakehouse ingest runs)
+    — one rank window per (user_id, event_type) key with a
+    deterministic (ts, event_id) tie-break, plus the version count the
+    audit wants. The window partitions on the composite key (millions of
+    small partitions at scale — never a global sort)."""
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id", "event_type", "event_id", F.col("ts").alias("ts_us")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_versions",
+            F.count("*").over(
+                Window.partitionBy("user_id", "event_type")
+            ).cast("long"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("ts_us").cast("long").alias("ts_us"),
+            "n_versions",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus cleaning funnel: the end-to-end web-corpus hygiene pipeline as ONE
 # plan — C4 document gate → boilerplate line removal → exact dedup — with
@@ -4571,6 +4671,8 @@ _CHECK_FIRST = [
     "unigram_vocab",
     "unigram_fertility",
     "language_segments",
+    "compaction_plan",
+    "cdc_upsert_latest",
     "ingest_funnel_trace",
     "text_granularity_funnel",
     "bpe_vocab_batched",
@@ -4614,13 +4716,11 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 5 of the names whose last
+    # filler slice: the alphabetically-first 3 of the names whose last
     # driver row is r8 (the now-oldest tier) — the rotation's steady state
     "ann_hard_negatives",
     "ann_ivf_float_cells",
     "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_buckets",
 ]
 
 

@@ -108,3 +108,38 @@ class TestLayoutClaim:
     def test_empty_frame(self, spark):
         df = spark.createDataFrame([], "id long, user long, t long")
         assert zorder_pruning_audit(df, "id", "user", "t").count() == 0
+
+
+class TestCompaction:
+    def test_adjacent_packing_and_fill(self, spark):
+        from rust_triplets_spark.operators.zorder import compaction_plan
+
+        # files of 60/60/60/120/300/10 bytes, target 128:
+        # cum-before: 0,60,120,180,300,600 → groups 0,0,0,1,2,4
+        rows = [(0, 60), (1, 60), (2, 60), (3, 120), (4, 300), (5, 10)]
+        df = spark.createDataFrame(rows, "file_id long, size_bytes long")
+        got = {
+            r["out_group"]: (r["n_files"], r["total_bytes"], r["fill_milli"])
+            for r in compaction_plan(
+                df, "file_id", "size_bytes", target_bytes=128
+            ).collect()
+        }
+        assert got == {
+            0: (3, 180, 1406),  # packs past the boundary, then cuts
+            1: (1, 120, 937),
+            2: (1, 300, 2343),  # oversized file alone
+            4: (1, 10, 78),     # tail
+        }
+
+    def test_order_preservation_is_the_contract(self, spark):
+        # shuffled input rows — grouping depends only on file_id order
+        from rust_triplets_spark.operators.zorder import compaction_plan
+
+        rows = [(2, 60), (0, 60), (3, 120), (1, 60), (5, 10), (4, 300)]
+        df = spark.createDataFrame(rows, "file_id long, size_bytes long")
+        got = sorted(
+            (r["out_group"], r["n_files"]) for r in compaction_plan(
+                df, "file_id", "size_bytes", target_bytes=128
+            ).collect()
+        )
+        assert got == [(0, 3), (1, 1), (2, 1), (4, 1)]

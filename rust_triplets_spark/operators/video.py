@@ -66,6 +66,18 @@ class Mp4Track:
     n_samples: int = 0  # stsz/stz2 sample_count
     stts: list = field(default_factory=list)  # [(sample_count, delta)]
     sync_samples: list | None = None  # 1-based sample numbers; None = all
+    const_sample_size: int = 0  # stsz sample_size field (0 = per-sample)
+    sample_sizes: list | None = None  # per-sample bytes when not constant
+    stsc: list = field(default_factory=list)  # [(first_chunk, spc, desc)]
+    chunk_offsets: list = field(default_factory=list)  # stco/co64, bytes
+
+    def sample_size(self, n: int) -> int:
+        """Size of 1-based sample ``n`` in bytes."""
+        if self.const_sample_size:
+            return self.const_sample_size
+        if self.sample_sizes is None or not 1 <= n <= len(self.sample_sizes):
+            raise ValueError(f"mp4: no size for sample {n}")
+        return self.sample_sizes[n - 1]
 
 
 @dataclass
@@ -188,7 +200,46 @@ def _parse_stsz(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
     _, off = _full_box(payload, body)
     if off + 8 > end:
         raise ValueError("mp4: stsz truncated")
-    trk.n_samples = _u32(payload, off + 4)  # after sample_size field
+    trk.const_sample_size = _u32(payload, off)
+    trk.n_samples = _u32(payload, off + 4)
+    if trk.const_sample_size == 0:
+        n = trk.n_samples
+        if off + 8 + 4 * n > end:
+            raise ValueError("mp4: stsz size table truncated")
+        trk.sample_sizes = [
+            _u32(payload, off + 8 + 4 * i) for i in range(n)
+        ]
+
+
+def _parse_stsc(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    n = _u32(payload, off)
+    if off + 4 + 12 * n > end:
+        raise ValueError("mp4: stsc truncated")
+    trk.stsc = [
+        (
+            _u32(payload, off + 4 + 12 * i),
+            _u32(payload, off + 8 + 12 * i),
+            _u32(payload, off + 12 + 12 * i),
+        )
+        for i in range(n)
+    ]
+
+
+def _parse_stco(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    n = _u32(payload, off)
+    if off + 4 + 4 * n > end:
+        raise ValueError("mp4: stco truncated")
+    trk.chunk_offsets = [_u32(payload, off + 4 + 4 * i) for i in range(n)]
+
+
+def _parse_co64(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
+    _, off = _full_box(payload, body)
+    n = _u32(payload, off)
+    if off + 4 + 8 * n > end:
+        raise ValueError("mp4: co64 truncated")
+    trk.chunk_offsets = [_u64(payload, off + 4 + 8 * i) for i in range(n)]
 
 
 def _parse_stsd(payload: bytes, body: int, end: int, trk: Mp4Track) -> None:
@@ -215,6 +266,9 @@ _TRACK_LEAVES = {
     b"stts": _parse_stts,
     b"stss": _parse_stss,
     b"stsz": _parse_stsz,
+    b"stsc": _parse_stsc,
+    b"stco": _parse_stco,
+    b"co64": _parse_co64,
 }
 
 
@@ -318,6 +372,42 @@ def plan_frame_picks(
     return picks
 
 
+def sample_byte_range(trk: Mp4Track, n: int) -> tuple:
+    """Absolute file ``(offset, length)`` of 1-based sample ``n`` —
+    resolved exactly the way a player seeks: find the sample's chunk via
+    the stsc runs (§8.7.4: run r covers chunks ``first_chunk_r ..
+    first_chunk_{r+1}-1``, each holding ``samples_per_chunk_r`` samples),
+    take the chunk's stco/co64 offset, and add the sizes of the sample's
+    predecessors WITHIN the chunk. This is what turns a frame-sampling
+    plan into the ranged GET an object store actually serves."""
+    if not trk.stsc or not trk.chunk_offsets:
+        raise ValueError("mp4: no stsc/stco tables for byte ranges")
+    if not 1 <= n <= trk.n_samples:
+        raise ValueError(f"mp4: sample {n} out of 1..{trk.n_samples}")
+    n_chunks = len(trk.chunk_offsets)
+    # walk stsc runs to locate n's chunk + the first sample of that chunk
+    sample = 1  # first sample of the current chunk
+    for r, (first_chunk, spc, _desc) in enumerate(trk.stsc):
+        last_chunk = (
+            trk.stsc[r + 1][0] - 1 if r + 1 < len(trk.stsc) else n_chunks
+        )
+        run_chunks = last_chunk - first_chunk + 1
+        if run_chunks < 0 or first_chunk < 1 or last_chunk > n_chunks:
+            raise ValueError("mp4: stsc runs inconsistent with stco")
+        if spc <= 0:
+            raise ValueError("mp4: stsc samples_per_chunk must be >= 1")
+        if n < sample + run_chunks * spc:
+            k = (n - sample) // spc  # chunk index within the run
+            chunk = first_chunk + k
+            first_in_chunk = sample + k * spc
+            off = trk.chunk_offsets[chunk - 1]
+            for m in range(first_in_chunk, n):
+                off += trk.sample_size(m)
+            return off, trk.sample_size(n)
+        sample += run_chunks * spc
+    raise ValueError(f"mp4: sample {n} beyond the stsc-mapped chunks")
+
+
 # ---------------------------------------------------------------------------
 # deterministic MP4 writer (fixture/test harness for the parser)
 # ---------------------------------------------------------------------------
@@ -331,23 +421,87 @@ def _full(btype: bytes, version: int, body: bytes) -> bytes:
     return _box(btype, bytes([version, 0, 0, 0]) + body)
 
 
+def sample_fill_byte(track_id: int, n: int) -> int:
+    """The writer's deterministic per-sample fill value — exported so
+    tests can verify that a resolved byte range slices out EXACTLY the
+    sample's bytes."""
+    return (track_id * 31 + n) % 251
+
+
 def encode_mp4(
     *,
     movie_timescale: int,
     tracks: list,
     major_brand: str = "isom",
-    mdat: bytes = b"",
+    samples_per_chunk: int = 5,
 ) -> bytes:
     """Write a structurally-valid minimal MP4. Each track dict:
     ``{track_id, handler ('vide'|'soun'), fourcc, width, height,
-    timescale, stts: [(count, delta)], sync_samples: list|None}``.
-    Sample count and durations are derived from stts. The mdat payload
-    is opaque (no codec bitstream is claimed) — stsz sizes are written
-    as a constant 1-byte-per-sample table so every required stbl box is
-    present and consistent."""
+    timescale, stts: [(count, delta)], sync_samples: list|None,
+    sample_sizes: list|None}``. Sample count and durations derive from
+    stts; ``sample_sizes`` defaults to a deterministic varying table
+    (``16 + (7n mod 23)`` bytes). The sample DATA is opaque (no codec
+    bitstream is claimed) but fully consistent: chunks of
+    ``samples_per_chunk`` samples laid out track-after-track in mdat,
+    stco holding REAL absolute offsets (moov is built twice — offsets
+    are u32, so the second build has identical size), and each sample
+    filled with :func:`sample_fill_byte` so byte ranges round-trip."""
+    per_track_sizes = []
+    for t in tracks:
+        n_samples = sum(c for c, _ in t["stts"])
+        sizes = t.get("sample_sizes")
+        if sizes is None:
+            sizes = [16 + (7 * (i + 1)) % 23 for i in range(n_samples)]
+        if len(sizes) != n_samples:
+            raise ValueError("encode_mp4: sample_sizes/stts mismatch")
+        per_track_sizes.append(sizes)
+
+    def build_moov(chunk_offsets: list) -> bytes:
+        return _build_moov(
+            movie_timescale, tracks, per_track_sizes, chunk_offsets,
+            samples_per_chunk,
+        )
+
+    ftyp = _box(b"ftyp", major_brand.encode("latin1")
+                + struct.pack(">I", 0x200) + b"isommp41")
+    # chunk layout: track-after-track, chunks of samples_per_chunk
+    zero_offsets = [
+        [0] * ((len(sz) + samples_per_chunk - 1) // samples_per_chunk)
+        for sz in per_track_sizes
+    ]
+    moov0 = build_moov(zero_offsets)
+    mdat_body_start = len(ftyp) + len(moov0) + 8  # +8: mdat box header
+    offsets = []
+    pos = mdat_body_start
+    mdat = bytearray()
+    for t, sizes in zip(tracks, per_track_sizes):
+        track_chunks = []
+        for lo in range(0, len(sizes), samples_per_chunk):
+            track_chunks.append(pos)
+            for i in range(lo, min(lo + samples_per_chunk, len(sizes))):
+                mdat += bytes(
+                    [sample_fill_byte(t["track_id"], i + 1)]
+                ) * sizes[i]
+                pos += sizes[i]
+        offsets.append(track_chunks)
+    moov = build_moov(offsets)
+    if len(moov) != len(moov0):
+        raise AssertionError("encode_mp4: moov size changed with offsets")
+    return ftyp + moov + _box(b"mdat", bytes(mdat))
+
+
+def _build_moov(
+    movie_timescale: int,
+    tracks: list,
+    per_track_sizes: list,
+    per_track_chunk_offsets: list,
+    samples_per_chunk: int,
+) -> bytes:
     trak_boxes = []
     movie_dur = 0
-    for t in tracks:
+    for t, sizes, chunk_offs in zip(
+        tracks, per_track_sizes, per_track_chunk_offsets
+    ):
         n_samples = sum(c for c, _ in t["stts"])
         media_dur = sum(c * d for c, d in t["stts"])
         movie_dur = max(
@@ -384,11 +538,15 @@ def encode_mp4(
             struct.pack(">I", len(t["stts"]))
             + b"".join(struct.pack(">II", c, d) for c, d in t["stts"]),
         )
-        stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+        # one stsc run: every chunk holds samples_per_chunk samples (the
+        # last chunk may be short — bounded by stsz's sample_count, §8.7.4)
+        stsc = _full(b"stsc", 0, struct.pack(">I", 1)
+                     + struct.pack(">III", 1, samples_per_chunk, 1))
         # stsz v0: sample_size=0 → per-sample size table follows (§8.7.3)
         stsz = _full(b"stsz", 0, struct.pack(">II", 0, n_samples)
-                     + b"".join(struct.pack(">I", 1) for _ in range(n_samples)))
-        stco = _full(b"stco", 0, struct.pack(">I", 0))
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+        stco = _full(b"stco", 0, struct.pack(">I", len(chunk_offs))
+                     + b"".join(struct.pack(">I", o) for o in chunk_offs))
         stbl_children = [stsd, stts, stsc, stsz, stco]
         if t.get("sync_samples") is not None:
             stbl_children.append(_full(
@@ -409,13 +567,7 @@ def encode_mp4(
                       0x40000000)
         + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1),
     )
-    moov = _box(b"moov", mvhd + b"".join(trak_boxes))
-    ftyp = _box(b"ftyp", major_brand.encode("latin1")
-                + struct.pack(">I", 0x200) + b"isommp41")
-    out = ftyp + moov
-    if mdat:
-        out += _box(b"mdat", mdat)
-    return out
+    return _box(b"moov", mvhd + b"".join(trak_boxes))
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +687,63 @@ def video_frame_plan(media, n_picks: int = 4, batch_rows: int = 64):
                              "dts_tick", "key_sample_n"), row,
                         ):
                             out[k].append(v)
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+                )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+def video_byte_ranges(media, n_picks: int = 4, batch_rows: int = 64):
+    """The frame plan RESOLVED to storage: per pick, the absolute
+    ``(offset, length)`` of the picked sample AND of its keyframe entry
+    point — i.e. the ranged GETs a seek-then-decode worker issues against
+    an object store. 100 TB rationale: fetching whole clips to decode 4
+    frames is the difference between reading ~100 TB and reading
+    gigabytes; the sample tables (stsc/stco/stsz) exist precisely so a
+    reader can do this, and every step is integer container math the
+    committed fixture pins. Emits ``(media_id, pick_ord, sample_n,
+    sample_off, sample_len, key_sample_n, key_off, key_len)``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pick_ord", T.LongType()),
+        T.StructField("sample_n", T.LongType()),
+        T.StructField("sample_off", T.LongType()),
+        T.StructField("sample_len", T.LongType()),
+        T.StructField("key_sample_n", T.LongType()),
+        T.StructField("key_off", T.LongType()),
+        T.StructField("key_len", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                out = {k: [] for k in ("media_id", "pick_ord", "sample_n",
+                                       "sample_off", "sample_len",
+                                       "key_sample_n", "key_off", "key_len")}
+                for mid, payload in zip(sub["media_id"], sub["payload"]):
+                    vt = video_track(parse_mp4(bytes(payload)))
+                    if vt is None:
+                        continue
+                    for ord_, _tgt, sample_n, _dts, key_n in \
+                            plan_frame_picks(vt.stts, vt.sync_samples,
+                                             n_picks):
+                        s_off, s_len = sample_byte_range(vt, sample_n)
+                        k_off, k_len = sample_byte_range(vt, key_n)
+                        out["media_id"].append(int(mid))
+                        out["pick_ord"].append(ord_)
+                        out["sample_n"].append(sample_n)
+                        out["sample_off"].append(s_off)
+                        out["sample_len"].append(s_len)
+                        out["key_sample_n"].append(key_n)
+                        out["key_off"].append(k_off)
+                        out["key_len"].append(k_len)
                 yield pd.DataFrame(
                     {k: pd.Series(v, dtype="int64") for k, v in out.items()}
                 )

@@ -3194,6 +3194,37 @@ def gif_frame_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_audit(media, n_picks=4, batch_rows=3)
 
 
+@_register(
+    "video_byte_ranges",
+    f"""
+SELECT media_id,
+       CAST(unnest(exp_pick_ord) AS BIGINT) AS pick_ord,
+       CAST(unnest(exp_sample_n) AS BIGINT) AS sample_n,
+       CAST(unnest(exp_sample_off) AS BIGINT) AS sample_off,
+       CAST(unnest(exp_sample_len) AS BIGINT) AS sample_len,
+       CAST(unnest(exp_key_sample_n) AS BIGINT) AS key_sample_n,
+       CAST(unnest(exp_key_off) AS BIGINT) AS key_off,
+       CAST(unnest(exp_key_len) AS BIGINT) AS key_len
+FROM read_parquet('{_VIDEO_FIXTURE}')
+""",
+)
+def video_byte_ranges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame plan resolved to STORAGE (operators/video.py
+    sample_byte_range): per pick, the absolute (offset, length) of the
+    picked sample and of its keyframe entry point — the ranged GETs a
+    seek-then-decode worker issues, resolved through the container's own
+    stsc/stco/stsz tables exactly as a player does (§8.7.4/§8.7.5). The
+    fixture writer fills every sample with a deterministic byte, and the
+    parser tests verify a resolved range slices out exactly that sample
+    — so these offsets are not merely self-consistent, they address the
+    real mdat bytes. At 100 TB this worklist is why a 4-frame sampler
+    reads gigabytes instead of the whole corpus."""
+    from rust_triplets_spark.operators.video import video_byte_ranges
+
+    media = spark.read.parquet(_VIDEO_FIXTURE).select("media_id", "payload")
+    return video_byte_ranges(media, n_picks=4, batch_rows=3)
+
+
 from rust_triplets_spark.operators.zorder import (  # noqa: E402
     zorder_pruning_audit,
     zorder_pruning_audit_sql,
@@ -4666,6 +4697,7 @@ _CHECK_FIRST = [
     "audio_decode_audit",
     "video_metadata_audit",
     "video_frame_plan",
+    "video_byte_ranges",
     "gif_frame_audit",
     "zorder_pruning_audit",
     "unigram_vocab",
@@ -4716,11 +4748,10 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 3 of the names whose last
+    # filler slice: the alphabetically-first 2 of the names whose last
     # driver row is r8 (the now-oldest tier) — the rotation's steady state
     "ann_hard_negatives",
     "ann_ivf_float_cells",
-    "ann_ivf_topk",
 ]
 
 

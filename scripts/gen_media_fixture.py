@@ -256,8 +256,7 @@ def gen_video() -> None:
         (1, "mp4_cfr_gop10", encode_mp4(
             movie_timescale=1000,
             tracks=[vid([(90, 20)], [1, 11, 21, 31, 41, 51, 61, 71, 81],
-                        w=640, h=360, ts=600)],
-            mdat=b"\x11" * 90)),
+                        w=640, h=360, ts=600)])),
         # variable frame durations (three stts runs), sparse keyframes
         (2, "mp4_vfr", encode_mp4(
             movie_timescale=90000,
@@ -282,12 +281,16 @@ def gen_video() -> None:
             tracks=[vid([(1, 600)], [1], w=100, h=100, ts=600)])),
     ]
 
+    from rust_triplets_spark.operators.video import sample_byte_range
+
     n_picks = 4
     meta_cols = {k: [] for k in ("n_tracks", "duration_ms", "v_width",
                                  "v_height", "v_n_samples", "v_n_sync",
                                  "v_fourcc")}
     pick_cols = {k: [] for k in ("pick_ord", "target_tick", "sample_n",
                                  "dts_tick", "key_sample_n")}
+    range_cols = {k: [] for k in ("sample_off", "sample_len",
+                                  "key_off", "key_len")}
     for _, _, payload in rows:
         meta = parse_mp4(payload)
         meta_cols["n_tracks"].append(len(meta.tracks))
@@ -310,6 +313,14 @@ def gen_video() -> None:
             picks = plan_frame_picks(vt.stts, vt.sync_samples, n_picks)
         for i, k in enumerate(pick_cols):
             pick_cols[k].append([p[i] for p in picks])
+        ranges = [
+            (sample_byte_range(vt, p[2]), sample_byte_range(vt, p[4]))
+            for p in picks
+        ]
+        range_cols["sample_off"].append([r[0][0] for r in ranges])
+        range_cols["sample_len"].append([r[0][1] for r in ranges])
+        range_cols["key_off"].append([r[1][0] for r in ranges])
+        range_cols["key_len"].append([r[1][1] for r in ranges])
 
     table = pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -320,6 +331,8 @@ def gen_video() -> None:
            for k, v in meta_cols.items()},
         **{f"exp_{k}": pa.array(v, pa.list_(pa.int64()))
            for k, v in pick_cols.items()},
+        **{f"exp_{k}": pa.array(v, pa.list_(pa.int64()))
+           for k, v in range_cols.items()},
     })
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -47,7 +47,7 @@ class TestParse:
         payload = encode_mp4(
             movie_timescale=1000,
             tracks=[_vid([(30, 20)], [1, 11, 21])],
-            mdat=b"\x00" * 30,
+
         )
         meta = parse_mp4(payload)
         assert meta.major_brand == "isom"
@@ -201,3 +201,112 @@ class TestSpark:
                     r["exp_dts_tick"][i], r["exp_key_sample_n"][i],
                 ))
         assert got == sorted(exp)
+
+
+class TestByteRanges:
+    def test_range_slices_exact_sample_bytes(self):
+        from rust_triplets_spark.operators.video import (
+            sample_byte_range,
+            sample_fill_byte,
+        )
+
+        payload = encode_mp4(
+            movie_timescale=1000,
+            tracks=[_vid([(12, 50)], [1, 7])],
+            samples_per_chunk=5,
+        )
+        t = video_track(parse_mp4(payload))
+        assert len(t.chunk_offsets) == 3  # 5+5+2
+        assert t.stsc == [(1, 5, 1)]
+        for n in range(1, 13):
+            off, ln = sample_byte_range(t, n)
+            assert payload[off:off + ln] == bytes(
+                [sample_fill_byte(1, n)]
+            ) * ln, n
+
+    def test_multi_run_stsc_hand_math(self):
+        # hand-built track: chunks [A: 2 samples][B: 2][C: 1] via two
+        # stsc runs (chunks 1-2 @2 samples, chunk 3 @1)
+        from rust_triplets_spark.operators.video import (
+            Mp4Track,
+            sample_byte_range,
+        )
+
+        t = Mp4Track(
+            n_samples=5,
+            sample_sizes=[10, 20, 30, 40, 50],
+            stsc=[(1, 2, 1), (3, 1, 1)],
+            chunk_offsets=[1000, 2000, 3000],
+        )
+        assert sample_byte_range(t, 1) == (1000, 10)
+        assert sample_byte_range(t, 2) == (1010, 20)
+        assert sample_byte_range(t, 3) == (2000, 30)
+        assert sample_byte_range(t, 4) == (2030, 40)
+        assert sample_byte_range(t, 5) == (3000, 50)
+
+    def test_constant_size_stsz(self):
+        from rust_triplets_spark.operators.video import (
+            Mp4Track,
+            sample_byte_range,
+        )
+
+        t = Mp4Track(n_samples=4, const_sample_size=100,
+                     stsc=[(1, 4, 1)], chunk_offsets=[500])
+        assert sample_byte_range(t, 3) == (700, 100)
+
+    def test_out_of_range_and_missing_tables_raise(self):
+        from rust_triplets_spark.operators.video import (
+            Mp4Track,
+            sample_byte_range,
+        )
+
+        t = Mp4Track(n_samples=2, sample_sizes=[5, 5],
+                     stsc=[(1, 2, 1)], chunk_offsets=[0])
+        with pytest.raises(ValueError, match="out of"):
+            sample_byte_range(t, 3)
+        bare = Mp4Track(n_samples=2, sample_sizes=[5, 5])
+        with pytest.raises(ValueError, match="stsc/stco"):
+            sample_byte_range(bare, 1)
+
+    def test_spark_byte_ranges_match_fixture(self, spark):
+        from rust_triplets_spark.operators.video import video_byte_ranges
+
+        media = spark.read.parquet(FIXTURE)
+        got = sorted(
+            tuple(r) for r in video_byte_ranges(
+                media.select("media_id", "payload"), n_picks=4, batch_rows=2
+            ).collect()
+        )
+        exp = []
+        for r in media.collect():
+            for i in range(len(r["exp_pick_ord"])):
+                exp.append((
+                    r["media_id"], r["exp_pick_ord"][i], r["exp_sample_n"][i],
+                    r["exp_sample_off"][i], r["exp_sample_len"][i],
+                    r["exp_key_sample_n"][i], r["exp_key_off"][i],
+                    r["exp_key_len"][i],
+                ))
+        assert got == sorted(exp)
+
+    def test_fixture_ranges_address_real_mdat_bytes(self, spark):
+        # end-to-end honesty check: slice every expected range out of the
+        # committed payload and verify the writer's deterministic fill
+        from rust_triplets_spark.operators.video import (
+            parse_mp4,
+            sample_fill_byte,
+            video_track,
+        )
+
+        for r in spark.read.parquet(FIXTURE).collect():
+            payload = bytes(r["payload"])
+            vt = video_track(parse_mp4(payload))
+            if vt is None:
+                continue
+            tid = vt.track_id
+            for i in range(len(r["exp_pick_ord"])):
+                off = r["exp_sample_off"][i]
+                ln = r["exp_sample_len"][i]
+                n = r["exp_sample_n"][i]
+                assert payload[off:off + ln] == bytes(
+                    [sample_fill_byte(tid, n)]
+                ) * ln

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "compaction_plan",
     "cdc_upsert_latest",
     "video_byte_ranges",
+    "audio_pitch_audit",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -274,7 +275,6 @@ BENCH_WINDOW_EXTRA = [
     "event_gap_quantiles",
     "c4_doc_filter",
     "source_datasheet",
-    "exact_dedup_verified",
 ]
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
@@ -294,7 +294,7 @@ _SERIES_ENDS = {
     "r7": "simhash_dedup_keep",
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
-    "r10": "video_byte_ranges",
+    "r10": "audio_pitch_audit",
 }
 
 

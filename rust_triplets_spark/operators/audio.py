@@ -122,3 +122,29 @@ def encode_wav(
         + (b"\x00" if len(body) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def autocorr_pitch(samples: np.ndarray, rate: int,
+                   f_lo: int = 50, f_hi: int = 500) -> tuple[int, int]:
+    """Fundamental-period estimate by integer autocorrelation — the
+    classic pitch detector (and the cheap voiced/music/tone signal an
+    audio curation pass gates on), kept entirely on int64 so the result
+    is bit-stable across engines and platforms: ``r[k] = Σ s[i]·s[i+k]``
+    over channel 0 on the decoder's 16-bit grid, maximized over lags
+    ``rate//f_hi .. rate//f_lo`` (50–500 Hz by default). Returns
+    ``(lag, f0_hz)`` with ``f0_hz = rate // lag``; all-zero (or too
+    short) audio returns ``(0, 0)``. Ties take the SMALLEST lag (the
+    highest candidate pitch) — deterministic."""
+    ch0 = samples[:, 0].astype(np.int64)
+    lo = max(1, rate // f_hi)
+    hi = rate // f_lo
+    if len(ch0) <= hi or not int(np.abs(ch0).sum()):
+        return 0, 0
+    best_lag, best_r = 0, None
+    for k in range(lo, hi + 1):
+        r = int((ch0[:-k] * ch0[k:]).sum())
+        if best_r is None or r > best_r:
+            best_lag, best_r = k, r
+    if best_r is None or best_r <= 0:
+        return 0, 0  # no positive correlation in the band: unvoiced
+    return best_lag, rate // best_lag

@@ -477,3 +477,46 @@ def gif_frame_audit(
     return media.select("media_id", "payload").mapInPandas(
         run, schema=GIF_FRAME_AUDIT_SCHEMA
     )
+
+
+AUDIO_PITCH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("pitch_lag", T.LongType()),
+    T.StructField("f0_hz", T.LongType()),
+])
+
+
+def audio_pitch_audit(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Pitch the audio branch past loudness: per payload, the integer
+    autocorrelation fundamental estimate (operators/audio.autocorr_pitch
+    — int64 ``Σ s[i]·s[i+k]`` maximized over the 50–500 Hz lag band,
+    smallest-lag tie-break) → ``(pitch_lag, f0_hz)``. The voiced/tone
+    detector an audio curation pass uses to separate speech/music from
+    noise and silence; silence and unvoiced payloads report (0, 0).
+    Engine-stable integers, oracle-checked against committed
+    expectations; blobs never leave the Arrow stage."""
+    from rust_triplets_spark.operators.audio import autocorr_pitch, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                lags, f0s = [], []
+                for payload in sub["payload"]:
+                    s, rate = decode_wav(bytes(payload))
+                    lag, f0 = autocorr_pitch(s, rate)
+                    lags.append(lag)
+                    f0s.append(f0)
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "fmt": sub["fmt"].to_numpy(),
+                    "pitch_lag": np.array(lags, dtype=np.int64),
+                    "f0_hz": np.array(f0s, dtype=np.int64),
+                })
+
+    return media.select("media_id", "fmt", "payload").mapInPandas(
+        run, schema=AUDIO_PITCH_SCHEMA
+    )

@@ -3089,6 +3089,32 @@ def audio_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_decode_audit(media, batch_rows=3)
 
 
+@_register(
+    "audio_pitch_audit",
+    f"""
+SELECT media_id, fmt,
+       CAST(exp_pitch_lag AS BIGINT) AS pitch_lag,
+       CAST(exp_f0_hz AS BIGINT) AS f0_hz
+FROM read_parquet('{_AUDIO_FIXTURE}')
+""",
+)
+def audio_pitch_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer autocorrelation pitch detection over the audio fixture
+    (operators/audio.autocorr_pitch): int64 ``Σ s[i]·s[i+k]`` on the
+    decoder's 16-bit grid, maximized over the 50–500 Hz lag band — the
+    voiced/tone detector separating speech/music from noise and silence.
+    The fixture pins the physics: the 440 Hz sine reports lag 18 → 444 Hz
+    (the lag grid's quantization), the square wave its exact 160 Hz,
+    silence (0, 0), and the float32 tone the 2-period harmonic when the
+    fundamental falls outside the band — all bit-stable integers."""
+    from rust_triplets_spark.operators.multimodal import audio_pitch_audit
+
+    media = spark.read.parquet(_AUDIO_FIXTURE).select(
+        "media_id", "fmt", "payload"
+    )
+    return audio_pitch_audit(media, batch_rows=3)
+
+
 _VIDEO_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "fixtures",
@@ -4695,6 +4721,7 @@ _CHECK_FIRST = [
     # universe — r10 advice fix, so it re-enters the window)
     "media_decode_audit",
     "audio_decode_audit",
+    "audio_pitch_audit",
     "video_metadata_audit",
     "video_frame_plan",
     "video_byte_ranges",
@@ -4748,10 +4775,11 @@ _CHECK_FIRST = [
     "training_funnel",
     "training_shards",
     "wrong_article_negatives",
-    # filler slice: the alphabetically-first 2 of the names whose last
-    # driver row is r8 (the now-oldest tier) — the rotation's steady state
+    # filler slice: the alphabetically-first name of the r8 tier (the
+    # now-oldest) — the rotation's steady state; the r10 new-query influx
+    # consumed the rest of the filler budget, so the r8 tier drains over
+    # r11-r12 (forced by the staleness test before it can exceed 4 rounds)
     "ann_hard_negatives",
-    "ann_ivf_float_cells",
 ]
 
 

@@ -206,6 +206,9 @@ def gen_audio() -> None:
         (8, "wav_float32", wav_f32(f32, 22050)),
     ]
     exp = [_expected_audio(p) for _, _, p in rows]
+    from rust_triplets_spark.operators.audio import autocorr_pitch, decode_wav
+
+    pitch = [autocorr_pitch(*decode_wav(p)) for _, _, p in rows]
     table = pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
         "fmt": pa.array([r[1] for r in rows], pa.string()),
@@ -215,6 +218,8 @@ def gen_audio() -> None:
         "exp_sample_rate": pa.array([e[2] for e in exp], pa.int64()),
         "exp_rms_bucket": pa.array([e[3] for e in exp], pa.int64()),
         "exp_zero_crossings": pa.array([e[4] for e in exp], pa.int64()),
+        "exp_pitch_lag": pa.array([p[0] for p in pitch], pa.int64()),
+        "exp_f0_hz": pa.array([p[1] for p in pitch], pa.int64()),
     })
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -114,3 +114,65 @@ def test_audio_audit_matches_fixture_expectations(spark):
     # the fixture's own cross-depth pin: pcm8 (id 5) and pcm32 (id 6)
     # carry the same source noise → identical normalized features
     assert got[5] == got[6]
+
+
+class TestPitch:
+    def test_sine_square_silence(self):
+        import numpy as np
+
+        from rust_triplets_spark.operators.audio import (
+            autocorr_pitch,
+            decode_wav,
+            encode_wav,
+        )
+
+        t = np.arange(8000)
+        sine = np.round(
+            20000 * np.sin(2 * np.pi * 440 * t / 8000)
+        ).astype(np.int32)
+        lag, f0 = autocorr_pitch(*decode_wav(encode_wav(sine, 8000, 16)))
+        # 8000/440 = 18.18 → the integer lag grid quantizes to 18
+        assert (lag, f0) == (18, 444)
+        sq = np.where((t // 50) % 2 == 0, 12000, -12000).astype(np.int32)
+        assert autocorr_pitch(
+            *decode_wav(encode_wav(sq, 16000, 16))
+        ) == (100, 160)
+        sil = np.zeros(2000, dtype=np.int32)
+        assert autocorr_pitch(
+            *decode_wav(encode_wav(sil, 8000, 16))
+        ) == (0, 0)
+
+    def test_tie_prefers_smallest_lag(self):
+        import numpy as np
+
+        from rust_triplets_spark.operators.audio import autocorr_pitch
+
+        # a perfectly periodic signal correlates equally at k and 2k;
+        # the smallest lag (highest pitch) must win
+        t = np.arange(4000)
+        period = 40  # 200 Hz @ 8 kHz — both 40 and 80 are in band
+        sig = np.where((t // (period // 2)) % 2 == 0, 10000, -10000)
+        s = sig.astype(np.int32)[:, None]
+        lag, f0 = autocorr_pitch(s, 8000)
+        assert lag == period and f0 == 200
+
+    def test_spark_audit_matches_fixture(self, spark):
+        import os
+
+        from rust_triplets_spark.operators.multimodal import audio_pitch_audit
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures", "audio_sample.parquet",
+        )
+        media = spark.read.parquet(fixture)
+        got = {
+            r["media_id"]: (r["pitch_lag"], r["f0_hz"])
+            for r in audio_pitch_audit(
+                media.select("media_id", "fmt", "payload"), batch_rows=3
+            ).collect()
+        }
+        for r in media.collect():
+            assert got[r["media_id"]] == (
+                r["exp_pitch_lag"], r["exp_f0_hz"]
+            ), r["media_id"]

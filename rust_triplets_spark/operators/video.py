@@ -350,7 +350,9 @@ def plan_frame_picks(
     dts = expand_stts(stts)
     if not dts or n_picks <= 0:
         return []
-    total = dts[-1] + (stts[-1][1] if stts else 0)
+    # total from the run-length sums, NOT dts[-1] + last delta: a spec-
+    # legal zero-count trailing run would otherwise inflate the span
+    total = sum(c * d for c, d in stts)
     picks = []
     sync = sorted(sync_samples) if sync_samples is not None else None
     j = 0  # dts walk cursor — targets are nondecreasing

@@ -3267,14 +3267,18 @@ from rust_triplets_spark.operators.zorder import (  # noqa: E402
     ),
 )
 def zorder_pruning_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout effectiveness, measured (operators/zorder.py): lay
-    events out by the Morton interleave of (user_id, ts) vs arrival
-    order, compute the per-file min/max stats a parquet footer would
-    carry, and replay a deterministic probe workload (user slices, time
-    slices, combined cells) against both — files-scanned side by side
-    per probe. The global rank never single-partitions
+    """Data-layout effectiveness, measured (operators/zorder.py): lay
+    events out by the HILBERT curve, the Morton (z-order) interleave,
+    and arrival order; compute the per-file min/max stats a parquet
+    footer would carry; replay a deterministic probe workload (user
+    slices, time slices, combined cells) against all three —
+    files-scanned side by side per probe (sf0.01: Hilbert 3 files/cell
+    vs Morton 4-5 vs arrival 8-9 of 32). The Hilbert rot/flip rounds are
+    STAGED one projection each (the 3^bits inline-expression blowup
+    class); global ranks never single-partition
     (functions/ordering.bucketed_position); the oracle keeps the plain
-    row_number form. All integer math on the quantized grid."""
+    row_number form with the rounds unrolled as chained CTEs. All
+    integer math on the quantized grid."""
     ev = _read_events(spark, sf_dir).select("event_id", "user_id", "ts")
     return zorder_pruning_audit(ev, "event_id", "user_id", "ts")
 

@@ -130,6 +130,18 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         buf = bytes([px])
     if buf:
         emit(table[buf], width)
+        # the decoder appends its mirror entry on RECEIVING this final
+        # data code too (unless it is the first code after a clear, when
+        # next_code still sits at end+1 — safely below the boundary for
+        # min_code_size >= 2); if that append lands its table exactly at
+        # 2^width it reads the NEXT code at width+1 bits, so the width
+        # bump must be mirrored before END is emitted or a spec decoder
+        # reads END at the wrong width (r10 advice; the vendored decoder
+        # stops at n_pixels and never hit it)
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -63,9 +63,23 @@ def quantize_col(v: str, vmin: str, vmax: str, bits: int) -> Column:
     columns; ``DIV`` is Spark's integer division — epoch-micro scale
     values overflow double-precision float division, so never ``/``) —
     monotone, engine-exact, in ``[0, 2^bits)`` for ``v`` in
-    ``[vmin, vmax]``."""
-    return F.expr(
-        f"(({v} - {vmin}) * {1 << bits}) DIV ({vmax} - {vmin} + 1)"
+    ``[vmin, vmax]``.
+
+    Precondition: ``(vmax - vmin) < 2^(63-bits)`` or the BIGINT product
+    overflows — Spark (non-ANSI) would silently wrap where DuckDB raises,
+    so the expression guards it with ``assert_true`` and BOTH engines
+    fail loudly instead of diverging (r10 advice). Epoch-micros at
+    ``bits<=16`` sit ~5 orders of magnitude under the bound; the guard
+    exists for arbitrary integer columns the public API accepts."""
+    lim = 1 << (63 - bits)
+    guard = F.expr(
+        f"assert_true(({vmax} - {vmin}) < {lim}L, "
+        f"'quantize_col: value range >= 2^{63 - bits} overflows BIGINT "
+        f"at bits={bits}')"
+    )
+    return F.when(
+        guard.isNull(),
+        F.expr(f"(({v} - {vmin}) * {1 << bits}) DIV ({vmax} - {vmin} + 1)"),
     ).cast("long")
 
 
@@ -379,9 +393,12 @@ def compaction_plan(
 ) -> DataFrame:
     """Assign each input file (ordered by ``file_col`` — the sort/cluster
     order) to an output group: ``out_group = (running total of PRIOR
-    files' bytes) DIV target_bytes``. Oversized files stay alone in
-    their own group (they already exceed the target; splitting them is
-    the writer's job, not the planner's). Emits the per-group audit:
+    files' bytes) DIV target_bytes``. An oversized file is never split
+    (splitting is the writer's job, not the planner's); it simply
+    advances the running total past multiple group boundaries, so it may
+    share its group with small files that preceded it (e.g. sizes
+    ``[0.5t, 3t]`` both land in group 0) while everything after it
+    starts fresh groups. Emits the per-group audit:
     ``(out_group, n_files, total_bytes, fill_milli)`` where
     ``fill_milli = total_bytes * 1000 // target_bytes``.
 

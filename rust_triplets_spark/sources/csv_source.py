@@ -59,6 +59,25 @@ def _ci_lookup(df: DataFrame, name: str) -> str:
 
 
 def read_csv_records(spark: SparkSession, cfg: CsvSourceConfig) -> DataFrame:
+    """CSV → record frame with positional ``{source}::row_{i}`` ids.
+
+    Id-stability contract (SURVEY §1; r10 advice "what's wrong" #3): the
+    reference's row ids are POSITIONAL — row ``i`` of the file — and this
+    reader reproduces that via ``row_number() over (partition by
+    input_file_name() order by monotonically_increasing_id())``. Within
+    one Spark version and scan config that is deterministic: Spark
+    enumerates a file's splits in offset order and
+    ``monotonically_increasing_id`` is monotone in (partition id, row
+    position), so the window order IS file order. The caveat at 100 TB:
+    the ordering contract is *split-enumeration order*, not data — a CSV
+    large enough to split relies on ``spark.sql.files.maxPartitionBytes``
+    (and the non-splittable-codec rules) staying fixed between reads.
+    Deployments that re-read the same corpus across config changes should
+    pin ``maxPartitionBytes`` next to the data, or persist the id mapping
+    once and join — the same discipline the reference needs when a file
+    is edited in place (positional ids shift either way).
+    ``test_sources_pipeline.py::test_csv_multisplit_ids_stable`` pins the
+    multi-split re-read equality this rests on."""
     raw = spark.read.option("header", True).csv(cfg.path)
     w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
     idx = F.row_number().over(w) - 1

@@ -53,6 +53,34 @@ class TestLzw:
         with pytest.raises(ValueError, match="out of range"):
             _lzw_decode(b"\x00", 1, 1)
 
+    def test_end_code_width_at_final_append_boundary(self):
+        # r10 advice: when the decoder's mirror append for the FINAL data
+        # code lands its table exactly at 2^width, a spec decoder reads
+        # END at width+1 bits — the encoder must mirror the bump before
+        # emitting END. This vector (found by instrumented search, seed
+        # 21) hits that boundary exactly; the pre-fix encoder makes the
+        # decode below raise "stream ended before image data". Asking for
+        # MORE pixels than encoded forces the decoder to actually read
+        # END (the exact-n_pixels paths never do).
+        idx = np.array(
+            [3, 1, 2, 1, 2, 1, 0, 1, 2, 2, 3, 0, 1, 3], dtype=np.uint8
+        )
+        got = _lzw_decode(_lzw_encode(idx, 2), 2, len(idx) + 16)
+        assert bytes(got) == bytes(idx)
+
+    def test_end_code_read_fuzz(self):
+        # seeded fuzz of the END-read path across widths: every encoded
+        # stream must terminate cleanly for a decoder that reads past the
+        # data (i.e. END is always written at the width the decoder
+        # expects, wherever the final append lands)
+        rng = np.random.default_rng(7)
+        for mcs in (2, 3, 4, 8):
+            for _ in range(60):
+                n = int(rng.integers(1, 200))
+                idx = rng.integers(0, 1 << mcs, n, dtype=np.uint8)
+                got = _lzw_decode(_lzw_encode(idx, mcs), mcs, n + 8)
+                assert bytes(got) == bytes(idx), (mcs, n)
+
 
 class TestContainer:
     def _pal(self, n=8, seed=3):

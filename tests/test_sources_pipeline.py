@@ -50,6 +50,49 @@ def test_csv_role_mode(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_csv_multisplit_ids_stable(spark):
+    """The positional-id contract under a MULTI-SPLIT file scan (r10
+    advice #3): with maxPartitionBytes forced low enough that the CSV
+    splits into several scan partitions, (a) two reads of the same file
+    agree id-for-id, and (b) ids are true file positions — row_i carries
+    the i-th data line — because Spark enumerates a file's splits in
+    offset order and monotonically_increasing_id is monotone in
+    (partition id, row position)."""
+    d = tempfile.mkdtemp(prefix="csv_split_")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        path = os.path.join(d, "big.csv")
+        n = 5000
+        with open(path, "w") as f:
+            f.write("text\n")
+            for i in range(n):
+                f.write(f"line {i} {'x' * 40}\n")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        cfg = CsvSourceConfig(source_id="big", path=path, text_column="text")
+        # the id window shuffles to one partition per file, so split-ness
+        # must be asserted on the raw SCAN, not the windowed result
+        n_parts = (
+            spark.read.option("header", True).csv(path).rdd.getNumPartitions()
+        )
+        assert n_parts > 4, f"fixture did not split ({n_parts} partitions)"
+        first = read_csv_records(spark, cfg)
+        got1 = {
+            r["id"]: r["sections"][0]["text"]
+            for r in first.collect()
+        }
+        got2 = {
+            r["id"]: r["sections"][0]["text"]
+            for r in read_csv_records(spark, cfg).collect()
+        }
+        assert got1 == got2  # re-read equality
+        for i in (0, 1, 2499, n - 1):  # positional truth
+            assert got1[f"big::row_{i}"].startswith(f"line {i} ")
+        assert len(got1) == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_csv_text_mode_simcse(spark):
     d = tempfile.mkdtemp(prefix="csv_")
     try:

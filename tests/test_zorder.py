@@ -58,6 +58,34 @@ class TestKernels:
         assert got[500_000] == 128
         assert got[1] == 0
 
+    def test_quantize_range_overflow_raises(self, spark):
+        # r10 advice: value ranges >= 2^(63-bits) would silently wrap on
+        # Spark's non-ANSI BIGINT multiply while DuckDB raises — the
+        # guard makes Spark fail loudly too instead of diverging
+        df = spark.createDataFrame([(0,)], "v long").crossJoin(
+            spark.createDataFrame(
+                [(0, (1 << 55) + 7)], "vmin long, vmax long"
+            )
+        )
+        with pytest.raises(Exception, match="overflows BIGINT"):
+            df.select(
+                quantize_col("v", "vmin", "vmax", 8).alias("q")
+            ).collect()
+
+    def test_quantize_range_just_under_bound_ok(self, spark):
+        # the guard is strict: a range one under 2^(63-bits) still works
+        hi = (1 << 55) - 2  # vmax - vmin = 2^55 - 2 < 2^55
+        df = spark.createDataFrame([(0,), (hi,)], "v long").crossJoin(
+            spark.createDataFrame([(0, hi)], "vmin long, vmax long")
+        )
+        got = sorted(
+            r["q"]
+            for r in df.select(
+                quantize_col("v", "vmin", "vmax", 8).alias("q")
+            ).collect()
+        )
+        assert got == [0, 255]
+
     def test_quantize_epoch_micros_no_float_loss(self, spark):
         # epoch-micro magnitudes (~1.7e15) * 256 overflow double mantissa;
         # the DIV form must stay exact where float division would round

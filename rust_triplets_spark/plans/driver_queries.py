@@ -3251,6 +3251,52 @@ def video_byte_ranges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_byte_ranges(media, n_picks=4, batch_rows=3)
 
 
+_VIDEO_MJPEG_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "video_mjpeg_sample.parquet",
+)
+
+
+@_register(
+    "video_frame_decode_audit",
+    f"""
+SELECT media_id,
+       CAST(unnest(exp_pick_ord) AS BIGINT) AS pick_ord,
+       CAST(unnest(exp_sample_n) AS BIGINT) AS sample_n,
+       CAST(unnest(exp_height) AS BIGINT) AS height,
+       CAST(unnest(exp_width) AS BIGINT) AS width,
+       CAST(unnest(exp_lum_bucket) AS BIGINT) AS lum_bucket
+FROM read_parquet('{_VIDEO_MJPEG_FIXTURE}')
+""",
+)
+def video_frame_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video loop closed to PIXELS (new r11; r10 verdict next-round
+    #1): over MJPEG-in-MP4 clips — every sample a real baseline JPEG
+    from the vendored encoder — the uniform-in-time plan's picks
+    (plan_frame_picks) resolve to byte ranges through the container's own
+    stsc/stco/stsz tables (sample_byte_range), the ranges slice the
+    payload, and each slice decodes with the vendored JPEG decoder into
+    the image audit's integer luminance bucket. One stage executes
+    exactly what a seek-then-decode worker does, so planner, byte-range
+    resolver, container writer, and codec are mutually corroborating
+    under one oracle pin instead of individually pinned. The fixture's
+    expectations were computed from the ORIGINAL per-frame JPEG bytes
+    before the container ever saw them — a slicing/offset bug cannot
+    reproduce them — and per-frame brightness steps make an off-by-one
+    frame pick change the pinned buckets. Covers cfr, vfr
+    (time-uniform ≠ index-uniform), A/V-interleaved mdat with video as
+    track 2, a grayscale lane, a single-frame poster, and an audio-only
+    clip contributing zero rows. Scale shape unchanged: blobs stay in
+    the Arrow stage, ≤ n_picks integer rows per clip come out."""
+    from rust_triplets_spark.operators.video import video_frame_decode_audit
+
+    media = spark.read.parquet(_VIDEO_MJPEG_FIXTURE).select(
+        "media_id", "payload"
+    )
+    return video_frame_decode_audit(media, n_picks=4, batch_rows=3)
+
+
 from rust_triplets_spark.operators.zorder import (  # noqa: E402
     zorder_pruning_audit,
     zorder_pruning_audit_sql,

@@ -435,8 +435,125 @@ def gen_gif() -> None:
         print(f"  {mid:3d} {fmt:22s} {len(payload):6d} B  lum_buckets={lbs}")
 
 
+def gen_video_mjpeg() -> None:
+    """fixtures/video_mjpeg_sample.parquet: MJPEG-in-MP4 clips — every
+    video sample is a REAL baseline JPEG from the vendored encoder — plus
+    the expected 4-pick frame-DECODE audit (r10 verdict next-round #1:
+    close the plan → byte-range → pixels loop end-to-end).
+
+    Expectations are deliberately computed from the ORIGINAL per-frame
+    JPEG bytes (decode_jpeg before the container ever sees them), NOT by
+    running video_frame_decode_audit: the audit must re-find those exact
+    bytes through plan_frame_picks + the stsc/stco/stsz walk inside the
+    written mdat, so a slicing/offset bug mismatches even though both
+    sides use the same codec (whose own numbers are pinned by the
+    hand-computed rasters in tests/test_jpeg.py)."""
+    from rust_triplets_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rust_triplets_spark.operators.video import (
+        encode_mp4,
+        parse_mp4,
+        plan_frame_picks,
+        video_track,
+    )
+
+    def frame(w, h, k, *, gray=False):
+        """Deterministic frame k: a small diagonal gradient riding a
+        brightness floor that STEPS with k (clipped, not wrapped — a
+        wrapped full-range gradient averages to ~127 for every k), so
+        picked frames decode to DIFFERENT luminance buckets and an
+        off-by-one frame pick cannot slip through the pin."""
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = (xx * 60) // max(w - 1, 1) + (yy * 40) // max(h - 1, 1)
+        base = np.clip(24 * k + grad, 0, 255)
+        if gray:
+            return base.astype(np.uint8)[..., None].repeat(3, axis=2)
+        g = np.clip(base + 30, 0, 255)
+        b = np.clip(base - 20, 0, 255)
+        return np.stack([base, g, b], axis=2).astype(np.uint8)
+
+    def vid(stts, sync, frames, *, w, h, ts, fourcc="jpeg", tid=1):
+        return {"track_id": tid, "handler": "vide", "fourcc": fourcc,
+                "width": w, "height": h, "timescale": ts, "stts": stts,
+                "sync_samples": sync, "sample_data": frames}
+
+    def aud(stts, *, ts, tid=2):
+        return {"track_id": tid, "handler": "soun", "fourcc": "mp4a",
+                "width": 0, "height": 0, "timescale": ts, "stts": stts,
+                "sync_samples": None}
+
+    clips = []
+    # 1. constant frame rate, 10 frames, 16x16 color, all-sync (no stss —
+    #    MJPEG semantics: every frame is independent)
+    f1 = [encode_jpeg(frame(16, 16, k), quality=85) for k in range(10)]
+    clips.append((1, "mjpeg_cfr", [f1], encode_mp4(
+        movie_timescale=1000,
+        tracks=[vid([(10, 100)], None, f1, w=16, h=16, ts=600)])))
+    # 2. variable frame durations: time-uniform picks != index-uniform
+    f2 = [encode_jpeg(frame(24, 16, k), quality=70) for k in range(8)]
+    clips.append((2, "mjpeg_vfr", [f2], encode_mp4(
+        movie_timescale=90000,
+        tracks=[vid([(2, 9000), (4, 1500), (2, 12000)], None, f2,
+                    w=24, h=16, ts=90000)])))
+    # 3. audio+video multi-track, video is track 2 and its chunks
+    #    interleave with audio fill chunks in mdat — the slice must land
+    #    on the right track's bytes ('mjpa' fourcc variant)
+    f3 = [encode_jpeg(frame(16, 8, k, gray=True), quality=92)
+          for k in range(6)]
+    clips.append((3, "mjpeg_av_gray", [f3], encode_mp4(
+        movie_timescale=600,
+        tracks=[aud([(40, 1024)], ts=44100, tid=1),
+                vid([(6, 100)], None, f3, w=16, h=8, ts=600,
+                    fourcc="mjpa", tid=2)])))
+    # 4. single-frame poster clip (plan collapses to 1 distinct pick row)
+    f4 = [encode_jpeg(frame(8, 8, 3), quality=90)]
+    clips.append((4, "mjpeg_poster", [f4], encode_mp4(
+        movie_timescale=600,
+        tracks=[vid([(1, 600)], [1], f4, w=8, h=8, ts=600)])))
+    # 5. audio-only clip: decode audit contributes zero rows
+    clips.append((5, "mjpeg_audio_only", [None], encode_mp4(
+        movie_timescale=600, tracks=[aud([(50, 160)], ts=16000)])))
+
+    n_picks = 4
+    pick_cols = {k: [] for k in ("pick_ord", "sample_n", "height",
+                                 "width", "lum_bucket")}
+    for _, _, (frames,), payload in clips:
+        vt = video_track(parse_mp4(payload))
+        picks = (plan_frame_picks(vt.stts, vt.sync_samples, n_picks)
+                 if vt is not None else [])
+        cols = {k: [] for k in pick_cols}
+        for ord_, _tgt, sample_n, _dts, _key in picks:
+            px = decode_jpeg(frames[sample_n - 1]).astype(np.int64)
+            h, w = int(px.shape[0]), int(px.shape[1])
+            lum_sum = int((299 * px[..., 0] + 587 * px[..., 1]
+                           + 114 * px[..., 2]).sum())
+            cols["pick_ord"].append(ord_)
+            cols["sample_n"].append(sample_n)
+            cols["height"].append(h)
+            cols["width"].append(w)
+            cols["lum_bucket"].append((lum_sum // (1000 * h * w)) // 16)
+        for k in pick_cols:
+            pick_cols[k].append(cols[k])
+
+    table = pa.table({
+        "media_id": pa.array([c[0] for c in clips], pa.int64()),
+        "fmt": pa.array([c[1] for c in clips], pa.string()),
+        "payload": pa.array([c[3] for c in clips], pa.binary()),
+        **{f"exp_{k}": pa.array(v, pa.list_(pa.int64()))
+           for k, v in pick_cols.items()},
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "video_mjpeg_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+    for (mid, fmt, _, payload), lbs in zip(clips, pick_cols["lum_bucket"]):
+        print(f"  {mid:3d} {fmt:18s} {len(payload):6d} B  lum_buckets={lbs}")
+
+
 if __name__ == "__main__":
     main()
     gen_audio()
     gen_video()
     gen_gif()
+    gen_video_mjpeg()

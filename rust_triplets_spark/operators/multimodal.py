@@ -520,3 +520,73 @@ def audio_pitch_audit(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return media.select("media_id", "fmt", "payload").mapInPandas(
         run, schema=AUDIO_PITCH_SCHEMA
     )
+
+
+AUDIO_FULL_AUDIT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("rms_bucket", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("pitch_lag", T.LongType()),
+    T.StructField("f0_hz", T.LongType()),
+])
+
+
+def audio_full_audit(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """:func:`audio_decode_audit` + :func:`audio_pitch_audit` in ONE
+    kernel — each payload decodes once and emits both the loudness /
+    zero-crossing facts and the autocorrelation pitch. This is the shape
+    a real curation pass runs (decode is the expensive part; every
+    per-clip signal should ride the same decode), and it keeps the
+    registry's per-query window cost down: the G.711 fixture query pins
+    companding AND pitch-on-companded-audio under one oracle row set.
+    Same integer math and blob rules as the two single-purpose audits."""
+    import math
+
+    import numpy as np
+
+    from rust_triplets_spark.operators.audio import autocorr_pitch, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                rows = {k: [] for k in
+                        ("n_frames", "n_channels", "sample_rate",
+                         "rms_bucket", "zero_crossings", "pitch_lag",
+                         "f0_hz")}
+                for payload in sub["payload"]:
+                    s, rate = decode_wav(bytes(payload))
+                    n = int(s.shape[0])
+                    rows["n_frames"].append(n)
+                    rows["n_channels"].append(int(s.shape[1]))
+                    rows["sample_rate"].append(int(rate))
+                    if n == 0:
+                        rows["rms_bucket"].append(0)
+                        rows["zero_crossings"].append(0)
+                    else:
+                        ch0 = s[:, 0].astype(np.int64)
+                        ssum = int((ch0 * ch0).sum())
+                        rows["rms_bucket"].append(
+                            math.isqrt(ssum // n) // 2048
+                        )
+                        nn = ch0 >= 0
+                        rows["zero_crossings"].append(
+                            int((nn[1:] != nn[:-1]).sum())
+                        )
+                    lag, f0 = autocorr_pitch(s, rate)
+                    rows["pitch_lag"].append(lag)
+                    rows["f0_hz"].append(f0)
+                yield pd.DataFrame({
+                    "media_id": sub["media_id"].to_numpy(),
+                    "fmt": sub["fmt"].to_numpy(),
+                    **{k: np.array(v, dtype=np.int64)
+                       for k, v in rows.items()},
+                })
+
+    return media.select("media_id", "fmt", "payload").mapInPandas(
+        run, schema=AUDIO_FULL_AUDIT_SCHEMA
+    )

@@ -3297,6 +3297,52 @@ def video_frame_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_decode_audit(media, n_picks=4, batch_rows=3)
 
 
+_G711_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "audio_g711_sample.parquet",
+)
+
+
+@_register(
+    "g711_decode_audit",
+    f"""
+SELECT media_id, fmt,
+       CAST(exp_n_frames AS BIGINT) AS n_frames,
+       CAST(exp_n_channels AS BIGINT) AS n_channels,
+       CAST(exp_sample_rate AS BIGINT) AS sample_rate,
+       CAST(exp_rms_bucket AS BIGINT) AS rms_bucket,
+       CAST(exp_zero_crossings AS BIGINT) AS zero_crossings,
+       CAST(exp_pitch_lag AS BIGINT) AS pitch_lag,
+       CAST(exp_f0_hz AS BIGINT) AS f0_hz
+FROM read_parquet('{_G711_FIXTURE}')
+""",
+)
+def g711_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITU-T G.711 µ-law/A-law decode (new r11; r10 verdict next-round
+    #5) — the telephony/call-center corpus shape: WAV format tags 7/6
+    expand through the spec's segment tables (operators/audio.py,
+    vectorized from the companding law; ±32124/±32256 full-scale on the
+    decoder's 16-bit grid) inside the combined audio audit kernel, so
+    loudness, zero crossings, AND autocorrelation pitch of companded
+    audio sit under one oracle row set. The fixture's all-256-codes rows
+    pin both complete expansion tables value-for-value; the sine rows pin
+    end-to-end companding physics (the µ-law 440 Hz sine still reports
+    the lag grid's 444 Hz, the A-law 160 Hz its exact frequency); the
+    all-codes round trip (compress(expand(c)) == c, µ-law negative zero
+    excepted) is pytest-pinned. Window note: registered OUTSIDE the
+    50-name driver window — r11's slots are consumed by the 49-name r8
+    staleness rotation + the video capstone (see _CHECK_FIRST) — so its
+    first driver row lands in r12; scripts/check_correctness.py covers it
+    exact-value meanwhile."""
+    from rust_triplets_spark.operators.multimodal import audio_full_audit
+
+    media = spark.read.parquet(_G711_FIXTURE).select(
+        "media_id", "fmt", "payload"
+    )
+    return audio_full_audit(media, batch_rows=3)
+
+
 from rust_triplets_spark.operators.zorder import (  # noqa: E402
     zorder_pruning_audit,
     zorder_pruning_audit_sql,

@@ -435,6 +435,64 @@ def gen_gif() -> None:
         print(f"  {mid:3d} {fmt:22s} {len(payload):6d} B  lum_buckets={lbs}")
 
 
+def gen_audio_g711() -> None:
+    """fixtures/audio_g711_sample.parquet: ITU-T G.711 µ-law/A-law WAV
+    payloads (telephony corpus shape, r10 verdict next-round #5) plus the
+    expected integer audit columns — same columns as audio_sample so the
+    audit kernel is reused unchanged. The all-256-codes rows pin the
+    complete expansion tables inside the fixture itself; the sine rows
+    pin end-to-end companding of real signal."""
+    from rust_triplets_spark.operators.audio import (
+        alaw_compress,
+        autocorr_pitch,
+        decode_wav,
+        encode_g711_wav,
+        ulaw_compress,
+    )
+
+    rng = np.random.default_rng(17)
+    t = np.arange(8000)
+    sine = np.round(20000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    low = np.round(15000 * np.sin(2 * np.pi * 160 * t / 8000)).astype(np.int64)
+    noise = rng.integers(-30000, 30000, 8000, dtype=np.int64)
+    ramp = np.arange(256, dtype=np.uint8)
+
+    rows = [
+        (1, "wav_ulaw", encode_g711_wav(ulaw_compress(sine), 8000, "ulaw")),
+        (2, "wav_alaw", encode_g711_wav(alaw_compress(low), 8000, "alaw")),
+        (3, "wav_ulaw_codes", encode_g711_wav(ramp, 8000, "ulaw")),
+        (4, "wav_alaw_codes", encode_g711_wav(ramp, 8000, "alaw")),
+        (5, "wav_alaw_stereo", encode_g711_wav(
+            np.stack([alaw_compress(sine), alaw_compress(noise)], axis=1),
+            16000, "alaw")),
+        (6, "wav_ulaw_silence", encode_g711_wav(
+            ulaw_compress(np.zeros(4000, dtype=np.int64)), 8000, "ulaw")),
+    ]
+    exp = [_expected_audio(p) for _, _, p in rows]
+    pitch = [autocorr_pitch(*decode_wav(p)) for _, _, p in rows]
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "exp_n_frames": pa.array([e[0] for e in exp], pa.int64()),
+        "exp_n_channels": pa.array([e[1] for e in exp], pa.int64()),
+        "exp_sample_rate": pa.array([e[2] for e in exp], pa.int64()),
+        "exp_rms_bucket": pa.array([e[3] for e in exp], pa.int64()),
+        "exp_zero_crossings": pa.array([e[4] for e in exp], pa.int64()),
+        "exp_pitch_lag": pa.array([p[0] for p in pitch], pa.int64()),
+        "exp_f0_hz": pa.array([p[1] for p in pitch], pa.int64()),
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "audio_g711_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+    for (mid, fmt, payload), e, p in zip(rows, exp, pitch):
+        print(f"  {mid:3d} {fmt:18s} {len(payload):6d} B  "
+              f"frames={e[0]} ch={e[1]} rms={e[3]} zc={e[4]} f0={p[1]}")
+
+
 def gen_video_mjpeg() -> None:
     """fixtures/video_mjpeg_sample.parquet: MJPEG-in-MP4 clips — every
     video sample is a REAL baseline JPEG from the vendored encoder — plus
@@ -557,3 +615,4 @@ if __name__ == "__main__":
     gen_video()
     gen_gif()
     gen_video_mjpeg()
+    gen_audio_g711()

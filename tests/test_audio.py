@@ -176,3 +176,114 @@ class TestPitch:
             assert got[r["media_id"]] == (
                 r["exp_pitch_lag"], r["exp_f0_hz"]
             ), r["media_id"]
+
+
+class TestG711:
+    """ITU-T G.711 companding (r11): expansion tables, the all-codes
+    round trip, container decode, and the registered fixture query."""
+
+    def test_spec_full_scale_values(self):
+        from rust_triplets_spark.operators.audio import (
+            ALAW_TO_LINEAR,
+            ULAW_TO_LINEAR,
+        )
+
+        # published G.711 full-scale decode values
+        assert int(ULAW_TO_LINEAR.max()) == 32124
+        assert int(ULAW_TO_LINEAR.min()) == -32124
+        assert int(ALAW_TO_LINEAR.max()) == 32256
+        assert int(ALAW_TO_LINEAR.min()) == -32256
+        # canonical single codes: µ-law 0xFF is +0, A-law 0xD5/0x55 are
+        # the smallest-magnitude pair (+8/−8 on the 16-bit grid)
+        assert int(ULAW_TO_LINEAR[0xFF]) == 0
+        assert int(ALAW_TO_LINEAR[0xD5]) == 8
+        assert int(ALAW_TO_LINEAR[0x55]) == -8
+
+    def test_all_codes_round_trip(self):
+        from rust_triplets_spark.operators.audio import (
+            ALAW_TO_LINEAR,
+            ULAW_TO_LINEAR,
+            alaw_compress,
+            ulaw_compress,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        ra = alaw_compress(ALAW_TO_LINEAR[codes])
+        assert np.array_equal(ra, codes)
+        ru = ulaw_compress(ULAW_TO_LINEAR[codes])
+        # µ-law's one redundancy: 0x7F (negative zero) decodes to 0,
+        # which canonically re-encodes as 0xFF
+        mism = np.nonzero(ru != codes)[0]
+        assert list(mism) == [0x7F] and ru[0x7F] == 0xFF
+
+    def test_quantization_idempotent(self):
+        from rust_triplets_spark.operators.audio import (
+            ALAW_TO_LINEAR,
+            ULAW_TO_LINEAR,
+            alaw_compress,
+            ulaw_compress,
+        )
+
+        x = np.arange(-32768, 32768, 7, dtype=np.int64)
+        qu = ULAW_TO_LINEAR[ulaw_compress(x)]
+        qa = ALAW_TO_LINEAR[alaw_compress(x)]
+        assert np.array_equal(ULAW_TO_LINEAR[ulaw_compress(qu)], qu)
+        assert np.array_equal(ALAW_TO_LINEAR[alaw_compress(qa)], qa)
+        # companding error is bounded by the top segment's step + clip
+        assert int(np.abs(qu - x).max()) <= 644
+        assert int(np.abs(qa - x).max()) <= 512
+
+    def test_container_decode_both_laws(self):
+        from rust_triplets_spark.operators.audio import (
+            ALAW_TO_LINEAR,
+            ULAW_TO_LINEAR,
+            encode_g711_wav,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        for law, table, tag in (("ulaw", ULAW_TO_LINEAR, 7),
+                                ("alaw", ALAW_TO_LINEAR, 6)):
+            payload = encode_g711_wav(codes, 8000, law)
+            s, rate = decode_wav(payload)
+            assert rate == 8000 and s.shape == (256, 1)
+            assert np.array_equal(s[:, 0], table)
+        # stereo interleave: per-channel tables survive the reshape
+        stereo = encode_g711_wav(
+            np.stack([codes, codes[::-1]], axis=1), 16000, "ulaw"
+        )
+        s, rate = decode_wav(stereo)
+        assert s.shape == (256, 2)
+        assert np.array_equal(s[:, 0], ULAW_TO_LINEAR)
+        assert np.array_equal(s[:, 1], ULAW_TO_LINEAR[codes[::-1]])
+
+    def test_g711_bad_depth_is_loud(self):
+        # tag 7 with bits != 8 violates the law
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+        payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+                   + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", 0))
+        with pytest.raises(ValueError, match="G.711 depth"):
+            decode_wav(payload)
+
+    def test_fixture_query_matches_expectations(self, spark):
+        import os
+
+        from rust_triplets_spark.operators.multimodal import audio_full_audit
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures", "audio_g711_sample.parquet",
+        )
+        media = spark.read.parquet(fixture)
+        got = {
+            r["media_id"]: r.asDict()
+            for r in audio_full_audit(
+                media.select("media_id", "fmt", "payload"), batch_rows=2
+            ).collect()
+        }
+        for r in media.collect():
+            g = got[r["media_id"]]
+            for col in ("n_frames", "n_channels", "sample_rate",
+                        "rms_bucket", "zero_crossings", "pitch_lag",
+                        "f0_hz"):
+                assert g[col] == r["exp_" + col], (r["media_id"], col)

@@ -44,7 +44,7 @@ beyond the bounded stats frames Spark aggregates anyway.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_triplets_spark.functions.caching import cache_scoped
@@ -455,6 +455,78 @@ SELECT CAST(out_group AS BIGINT) AS out_group,
        CAST((sum(__b) * 1000) // {target_bytes} AS BIGINT) AS fill_milli
 FROM cp_plan
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# op-typed CDC application — the other half of the lakehouse ingest story
+# next to upsert-to-latest: real change feeds (Debezium, DMS, binlog
+# tailers) carry INSERT/UPDATE/DELETE rows, and applying them means
+# last-writer-wins per key PLUS tombstone filtering when a key's final
+# op is a delete. Same rank-window shape as cdc_upsert_latest: the
+# window partitions on the composite key (millions of small partitions
+# at scale — never a global sort), audit counts ride the same window.
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply_changes(
+    changes: DataFrame,
+    key_cols: list,
+    seq_cols: list,
+    op_col: str,
+) -> DataFrame:
+    """Apply an op-typed change feed to current state: per key (ordered
+    by ``seq_cols`` DESC — the change sequence, ties broken by later
+    ``seq_cols`` entries), keep the LAST change; if that change is a
+    delete (``op_col = 'D'``) the key is tombstoned and emits nothing.
+    Survivors keep all input columns plus the audit counts
+    ``n_changes`` / ``n_deletes`` over the key's full history (I and U
+    both materialize — an out-of-order I after U must not resurrect old
+    state, which last-writer-wins by sequence guarantees)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    wk = Window.partitionBy(*key_cols)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count("*").over(wk).cast("long"))
+        .withColumn(
+            "n_deletes",
+            F.sum(
+                F.when(F.col(op_col) == "D", F.lit(1)).otherwise(F.lit(0))
+            ).over(wk).cast("long"),
+        )
+        .where((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn")
+    )
+
+
+def cdc_apply_changes_sql(
+    changes_sql: str,
+    key_sqls: list,
+    seq_sqls: list,
+    op_sql: str,
+    value_sqls: list,
+) -> str:
+    """DuckDB twin — identical rank window + tombstone filter.
+    ``value_sqls`` are ``(expr, alias)`` pairs for the emitted columns
+    (keys + payload), so the projection matches the Spark side
+    name-for-name."""
+    keys = ", ".join(key_sqls)
+    order = ", ".join(f"{s} DESC" for s in seq_sqls)
+    proj = ",\n       ".join(f"{e} AS {a}" for e, a in value_sqls)
+    return f"""
+WITH cdc_feed AS MATERIALIZED (
+  SELECT t.*,
+         row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __rn,
+         CAST(count(*) OVER (PARTITION BY {keys}) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN {op_sql} = 'D' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {keys}) AS BIGINT) AS n_deletes
+  FROM ({changes_sql}) t
+)
+SELECT {proj},
+       n_changes, n_deletes
+FROM cdc_feed WHERE __rn = 1 AND {op_sql} <> 'D'
 """
 
 

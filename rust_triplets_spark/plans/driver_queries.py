@@ -3344,6 +3344,69 @@ def g711_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from rust_triplets_spark.operators.zorder import (  # noqa: E402
+    cdc_apply_changes,
+    cdc_apply_changes_sql,
+)
+
+# op synthesis for the CDC feed: a DELETE-HEAVY slice (every third change
+# is a delete, so many keys' LATEST change is a tombstone and the filter
+# path carries real weight), I/U split on the rest
+_CDC_OP_SQL = (
+    "CASE WHEN event_id % 3 = 0 THEN 'D' "
+    "WHEN event_id % 3 = 1 THEN 'U' ELSE 'I' END"
+)
+
+
+@_register(
+    "cdc_apply_changes",
+    cdc_apply_changes_sql(
+        f"SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, "
+        f"{_CDC_OP_SQL} AS op FROM events",
+        ["user_id", "event_type"],
+        ["ts_us", "event_id"],
+        "op",
+        [
+            ("CAST(user_id AS BIGINT)", "user_id"),
+            ("event_type", "event_type"),
+            ("CAST(event_id AS BIGINT)", "event_id"),
+            ("CAST(ts_us AS BIGINT)", "ts_us"),
+            ("op", "op"),
+        ],
+    ),
+)
+def cdc_apply_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-typed CDC application with delete/tombstone semantics (new
+    r11; r10 verdict next-round #7): the change feed carries I/U/D rows
+    (synthesized delete-heavy from events — every third change is a
+    delete), last-writer-wins per (user_id, event_type) by (ts,
+    event_id), and a key whose final change is a delete is tombstoned
+    out of the result entirely. Survivors carry the audit counts
+    (n_changes, n_deletes) from the same key window. One rank window
+    per composite key — the cdc_upsert_latest shape extended, never a
+    global sort. Window note: registered OUTSIDE the 50-name r11 driver
+    window (slots consumed by the 49-name r8 rotation + the video
+    capstone); first driver row lands in r12, exact-value-checked by
+    scripts/check_correctness.py meanwhile."""
+    ev = _read_events(spark, sf_dir)
+    changes = ev.select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").alias("ts_us"),
+        F.expr(_CDC_OP_SQL).alias("op"),
+    )
+    return cdc_apply_changes(
+        changes, ["user_id", "event_type"], ["ts_us", "event_id"], "op"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "op",
+        "n_changes",
+        "n_deletes",
+    )
+
+
+from rust_triplets_spark.operators.zorder import (  # noqa: E402
     zorder_pruning_audit,
     zorder_pruning_audit_sql,
 )

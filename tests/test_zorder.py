@@ -227,3 +227,49 @@ class TestHilbert:
         assert sum(c["files_hilbert"] for c in cells) <= sum(
             c["files_zorder"] for c in cells
         )
+
+
+class TestCdcApplyChanges:
+    def test_tombstone_lww_and_counts(self, spark):
+        from rust_triplets_spark.operators.zorder import cdc_apply_changes
+
+        feed = spark.createDataFrame(
+            [
+                # key A: I then U — latest U survives, counts (2, 0)
+                ("A", 1, 10, "I", "v1"),
+                ("A", 1, 20, "U", "v2"),
+                # key B: I, U, D — final delete tombstones the key
+                ("B", 1, 10, "I", "v1"),
+                ("B", 1, 20, "U", "v2"),
+                ("B", 1, 30, "D", ""),
+                # key C: D then I (delete then re-insert) — survives
+                ("C", 1, 10, "D", ""),
+                ("C", 1, 20, "I", "v9"),
+                # key D: out-of-order I with an older seq after a newer U
+                # must NOT resurrect old state (LWW by sequence)
+                ("D", 1, 30, "U", "new"),
+                ("D", 1, 5, "I", "old"),
+            ],
+            "k string, part int, seq long, op string, val string",
+        )
+        got = {
+            r["k"]: r.asDict()
+            for r in cdc_apply_changes(feed, ["k", "part"], ["seq"], "op")
+            .collect()
+        }
+        assert set(got) == {"A", "C", "D"}
+        assert got["A"]["val"] == "v2"
+        assert (got["A"]["n_changes"], got["A"]["n_deletes"]) == (2, 0)
+        assert got["C"]["val"] == "v9"
+        assert (got["C"]["n_changes"], got["C"]["n_deletes"]) == (2, 1)
+        assert got["D"]["val"] == "new"
+
+    def test_seq_tie_break_uses_later_seq_cols(self, spark):
+        from rust_triplets_spark.operators.zorder import cdc_apply_changes
+
+        feed = spark.createDataFrame(
+            [("A", 10, 1, "U", "first"), ("A", 10, 2, "U", "second")],
+            "k string, seq long, sub long, op string, val string",
+        )
+        got = cdc_apply_changes(feed, ["k"], ["seq", "sub"], "op").collect()
+        assert len(got) == 1 and got[0]["val"] == "second"

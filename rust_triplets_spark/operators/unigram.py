@@ -162,12 +162,33 @@ def train_unigram(
     seed_multi: int = SEED_MULTI,
     em_rounds: int = EM_ROUNDS,
     vocab_multi: int = VOCAB_MULTI,
+    prune_frac: float = 0.0,
 ) -> tuple[list, DataFrame]:
     """Run the trainer; returns ``(rows, words)`` where ``rows`` is the
     final ``[(piece, piece_len, usage, lrq)]`` vocabulary (alphabet +
     top ``vocab_multi`` multi-char pieces) and ``words`` the cached word
-    table for downstream application."""
+    table for downstream application.
+
+    ``prune_frac`` enables Kudo 2018 §4's vocabulary pruning: real
+    unigram training starts from a LARGE seed (several times the target)
+    and, after each EM round, drops the worst ``prune_frac`` of
+    multi-char pieces — here by (usage ASC, piece DESC), the quantized
+    hard-EM counterpart of least-likelihood-loss — never below the
+    ``vocab_multi`` target and never touching the alphabet (every word
+    must stay segmentable). Pruned pieces leave the score table, so
+    later rounds re-segment without them and their counts flow to the
+    survivors. The default ``0.0`` is the one-shot top-K demo shape the
+    registered oracle query pins bit-exactly (the SQL twin unrolls the
+    unpruned loop); tokenizer-real runs (seed ≈ 3× target, ≥4k pieces,
+    sf1) use ``prune_frac ≈ 0.2`` — parity against a driver-side pure-
+    Python reference trainer is pinned in tests/test_unigram.py and the
+    sf1 run is recorded in SCALE.md. Scale shape is unchanged: pruning
+    is a driver-side sort of the ALREADY-collected bounded usage table
+    (alphabet + ≤ seed_multi rows)."""
     from rust_triplets_spark.functions.caching import cache_scoped
+
+    if not 0.0 <= prune_frac < 1.0:
+        raise ValueError(f"prune_frac {prune_frac} outside [0, 1)")
 
     words = cache_scoped(
         unigram_word_freq(df, text_col, max_word_len), "unigram.words"
@@ -188,6 +209,18 @@ def train_unigram(
         )
         used = {r["piece"]: int(r["u"]) for r in counts}
         usage = {piece: used.get(piece, 0) for piece in scores}
+        if prune_frac:
+            multi = sorted(
+                ((k, u) for k, u in usage.items() if len(k) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )
+            keep = max(vocab_multi, int(len(multi) * (1.0 - prune_frac)))
+            if keep < len(multi):
+                kept = {k for k, _ in multi[:keep]}
+                usage = {
+                    k: u for k, u in usage.items()
+                    if len(k) == 1 or k in kept
+                }
         scores = _rescore(usage)
 
     alpha = [(k, u) for k, u in usage.items() if len(k) == 1]

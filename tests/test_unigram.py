@@ -171,3 +171,110 @@ class TestTrainerParity:
         for r in out.values():
             assert r["n_pieces"] >= r["n_words"] > 0
             assert r["fert_milli"] == r["n_pieces"] * 1000 // r["n_words"]
+
+
+class TestPruning:
+    """prune_frac (r11; Kudo 2018 §4): per-round vocabulary pruning —
+    parity against an independent driver-side reference trainer, floor
+    behavior, and alphabet immunity."""
+
+    def _reference_train(self, texts, *, max_word_len, max_piece_len,
+                         seed_multi, em_rounds, vocab_multi, prune_frac):
+        """Pure-Python trainer: same contract, no Spark — an independent
+        re-derivation of the training loop (shares only the pinned
+        viterbi kernel and quantized-ln grid)."""
+        import re
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in re.findall(r"\S+", t):
+                if len(w) <= max_word_len:
+                    words[w] += 1
+        subs = Counter()
+        for w, c in words.items():
+            for p in range(1, max_piece_len + 1):
+                for i in range(len(w) - p + 1):
+                    subs[w[i:i + p]] += c
+        alpha = {k: v for k, v in subs.items() if len(k) == 1}
+        multi = sorted(
+            ((k, v) for k, v in subs.items() if len(k) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:seed_multi]
+        seed = {**alpha, **dict(multi)}
+        qt = _q(sum(seed.values()))
+        scores = {k: _q(v) - qt for k, v in seed.items()}
+        usage = {}
+        for _ in range(em_rounds):
+            used = Counter()
+            for w, c in words.items():
+                for piece in viterbi_segment(w, scores, max_piece_len):
+                    used[piece] += c
+            usage = {k: used.get(k, 0) for k in scores}
+            if prune_frac:
+                m = sorted(
+                    ((k, u) for k, u in usage.items() if len(k) > 1),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )
+                keep = max(vocab_multi, int(len(m) * (1.0 - prune_frac)))
+                if keep < len(m):
+                    kept = {k for k, _ in m[:keep]}
+                    usage = {k: u for k, u in usage.items()
+                             if len(k) == 1 or k in kept}
+            scores = _rescore(usage)
+        alpha_rows = sorted(
+            (k, u) for k, u in usage.items() if len(k) == 1
+        )
+        multi_rows = sorted(
+            ((k, u) for k, u in usage.items() if len(k) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:vocab_multi]
+        return [
+            (p, len(p), u, scores[p]) for p, u in alpha_rows + multi_rows
+        ]
+
+    CORPUS = [
+        "the cat sat on the mat the cat ran",
+        "a mat a cat a hat on the mat",
+        "the hat sat flat on the cat mat",
+        "rats ran past the flat mat hat stack",
+    ] * 3
+
+    def test_pruned_parity_with_reference(self, spark):
+        knobs = dict(max_word_len=8, max_piece_len=4, seed_multi=24,
+                     em_rounds=4, vocab_multi=6, prune_frac=0.25)
+        df = spark.createDataFrame(
+            [(t,) for t in self.CORPUS], "text string"
+        )
+        rows, _ = train_unigram(df, "text", **knobs)
+        assert rows == self._reference_train(self.CORPUS, **knobs)
+
+    def test_prune_never_drops_below_target_or_alphabet(self, spark):
+        knobs = dict(max_word_len=8, max_piece_len=4, seed_multi=24,
+                     em_rounds=6, vocab_multi=5, prune_frac=0.5)
+        df = spark.createDataFrame(
+            [(t,) for t in self.CORPUS], "text string"
+        )
+        rows, _ = train_unigram(df, "text", **knobs)
+        multi = [r for r in rows if r[1] > 1]
+        alpha = [r for r in rows if r[1] == 1]
+        # aggressive pruning still delivers the full target count...
+        assert len(multi) == 5
+        # ...and the alphabet is untouched (every corpus char present)
+        chars = {c for t in self.CORPUS for c in t if not c.isspace()}
+        assert {r[0] for r in alpha} == chars
+
+    def test_prune_zero_matches_unpruned(self, spark):
+        knobs = dict(max_word_len=8, max_piece_len=4, seed_multi=16,
+                     em_rounds=3, vocab_multi=6)
+        df = spark.createDataFrame(
+            [(t,) for t in self.CORPUS], "text string"
+        )
+        base, _ = train_unigram(df, "text", **knobs)
+        zero, _ = train_unigram(df, "text", prune_frac=0.0, **knobs)
+        assert base == zero
+
+    def test_bad_prune_frac_raises(self, spark):
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError, match="prune_frac"):
+            train_unigram(df, "text", prune_frac=1.0)

@@ -1,6 +1,14 @@
 """Benchmark harness (driver contract): run the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and print JSON lines: the per-query times
+in bounded-size ``{"queries_chunk": i, "queries": {...}}`` lines first,
+then ONE compact summary line LAST. Layout rationale (r10 verdict #6):
+the driver records only the final 2000 characters of stdout and parses
+the last line — a single line carrying 70 per-query times exceeds that
+capture, so every driver artifact through r10 stored ``"parsed": null``
+and a mid-dict fragment. With chunked emission the summary line always
+parses and the newest chunks survive in the tail; the COMPLETE result is
+additionally written to ``BENCH_LOCAL*.json`` (committed).
 
 Each query is forced through the noop sink (computes every output column —
 ``count()`` alone would let Catalyst prune the interesting work).
@@ -187,6 +195,10 @@ BENCH_QUERIES = [
     "cdc_upsert_latest",
     "video_byte_ranges",
     "audio_pitch_audit",
+    # round 11 additions
+    "video_frame_decode_audit",
+    "g711_decode_audit",
+    "cdc_apply_changes",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -214,7 +226,7 @@ _R1_R3_CORE_END = "selector_text_samples"
 # this build round (bumped when a new round's window is composed; the
 # PREVIOUS round's realized window must be appended to BENCH_WINDOW_LOG in
 # the same commit — the test pins both).
-BENCH_CURRENT_ROUND = 10
+BENCH_CURRENT_ROUND = 11
 BENCH_MAX_STALE = 4
 
 # realized driver-window composition per round (window mode began r9; every
@@ -247,35 +259,94 @@ BENCH_WINDOW_LOG: dict[int, list[str]] = {
         "ngram_containment", "token_entropy", "tfidf_top_terms",
         "unicode_script_mix",
     ],
+    10: [
+        # r10 = r1_r3 core + the r10 extras + the 18 new r10 queries
+        # (BENCH_r10.json / BENCH_LOCAL.json: window_size 70, passes 3)
+        "q1_pricing_summary", "sliding_window_chunks", "epoch_shuffle",
+        "weighted_source_interleave", "qa_mismatch_negatives",
+        "wrong_article_negatives", "wrong_date_negatives",
+        "temporal_asof_join", "triplet_assembly", "pairs_from_triplets",
+        "exact_dedup", "minhash_lsh_pairs", "simhash_signatures",
+        "ngram_jaccard_pairs", "cosine_topk", "lang_id", "doc_fingerprint",
+        "denoise_gates", "tumbling_window_counts", "sessionization",
+        "bm25_topk", "kvp_decoration", "text_samples", "rollup_revenue",
+        "window_topn_orders", "sentence_split", "round_robin_interleave",
+        "sliding_window_counts", "ann_bucketed_topk", "simhash_band_pairs",
+        "temporal_offset_triplets", "denoise_gate3_waves",
+        "derived_text_recipes", "folder_date_parsing", "corpus_clean",
+        "selector_text_samples",
+        "recipe_auto_injection", "epoch_batch_plan", "c4_doc_filter",
+        "source_length_quantiles", "budgeted_source_sample",
+        "source_vocab_stats", "top_tokens_per_source",
+        "temperature_source_mix", "event_gap_quantiles",
+        "batch_pad_with_reuse", "quality_clf_features",
+        "bpe_merge_candidates", "embedding_int8_codes",
+        "length_grouped_batches", "padding_efficiency", "label_centroids",
+        "source_datasheet",
+        "media_decode_audit", "ingest_funnel_trace",
+        "text_granularity_funnel", "bpe_vocab_batched",
+        "audio_decode_audit", "embedding_random_projection",
+        "video_metadata_audit", "video_frame_plan", "gif_frame_audit",
+        "zorder_pruning_audit", "unigram_vocab", "unigram_fertility",
+        "language_segments", "compaction_plan", "cdc_upsert_latest",
+        "video_byte_ranges", "audio_pitch_audit",
+    ],
 }
 
-# r10 extras: the stalest tier is the 46 names last timed in the r8 full
-# run (everything outside the r9 window); ties broken cheapest-first by the
-# r8 min-of-3 times (commit 47ae107), prefix sized so the projected window
-# sum stays ≤ ~150 s: core 81.3 + new-r10 ~40 (incl. the three sub-second
-# fixture audits video_metadata_audit/video_frame_plan/gif_frame_audit) +
-# extras 24.2 ≈ 146 s. The remaining 21 (heavier) stale names rotate in
-# over r11-r12 — forced by the BENCH_MAX_STALE test before they can exceed
-# 4 rounds unbenched.
+# r11 extras: the stalest tier is the 29 names last timed in the r8 full
+# run (everything outside the r9 AND r10 windows); ties broken
+# cheapest-first by the r10 full-registry min-of-3 times
+# (BENCH_LOCAL_FULL.json), prefix sized so the projected window sum stays
+# ≤ ~150 s: core 66.6 + new-r11 ~1.5 (three fixture/window queries) +
+# noisy re-bench 17.1 + extras 62.7 ≈ 147.9 s. The remaining 4 (heaviest:
+# training_funnel, selector_chunk_triplets, fuzzy_decontamination,
+# curation_funnel, 30.9 s) rotate in r12 — at staleness 4 there, the
+# BENCH_MAX_STALE bound forces them before r13.
 BENCH_WINDOW_EXTRA = [
-    "recipe_auto_injection",
-    "length_grouped_batches",
-    "padding_efficiency",
-    "temperature_source_mix",
-    "label_centroids",
-    "source_length_quantiles",
-    "embedding_int8_codes",
-    "bpe_merge_candidates",
-    "quality_clf_features",
-    "top_tokens_per_source",
-    "source_vocab_stats",
-    "epoch_batch_plan",
-    "budgeted_source_sample",
-    "batch_pad_with_reuse",
-    "event_gap_quantiles",
-    "c4_doc_filter",
-    "source_datasheet",
+    "exact_dedup_verified",
+    "pack_bin_stats",
+    "source_vocab_overlap",
+    "split_leakage_check",
+    "repetition_signals",
+    "dup_ngram_spans",
+    "contamination_fraction",
+    "line_boilerplate_dedup",
+    "ann_ivf_topk",
+    "ann_hard_negatives",
+    "embedding_neardup_pairs",
+    "repeated_spans",
+    "ann_ivf_float_cells",
+    "corpus_clean_funnel",
+    "ccnet_quality_buckets",
+    "simcse_triplets",
+    "selector_triplets",
+    "doremi_domain_weights",
+    "temporal_selector_triplets",
+    "curriculum_order",
+    "ann_ivf_float_topk",
+    "cluster_aware_splits",
+    "minhash_dedup_keep",
+    "simhash_dedup_keep",
+    "ann_ivfpq_topk",
 ]
+
+# Noise-watch lane (r10 verdict "what's wrong" #1 / next-round #4): names
+# whose bench series is under an ACTIVE noise investigation stay in the
+# window regardless of staleness so their spread is measurable from the
+# round artifact — they are NOT extras (the stalest-first test exempts
+# this list; it must stay small and each entry documented):
+# - ingest_funnel_trace / text_granularity_funnel: SCALE.md records ±50%
+#   run-to-run spread at sf0.1 (model-fit JIT + multi-stage cache
+#   materialization dominate at this size). r11 adds an UNTIMED pre-warm
+#   execution (fits + JIT compile before pass 1, caches released after)
+#   plus extra timed samples (min-of-5), aiming the best-vs-second-best
+#   spread under ~15%.
+BENCH_WINDOW_NOISY = [
+    "ingest_funnel_trace",
+    "text_granularity_funnel",
+]
+# extra timed samples for the noisy lane beyond the normal passes
+BENCH_NOISY_EXTRA_PASSES = 2
 
 # Cross-round comparison series: BENCH_QUERIES is append-only, so the prefix
 # ending at each era's last query IS that era's bench list. series_totals in
@@ -284,7 +355,7 @@ BENCH_WINDOW_EXTRA = [
 # without reconstructing old lists from git history.
 # last registry entry of the PREVIOUS round: everything after it is
 # new-this-round and always enters the bench window.
-_LAST_ROUND_END = "unicode_script_mix"
+_LAST_ROUND_END = "audio_pitch_audit"
 
 _SERIES_ENDS = {
     "r1_r3": "selector_text_samples",
@@ -295,15 +366,17 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
+    "r11": "cdc_apply_changes",
 }
 
 
 def bench_window() -> list[str]:
     """The window-mode query list: r1_r3 core + new-this-round queries +
-    the rotating slice, in registry order."""
+    the noise-watch lane + the rotating slice, in registry order."""
     core = BENCH_QUERIES[: BENCH_QUERIES.index(_R1_R3_CORE_END) + 1]
     new_this_round = BENCH_QUERIES[BENCH_QUERIES.index(_LAST_ROUND_END) + 1:]
-    chosen = set(core) | set(BENCH_WINDOW_EXTRA) | set(new_this_round)
+    chosen = (set(core) | set(BENCH_WINDOW_EXTRA) | set(new_this_round)
+              | set(BENCH_WINDOW_NOISY))
     return [q for q in BENCH_QUERIES if q in chosen]
 
 
@@ -337,6 +410,25 @@ def main() -> None:
     # driver timeout even if the box is slow that day.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "720"))
     t_start = time.time()
+
+    # noise-watch pre-warm (r10 verdict next-round #4): the noisy lane's
+    # queries run once UNTIMED before pass 1 — this fits + memoizes their
+    # driver-side models (ingest_funnel_trace's admission models memoize
+    # per sf_dir) and compiles their generated classes, so every TIMED
+    # sample measures the steady-state plan. Caches release afterwards:
+    # each timed pass still pays its own cache materialization (the v2
+    # fair-repass contract is untouched).
+    for name in BENCH_WINDOW_NOISY:
+        if name not in timed_list:
+            continue
+        try:
+            DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — pass 1 will re-report
+            print(f"BENCH WARMUP FAILURE {name}: {exc}", file=sys.stderr)
+    caching.release_all()
+
     times: dict[str, float] = {}
     all_times: dict[str, list[float]] = {}  # every timing, for the noise floor
     pass_counts: dict[str, int] = {}  # timings actually taken per query
@@ -388,6 +480,30 @@ def main() -> None:
         # pairs from assembled triplets. Memory stays bounded (one
         # generation per scope). Released BETWEEN passes so each pass pays
         # full cache-materialization cost (see module doc).
+        caching.release_all()
+
+    # noisy-lane extra samples: min-of-(passes + N) for the names under
+    # noise watch — each extra sample is its own fair re-pass (caches
+    # released between), so the extra minima are comparable to the main
+    # passes' and the reported spread reflects more than 3 draws.
+    for _extra in range(BENCH_NOISY_EXTRA_PASSES):
+        if time.time() - t_start > budget_s:
+            break
+        for name in BENCH_WINDOW_NOISY:
+            if name not in timed_list or name in failures:
+                continue
+            t0 = time.time()
+            try:
+                DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                times[name] = min(times.get(name, dt), dt)
+                all_times.setdefault(name, []).append(dt)
+                pass_counts[name] = pass_counts.get(name, 0) + 1
+            except Exception as exc:  # noqa: BLE001
+                print(f"BENCH NOISY-PASS FAILURE {name}: {exc}",
+                      file=sys.stderr)
         caching.release_all()
 
     # contract: `times` and `failures` are mutually exclusive — a query
@@ -461,12 +577,19 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    # Durable full artifact: the driver's stdout capture keeps only a tail
-    # fragment of long lines (BENCH_r06.json preserved 8 of 68 per-query
-    # timings, "parsed": null) — so the complete result, including pass
-    # counts and failure detail, is written to a file the judge can read
-    # directly, and the printed contract line is kept as short as possible
-    # (query_passes lives only in the file).
+    # per-query repeatability for the file artifact: (2nd-best − best) /
+    # best, in percent — lets a consumer classify a cross-round delta per
+    # query instead of only against the aggregate noise block
+    out["spreads_pct"] = {
+        n: round((sorted(ts)[1] - sorted(ts)[0]) / sorted(ts)[0] * 100.0, 1)
+        for n, ts in all_times.items()
+        if len(ts) >= 2 and min(ts) > 0
+    }
+    # Durable full artifact: the driver's stdout capture keeps only the
+    # LAST 2000 characters (BENCH_r06-r10: "parsed": null, tail begins
+    # mid-results-dict) — so the complete result, including pass counts
+    # and failure detail, is written to a file the judge can read
+    # directly.
     artifact = "BENCH_LOCAL_FULL.json" if full_mode else "BENCH_LOCAL.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
     try:
@@ -475,9 +598,63 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"BENCH WARNING: could not write {full_path}: {exc}", file=sys.stderr)
-    line = {k: v for k, v in out.items() if k != "query_passes"}
-    line["query_passes_min"] = min(pass_counts.values()) if pass_counts else 0
-    line["full_results_file"] = artifact
+
+    # stdout layout (r10 verdict next-round #6): the per-query dict alone
+    # exceeds the driver's 2000-char tail capture, which is why every
+    # driver artifact to date carries "parsed": null and a truncated
+    # fragment. Emit the queries dict FIRST in bounded-size chunk lines
+    # (each independently parseable; the tail keeps the last ~2000 chars,
+    # so the latest chunks + the summary always survive intact), then ONE
+    # compact summary line LAST — small enough that the driver's
+    # last-line parse always succeeds, and self-contained: totals, noise,
+    # per-era series, the slowest queries, and the pointer to the full
+    # committed artifact.
+    chunk: dict[str, float] = {}
+    n_chunks = 0
+
+    def flush_chunk() -> None:
+        nonlocal chunk, n_chunks
+        if chunk:
+            n_chunks += 1
+            print(json.dumps({"queries_chunk": n_chunks, "queries": chunk}))
+            chunk = {}
+
+    for name in timed_list:
+        if name in times:
+            chunk[name] = times[name]
+            if len(json.dumps(chunk)) > 520:
+                flush_chunk()
+    flush_chunk()
+    line = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": sf,
+        "methodology": BENCH_METHODOLOGY,
+        "noise": noise,
+        # per-era totals as [total_s, n_timed, n_series] triples
+        "series_totals": {
+            era: [v["total"], v["n_timed"], v["n_series"]]
+            for era, v in series_totals.items()
+        },
+        "passes": passes_run,
+        "mode": out["mode"],
+        "window_size": len(timed_list),
+        "registry_size": len(BENCH_QUERIES),
+        "cold": out["cold"],
+        "query_passes_min": min(pass_counts.values()) if pass_counts else 0,
+        "n_timed": len(times),
+        "n_failed": len(failures),
+        "queries_chunks": n_chunks,
+        "slowest": dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:8]
+        ),
+        "noisy_lane": {
+            n: out["spreads_pct"].get(n)
+            for n in BENCH_WINDOW_NOISY if n in times
+        },
+        "full_results_file": artifact,
+    }
     print(json.dumps(line))
 
 

@@ -4872,73 +4872,81 @@ def unicode_script_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lost chunk_rotation + round_robin_interleave from the window).
 DRIVER_CHECK_CAP = 50
 
+# Round-11 window arithmetic (r10 verdict next-round #2): the 49 names
+# whose last driver-green row is r8 hit the 3-round boundary THIS round,
+# so all 49 rotate in — which leaves exactly ONE slot for new queries.
+# That slot goes to the round's capstone (video_frame_decode_audit, the
+# verdict's top_next). The other r11 additions (g711_decode_audit,
+# cdc_apply_changes) register immediately AFTER the window — they are
+# exact-value-verified by scripts/check_correctness.py this round and
+# are first in line for r12 alongside the then-stale r9 tier. (Steady
+# state: 151 oracle queries / 50 slots means a name recurs every ~3
+# rounds; each round's new-query budget is 50 − the expiring tier.)
 _CHECK_FIRST = [
-    # new or semantics-changed this round (round 10): the codec audit, the
-    # streaming funnel's oracle-hard batch trace, the composed
-    # text-granularity dedup funnel, batched BPE training, and
-    # ngram_containment (sizes now over the max_df-filtered shingle
-    # universe — r10 advice fix, so it re-enters the window)
-    "media_decode_audit",
-    "audio_decode_audit",
-    "audio_pitch_audit",
-    "video_metadata_audit",
-    "video_frame_plan",
-    "video_byte_ranges",
-    "gif_frame_audit",
-    "zorder_pruning_audit",
-    "unigram_vocab",
-    "unigram_fertility",
-    "language_segments",
-    "compaction_plan",
-    "cdc_upsert_latest",
-    "ingest_funnel_trace",
-    "text_granularity_funnel",
-    "bpe_vocab_batched",
-    "embedding_random_projection",
-    "ngram_containment",
-    # staleness rotation, COMPLETED this round (r9 verdict next-round #1):
-    # all 31 remaining names whose last driver-green row is r7 (the r9
-    # window took the alphabetically-first 19 of the then-50-name tail;
-    # ann_ivf_float_topk stays rotated out permanently — rows-only by
-    # design, its oracle-checkable projection ann_ivf_float_cells carries
-    # the driver row). After this round no registry name's driver row is
-    # older than r8.
-    "exact_dedup",
-    "exact_dedup_verified",
-    "folder_date_parsing",
-    "fuzzy_decontamination",
-    "line_boilerplate_dedup",
-    "long_section_gate",
-    "metadata_kv_roundtrip",
-    "minhash_lsh_pairs",
-    "neardup_clusters",
-    "pack_bin_stats",
-    "pairs_from_triplets",
-    "pii_scrub",
-    "recipe_auto_injection",
-    "repeated_spans",
-    "repetition_signals",
-    "selector_chunk_triplets",
-    "selector_text_samples",
-    "selector_triplets",
-    "sentence_split",
-    "sequence_packing",
-    "simcse_triplets",
-    "simhash_band_pairs",
-    "sliding_window_counts",
-    "source_length_quantiles",
-    "source_token_budget",
-    "split_leakage_check",
-    "temperature_source_mix",
-    "temporal_selector_triplets",
-    "training_funnel",
-    "training_shards",
-    "wrong_article_negatives",
-    # filler slice: the alphabetically-first name of the r8 tier (the
-    # now-oldest) — the rotation's steady state; the r10 new-query influx
-    # consumed the rest of the filler budget, so the r8 tier drains over
-    # r11-r12 (forced by the staleness test before it can exceed 4 rounds)
-    "ann_hard_negatives",
+    # the ONE new query with a slot (r11 capstone)
+    "video_frame_decode_audit",
+    # staleness rotation, COMPLETED this round: all 49 names whose last
+    # driver-green row is r8 (CORRECTNESS_r08.json minus every name
+    # re-windowed in r9/r10). After this round no registry name's driver
+    # row is older than r9 (ann_ivf_float_topk stays permanently rotated
+    # out — rows-only by design, its oracle-checkable projection
+    # ann_ivf_float_cells carries the driver row).
+    "ann_ivf_float_cells",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_buckets",
+    "bigram_lm_quality",
+    "binary_columns",
+    "bloom_ingest_probe",
+    "bpe_merge_candidates",
+    "capacity_estimation",
+    "ccnet_quality_buckets",
+    "chunk_rotation",
+    "cluster_aware_splits",
+    "contamination_fraction",
+    "corpus_datasheet",
+    "curation_funnel",
+    "curriculum_order",
+    "date_meta_values",
+    "derived_text_recipes",
+    "doremi_domain_weights",
+    "dsir_importance",
+    "dup_ngram_spans",
+    "embedding_int8_codes",
+    "epoch_shuffle",
+    "event_gap_quantiles",
+    "gopher_quality",
+    "grouped_refresh_cap",
+    "indexable_pager",
+    "json_props_extract",
+    "jsonl_records",
+    "kmv_source_vocab",
+    "kvp_decoration",
+    "label_centroids",
+    "length_grouped_batches",
+    "lexical_similarity",
+    "minhash_dedup_keep",
+    "ngram_jaccard_pairs",
+    "normalize_whitespace",
+    "padding_efficiency",
+    "parse_pub_dates",
+    "quality_clf_features",
+    "round_robin_interleave",
+    "semdedup_clusters",
+    "simhash_dedup_keep",
+    "source_datasheet",
+    "source_vocab_overlap",
+    "source_vocab_stats",
+    "substring_dedup_clean",
+    "top_tokens_per_source",
+    "vocab_coverage",
+]
+
+# queries that must lead the post-window tail (first driver rows in r12):
+# this round's new-but-unslotted registrations
+_CHECK_NEXT = [
+    "g711_decode_audit",
+    "cdc_apply_changes",
 ]
 
 
@@ -4958,7 +4966,17 @@ def _reorder_registry() -> None:
         )
     if len(set(_CHECK_FIRST)) != len(_CHECK_FIRST):
         raise ValueError("_CHECK_FIRST contains duplicate names")
-    order = list(_CHECK_FIRST) + [n for n in QUERIES if n not in _CHECK_FIRST]
+    missing_next = [n for n in _CHECK_NEXT if n not in QUERIES]
+    if missing_next:
+        raise ValueError(f"_CHECK_NEXT names unknown queries: {missing_next}")
+    if set(_CHECK_NEXT) & set(_CHECK_FIRST):
+        raise ValueError("_CHECK_NEXT overlaps _CHECK_FIRST")
+    order = (
+        list(_CHECK_FIRST)
+        + list(_CHECK_NEXT)
+        + [n for n in QUERIES
+           if n not in _CHECK_FIRST and n not in _CHECK_NEXT]
+    )
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
 

@@ -197,7 +197,7 @@ BENCH_QUERIES = [
     "audio_pitch_audit",
     # round 11 additions
     "video_frame_decode_audit",
-    "g711_decode_audit",
+    "compressed_audio_audit",
     "cdc_apply_changes",
 ]
 

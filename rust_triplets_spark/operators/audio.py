@@ -10,17 +10,20 @@ vendor exactly — so the real-decode branch (schema, Arrow batching,
 per-payload fault isolation) now runs end-to-end for audio too.
 
 Coverage: RIFF/WAVE with PCM (format tag 1) at 8/16/24/32-bit integer
-depth, IEEE float32 (tag 3), and ITU-T G.711 A-law (tag 6) / µ-law
-(tag 7) — the telephony/call-center corpus shape, expanded through the
-spec's 256-entry segment tables (vectorized here from the G.711
-companding law; same semantics as the classic public-domain CCITT
-reference implementation) straight onto the decoder's 16-bit grid.
-Any channel count, chunk order per spec (fmt before data, unknown
-chunks skipped, word-aligned chunk padding). Deliberately NOT covered
-(loud ``ValueError``): ADPCM/MP3 payloads-in-WAV,
-WAVE_FORMAT_EXTENSIBLE sub-formats other than PCM/float/G.711, RF64.
-Decode speed is pure-Python-orchestrated numpy — fine for the
-bounded-batch ``mapInPandas`` media kernels this feeds.
+depth, IEEE float32 (tag 3), ITU-T G.711 A-law (tag 6) / µ-law (tag 7)
+— the telephony/call-center corpus shape, expanded through the spec's
+256-entry segment tables (vectorized here from the G.711 companding
+law; same semantics as the classic public-domain CCITT reference
+implementation) straight onto the decoder's 16-bit grid — IMA/DVI
+ADPCM (tag 0x11, 4-bit block coding, mono by documented contract), and
+the RF64 64-bit container (EBU Tech 3306: ds64 size indirection for
+the >4 GB files a 100 TB audio corpus actually contains). Any channel
+count for the sample-per-frame formats, chunk order per spec (fmt
+before data, unknown chunks skipped, word-aligned chunk padding).
+Deliberately NOT covered (loud ``ValueError``): MS-ADPCM/MP3
+payloads-in-WAV, stereo IMA ADPCM, WAVE_FORMAT_EXTENSIBLE sub-formats
+other than the above. Decode speed is pure-Python-orchestrated numpy —
+fine for the bounded-batch ``mapInPandas`` media kernels this feeds.
 """
 
 from __future__ import annotations
@@ -105,22 +108,41 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     ``round(clip(x)·32767)``) — one integer domain for every depth, so
     downstream feature math is depth-independent and integer-exact (the
     audio analogue of the image decoders' uint8-RGB normalization)."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if len(payload) < 12 or payload[8:12] != b"WAVE" or (
+        payload[:4] not in (b"RIFF", b"RF64")
+    ):
         raise ValueError("wav: missing RIFF/WAVE header")
+    rf64 = payload[:4] == b"RF64"
     pos = 12
     fmt = None
     data = None
+    fact_n = None
+    ds64_data_size = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        # RF64 (EBU Tech 3306): chunk sizes that overflow u32 are written
+        # as 0xFFFFFFFF and the REAL 64-bit sizes live in the ds64 chunk
+        # (which must precede fmt/data); only the data chunk needs the
+        # indirection here — our payloads are in-memory bytes, so the
+        # resolved size is still bounded by len(payload).
+        if rf64 and cid == b"data" and clen == 0xFFFFFFFF:
+            if ds64_data_size is None:
+                raise ValueError("wav: RF64 data before ds64 chunk")
+            clen = ds64_data_size
         body = payload[pos + 8:pos + 8 + clen]
         if len(body) != clen:
             raise ValueError("wav: truncated chunk")
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-        if cid == b"fmt ":
+        if cid == b"ds64":
+            if clen < 24:
+                raise ValueError("wav: ds64 chunk too short")
+            ds64_data_size = struct.unpack("<Q", body[8:16])[0]
+            fact_n = struct.unpack("<Q", body[16:24])[0]  # sample count
+        elif cid == b"fmt ":
             if clen < 16:
                 raise ValueError("wav: fmt chunk too short")
-            tag, nch, rate, _brate, _balign, bits = struct.unpack(
+            tag, nch, rate, _brate, balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: sub-format GUID
@@ -128,22 +150,56 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError("wav: extensible fmt chunk too short")
                 sub = struct.unpack("<H", body[24:26])[0]
                 tag = sub
-            if tag not in (1, 3, 6, 7):
+            if tag not in (1, 3, 6, 7, 0x11):
                 raise ValueError(
                     f"wav: format tag {tag} unsupported (PCM=1 / float=3 "
-                    "/ A-law=6 / mu-law=7 only; ADPCM/MP3 need an audio "
-                    "library)"
+                    "/ A-law=6 / mu-law=7 / IMA ADPCM=17 only; MS-ADPCM/"
+                    "MP3 need an audio library)"
                 )
-            fmt = (tag, nch, rate, bits)
+            spb = None
+            if tag == 0x11:
+                if clen < 20:
+                    raise ValueError("wav: ADPCM fmt missing extension")
+                spb = struct.unpack("<H", body[18:20])[0]
+            fmt = (tag, nch, rate, bits, balign, spb)
+        elif cid == b"fact":
+            if clen >= 4 and fact_n is None:
+                fact_n = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
     if fmt is None:
         raise ValueError("wav: no fmt chunk")
     if data is None:
         raise ValueError("wav: no data chunk")
-    tag, nch, rate, bits = fmt
+    tag, nch, rate, bits, balign, spb = fmt
     if nch < 1:
         raise ValueError("wav: zero channels")
+    if tag == 0x11:
+        if nch != 1:
+            raise ValueError(
+                "wav: IMA ADPCM supported mono-only (stereo interleaves "
+                "per-channel nibble groups — documented gap)"
+            )
+        if bits != 4:
+            raise ValueError(f"wav: IMA ADPCM depth {bits} invalid (4 only)")
+        if balign < 5 or spb is None or spb != (balign - 4) * 2 + 1:
+            raise ValueError(
+                f"wav: ADPCM block_align {balign} / samples_per_block "
+                f"{spb} inconsistent"
+            )
+        remaining = fact_n
+        parts = []
+        for blo in range(0, len(data), balign):
+            block = data[blo:blo + balign]
+            want = (len(block) - 4) * 2 + 1
+            if remaining is not None:
+                want = min(want, remaining)
+                remaining -= want
+            if want > 0:
+                parts.append(ima_adpcm_decode_block(block, want))
+        samples = (np.concatenate(parts) if parts
+                   else np.zeros(0, dtype=np.int32))
+        return samples.reshape(-1, 1), rate
     if tag in (6, 7):
         if bits != 8:
             raise ValueError(f"wav: G.711 depth {bits} invalid (8 only)")
@@ -197,6 +253,135 @@ def encode_wav(
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — the classic 4-bit block-coded
+# telephony/game-audio codec, per the IMA Digital Audio Focus and
+# Technical Working Groups' recommended practice (the public step/index
+# tables every implementation shares). Mono only by contract (stereo
+# interleaves 4-byte nibble groups per channel — loud ValueError, same
+# deliberate-gap style as the other codecs' documented long tail).
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8,
+                    -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_decode_nibble(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (new_predictor, new_index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return pred, index
+
+
+def ima_adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
+    """One mono IMA block (4-byte header: predictor i16le, index u8,
+    reserved; then 2 nibbles/byte, LOW nibble first) → int32 samples.
+    The header predictor IS sample 0 (samples_per_block = 2·data + 1)."""
+    if len(block) < 4:
+        raise ValueError("wav: ADPCM block shorter than its header")
+    pred = struct.unpack("<h", block[:2])[0]
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"wav: ADPCM step index {index} out of range")
+    out = [pred]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            pred, index = _ima_decode_nibble(nibble, pred, index)
+            out.append(pred)
+            if len(out) == n_samples:
+                return np.array(out, dtype=np.int32)
+    return np.array(out[:n_samples], dtype=np.int32)
+
+
+def ima_adpcm_encode(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Mono int16-grid samples → IMA ADPCM block stream (the fixture/
+    test-harness counterpart; standard greedy nibble quantizer whose
+    decode is a fixed point of the tables above)."""
+    x = [int(v) for v in np.asarray(samples).reshape(-1)]
+    spb = (block_align - 4) * 2 + 1
+    out = bytearray()
+    pos = 0
+    index = 0
+    while pos < len(x):
+        chunk = x[pos:pos + spb]
+        pred = chunk[0]
+        if len(chunk) > 1:
+            # per-block initial index ≈ the first step size (spec: any
+            # header index is valid — the decoder reads it; matching the
+            # local slope avoids the index-0 adaptation transient)
+            d0 = abs(chunk[1] - chunk[0])
+            index = min(
+                range(89), key=lambda i: abs(_IMA_STEP_TABLE[i] - d0)
+            )
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for target in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = target - pred
+            nibble = 8 if diff < 0 else 0
+            if diff < 0:
+                diff = -diff
+            if diff >= step:
+                nibble |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nibble |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nibble |= 1
+            pred, index = _ima_decode_nibble(nibble, pred, index)
+            nibbles.append(nibble)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        pad = block_align - 4 - (len(nibbles) // 2)
+        out += b"\x00" * pad if pos + spb < len(x) else b""
+        pos += spb
+    return bytes(out)
+
+
+def encode_ima_adpcm_wav(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Mono int16-grid samples → complete WAV (tag 0x11) with the
+    spec's extended fmt chunk (cbSize=2, wSamplesPerBlock)."""
+    body = ima_adpcm_encode(samples, block_align)
+    spb = (block_align - 4) * 2 + 1
+    n = len(np.asarray(samples).reshape(-1))
+    avg_bps = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, avg_bps, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(body)) + body
         + (b"\x00" if len(body) & 1 else b"")
     )

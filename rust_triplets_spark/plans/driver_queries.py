@@ -3297,15 +3297,15 @@ def video_frame_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_decode_audit(media, n_picks=4, batch_rows=3)
 
 
-_G711_FIXTURE = _os.path.join(
+_COMPRESSED_AUDIO_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "fixtures",
-    "audio_g711_sample.parquet",
+    "audio_compressed_sample.parquet",
 )
 
 
 @_register(
-    "g711_decode_audit",
+    "compressed_audio_audit",
     f"""
 SELECT media_id, fmt,
        CAST(exp_n_frames AS BIGINT) AS n_frames,
@@ -3315,29 +3315,32 @@ SELECT media_id, fmt,
        CAST(exp_zero_crossings AS BIGINT) AS zero_crossings,
        CAST(exp_pitch_lag AS BIGINT) AS pitch_lag,
        CAST(exp_f0_hz AS BIGINT) AS f0_hz
-FROM read_parquet('{_G711_FIXTURE}')
+FROM read_parquet('{_COMPRESSED_AUDIO_FIXTURE}')
 """,
 )
-def g711_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ITU-T G.711 µ-law/A-law decode (new r11; r10 verdict next-round
-    #5) — the telephony/call-center corpus shape: WAV format tags 7/6
-    expand through the spec's segment tables (operators/audio.py,
-    vectorized from the companding law; ±32124/±32256 full-scale on the
-    decoder's 16-bit grid) inside the combined audio audit kernel, so
-    loudness, zero crossings, AND autocorrelation pitch of companded
-    audio sit under one oracle row set. The fixture's all-256-codes rows
-    pin both complete expansion tables value-for-value; the sine rows pin
-    end-to-end companding physics (the µ-law 440 Hz sine still reports
-    the lag grid's 444 Hz, the A-law 160 Hz its exact frequency); the
-    all-codes round trip (compress(expand(c)) == c, µ-law negative zero
-    excepted) is pytest-pinned. Window note: registered OUTSIDE the
-    50-name driver window — r11's slots are consumed by the 49-name r8
-    staleness rotation + the video capstone (see _CHECK_FIRST) — so its
-    first driver row lands in r12; scripts/check_correctness.py covers it
+def compressed_audio_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed/telephony WAV decode (new r11; r10 verdict next-round
+    #5 plus the ADPCM/RF64 slice of its media long tail): ITU-T G.711
+    µ-law/A-law (tags 7/6, the spec's segment tables vectorized —
+    ±32124/±32256 full-scale on the decoder's 16-bit grid), IMA/DVI
+    ADPCM (tag 0x11, 4-bit block coding with per-block predictor/index
+    headers, mono by documented contract), and the RF64 64-bit container
+    (EBU Tech 3306 ds64 size indirection) — all inside the combined
+    audio audit kernel, so loudness, zero crossings, AND autocorrelation
+    pitch of decompressed audio sit under one oracle row set. The
+    fixture's all-256-codes rows pin both complete G.711 expansion
+    tables value-for-value; the sine rows pin end-to-end physics (the
+    ADPCM 160 Hz sine reports its exact frequency through the block
+    decode; the small-block row exercises many block headers + a partial
+    final block); the all-codes round trip and ADPCM error bounds are
+    pytest-pinned. Window note: registered OUTSIDE the 50-name driver
+    window — r11's slots are consumed by the 49-name r8 staleness
+    rotation + the video capstone (see _CHECK_FIRST) — so its first
+    driver row lands in r12; scripts/check_correctness.py covers it
     exact-value meanwhile."""
     from rust_triplets_spark.operators.multimodal import audio_full_audit
 
-    media = spark.read.parquet(_G711_FIXTURE).select(
+    media = spark.read.parquet(_COMPRESSED_AUDIO_FIXTURE).select(
         "media_id", "fmt", "payload"
     )
     return audio_full_audit(media, batch_rows=3)
@@ -4876,7 +4879,7 @@ DRIVER_CHECK_CAP = 50
 # whose last driver-green row is r8 hit the 3-round boundary THIS round,
 # so all 49 rotate in — which leaves exactly ONE slot for new queries.
 # That slot goes to the round's capstone (video_frame_decode_audit, the
-# verdict's top_next). The other r11 additions (g711_decode_audit,
+# verdict's top_next). The other r11 additions (compressed_audio_audit,
 # cdc_apply_changes) register immediately AFTER the window — they are
 # exact-value-verified by scripts/check_correctness.py this round and
 # are first in line for r12 alongside the then-stale r9 tier. (Steady
@@ -4945,7 +4948,7 @@ _CHECK_FIRST = [
 # queries that must lead the post-window tail (first driver rows in r12):
 # this round's new-but-unslotted registrations
 _CHECK_NEXT = [
-    "g711_decode_audit",
+    "compressed_audio_audit",
     "cdc_apply_changes",
 ]
 

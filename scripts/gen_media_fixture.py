@@ -435,18 +435,21 @@ def gen_gif() -> None:
         print(f"  {mid:3d} {fmt:22s} {len(payload):6d} B  lum_buckets={lbs}")
 
 
-def gen_audio_g711() -> None:
-    """fixtures/audio_g711_sample.parquet: ITU-T G.711 µ-law/A-law WAV
-    payloads (telephony corpus shape, r10 verdict next-round #5) plus the
-    expected integer audit columns — same columns as audio_sample so the
-    audit kernel is reused unchanged. The all-256-codes rows pin the
-    complete expansion tables inside the fixture itself; the sine rows
-    pin end-to-end companding of real signal."""
+def gen_audio_compressed() -> None:
+    """fixtures/audio_compressed_sample.parquet: compressed/telephony WAV
+    payloads — ITU-T G.711 µ-law/A-law (r10 verdict next-round #5), IMA
+    ADPCM (tag 0x11), and an RF64 64-bit container — plus the expected
+    integer audit columns (same columns as audio_sample, so the combined
+    audit kernel is reused unchanged). The all-256-codes rows pin the
+    complete G.711 expansion tables inside the fixture itself; the sine
+    rows pin end-to-end companding/block-coding of real signal; the RF64
+    row pins the ds64 size indirection."""
     from rust_triplets_spark.operators.audio import (
         alaw_compress,
         autocorr_pitch,
         decode_wav,
         encode_g711_wav,
+        encode_ima_adpcm_wav,
         ulaw_compress,
     )
 
@@ -456,6 +459,19 @@ def gen_audio_g711() -> None:
     low = np.round(15000 * np.sin(2 * np.pi * 160 * t / 8000)).astype(np.int64)
     noise = rng.integers(-30000, 30000, 8000, dtype=np.int64)
     ramp = np.arange(256, dtype=np.uint8)
+
+    def rf64_pcm16(x: np.ndarray, rate: int) -> bytes:
+        """RF64/ds64 wrapper around PCM16 (EBU Tech 3306): riff + data
+        sizes deferred to ds64, data chunk size field = 0xFFFFFFFF."""
+        import struct as st
+        body = np.asarray(x).astype("<i2").tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        ds64 = st.pack("<QQQI", 0, len(body), len(x), 0)
+        chunks = (b"WAVE"
+                  + b"ds64" + st.pack("<I", len(ds64)) + ds64
+                  + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                  + b"data" + st.pack("<I", 0xFFFFFFFF) + body)
+        return b"RF64" + st.pack("<I", 0xFFFFFFFF) + chunks
 
     rows = [
         (1, "wav_ulaw", encode_g711_wav(ulaw_compress(sine), 8000, "ulaw")),
@@ -467,6 +483,15 @@ def gen_audio_g711() -> None:
             16000, "alaw")),
         (6, "wav_ulaw_silence", encode_g711_wav(
             ulaw_compress(np.zeros(4000, dtype=np.int64)), 8000, "ulaw")),
+        (7, "wav_ima_adpcm", encode_ima_adpcm_wav(
+            np.round(12000 * np.sin(2 * np.pi * 160 * t / 8000))
+            .astype(np.int64), 8000)),
+        # a partial final block (8000 % 505 != 0 already) AND a tiny
+        # block_align exercising many block headers
+        (8, "wav_ima_adpcm_small_blocks", encode_ima_adpcm_wav(
+            np.round(9000 * np.sin(2 * np.pi * 440 * t[:1000] / 8000))
+            .astype(np.int64), 8000, block_align=16)),
+        (9, "wav_rf64_pcm16", rf64_pcm16(sine, 8000)),
     ]
     exp = [_expected_audio(p) for _, _, p in rows]
     pitch = [autocorr_pitch(*decode_wav(p)) for _, _, p in rows]
@@ -484,12 +509,12 @@ def gen_audio_g711() -> None:
     })
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures", "audio_g711_sample.parquet",
+        "fixtures", "audio_compressed_sample.parquet",
     )
     pq.write_table(table, out, compression="zstd")
     print(f"wrote {out}: {table.num_rows} rows")
     for (mid, fmt, payload), e, p in zip(rows, exp, pitch):
-        print(f"  {mid:3d} {fmt:18s} {len(payload):6d} B  "
+        print(f"  {mid:3d} {fmt:26s} {len(payload):6d} B  "
               f"frames={e[0]} ch={e[1]} rms={e[3]} zc={e[4]} f0={p[1]}")
 
 
@@ -615,4 +640,4 @@ if __name__ == "__main__":
     gen_video()
     gen_gif()
     gen_video_mjpeg()
-    gen_audio_g711()
+    gen_audio_compressed()

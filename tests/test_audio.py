@@ -272,7 +272,7 @@ class TestG711:
 
         fixture = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "fixtures", "audio_g711_sample.parquet",
+            "fixtures", "audio_compressed_sample.parquet",
         )
         media = spark.read.parquet(fixture)
         got = {
@@ -287,3 +287,104 @@ class TestG711:
                         "rms_bucket", "zero_crossings", "pitch_lag",
                         "f0_hz"):
                 assert g[col] == r["exp_" + col], (r["media_id"], col)
+
+
+class TestImaAdpcmAndRf64:
+    """IMA ADPCM (tag 0x11) + RF64 container (r11: the ADPCM/RF64 slice
+    of the media long tail)."""
+
+    def _tone(self, n=4000, f=160, rate=8000, amp=12000):
+        t = np.arange(n)
+        return np.round(amp * np.sin(2 * np.pi * f * t / rate)).astype(
+            np.int64
+        )
+
+    def test_roundtrip_error_bounded(self):
+        from rust_triplets_spark.operators.audio import encode_ima_adpcm_wav
+
+        x = self._tone()
+        s, rate = decode_wav(encode_ima_adpcm_wav(x, 8000))
+        assert rate == 8000 and s.shape == (len(x), 1)
+        err = np.abs(s[:, 0].astype(np.int64) - x)
+        # 4-bit ADPCM on a band-limited tone: a few percent of full scale
+        assert float(err.mean()) < 0.03 * 12000
+        assert int(err.max()) < 0.15 * 32768
+
+    def test_partial_final_block_and_small_blocks(self):
+        from rust_triplets_spark.operators.audio import encode_ima_adpcm_wav
+
+        # 100 samples, block_align 16 → spb 25 → 4 blocks (exact) and
+        # 90 samples → partial last block (fact chunk bounds the count)
+        for n in (100, 90, 1, 24, 26):
+            x = self._tone(n=n)
+            s, _ = decode_wav(encode_ima_adpcm_wav(x, 8000, block_align=16))
+            assert s.shape == (n, 1), n
+            # sample 0 of each block is carried verbatim in the header
+            assert s[0, 0] == x[0]
+
+    def test_block_decode_hand_math(self):
+        from rust_triplets_spark.operators.audio import (
+            ima_adpcm_decode_block,
+        )
+
+        # predictor 100, index 0 (step 7); nibbles 0x0 then 0x8:
+        # +(7>>3)=0 → 100; then -(7>>3)=0 → 100 (indexes move -1, clamp 0)
+        block = struct.pack("<hBB", 100, 0, 0) + bytes([0x80])
+        got = ima_adpcm_decode_block(block, 3)
+        assert list(got) == [100, 100, 100]
+        # nibble 0x7: diff = step>>3 + step + step>>1 + step>>2 = 0+7+3+1
+        block = struct.pack("<hBB", 0, 0, 0) + bytes([0x07])
+        got = ima_adpcm_decode_block(block, 2)
+        assert list(got) == [0, 11]
+
+    def test_adpcm_loud_errors(self):
+        from rust_triplets_spark.operators.audio import (
+            encode_ima_adpcm_wav,
+            ima_adpcm_decode_block,
+        )
+
+        with pytest.raises(ValueError, match="step index"):
+            ima_adpcm_decode_block(struct.pack("<hBB", 0, 90, 0), 1)
+        with pytest.raises(ValueError, match="shorter than its header"):
+            ima_adpcm_decode_block(b"\x00", 1)
+        # stereo ADPCM is a documented gap
+        payload = bytearray(encode_ima_adpcm_wav(self._tone(50), 8000))
+        fmt_off = payload.index(b"fmt ") + 8
+        payload[fmt_off + 2:fmt_off + 4] = struct.pack("<H", 2)  # nch=2
+        with pytest.raises(ValueError, match="mono-only"):
+            decode_wav(bytes(payload))
+        # inconsistent samples_per_block is loud
+        payload = bytearray(encode_ima_adpcm_wav(self._tone(50), 8000))
+        spb_off = payload.index(b"fmt ") + 8 + 18
+        payload[spb_off:spb_off + 2] = struct.pack("<H", 9)
+        with pytest.raises(ValueError, match="inconsistent"):
+            decode_wav(bytes(payload))
+
+    def _rf64(self, x, rate=8000, with_ds64=True):
+        body = np.asarray(x).astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        ds64 = struct.pack("<QQQI", 0, len(body), len(x), 0)
+        chunks = b"WAVE"
+        if with_ds64:
+            chunks += b"ds64" + struct.pack("<I", len(ds64)) + ds64
+        chunks += (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", 0xFFFFFFFF) + body)
+        return b"RF64" + struct.pack("<I", 0xFFFFFFFF) + chunks
+
+    def test_rf64_ds64_size_indirection(self):
+        x = np.array([100, -100, 50, 7], dtype=np.int32)
+        s, rate = decode_wav(self._rf64(x))
+        assert rate == 8000 and list(s[:, 0]) == [100, -100, 50, 7]
+
+    def test_rf64_without_ds64_is_loud(self):
+        with pytest.raises(ValueError, match="ds64"):
+            decode_wav(self._rf64(np.array([1, 2], dtype=np.int32),
+                                  with_ds64=False))
+
+    def test_plain_riff_with_ffffffff_size_is_loud(self):
+        # the 0xFFFFFFFF escape is an RF64 feature; in a plain RIFF it is
+        # just a truncated chunk
+        payload = self._rf64(np.array([1, 2], dtype=np.int32))
+        payload = b"RIFF" + payload[4:]
+        with pytest.raises(ValueError, match="truncated chunk"):
+            decode_wav(payload)

@@ -153,6 +153,44 @@ class TestContainer:
         # f2 was disposal-3: canvas reverts to f1 before f3 composites
         assert (frames[2] == frames[0]).all()
 
+    def test_plain_text_comment_app_extensions_skipped(self):
+        # spec-deprecated plain-text (0x01), comment (0xFE), and
+        # application (0xFF) extensions must skip cleanly via their
+        # sub-block chains and not disturb frame compositing
+        import struct as st
+
+        pal = self._pal()
+        f0 = np.zeros((3, 3), dtype=np.uint8)
+        f1 = np.full((3, 3), 2, dtype=np.uint8)
+        payload = encode_gif([f0, f1], pal)
+        base_frames, base_delays = decode_gif_frames(payload)
+
+        def ext(label, body):
+            out = bytes([0x21, label])
+            for lo in range(0, len(body), 255):
+                chunk = body[lo:lo + 255]
+                out += bytes([len(chunk)]) + chunk
+            return out + b"\x00"
+
+        plain = ext(0x01, st.pack("<HHHHBBBB", 0, 0, 3, 3, 1, 1, 1, 0)
+                    + b"HI")
+        comment = ext(0xFE, b"made by tests")
+        app = ext(0xFF, b"NETSCAPE2.0" + b"\x01\x00\x00")
+        # inject right after header+GCT (structurally computed — byte
+        # scans could false-match inside palette data) and between the
+        # two frames' blocks
+        gct_size = 3 * (2 << (payload[10] & 0x07))
+        first_img = 13 + gct_size
+        assert payload[first_img] == 0x21  # first frame's GCE follows
+        second = payload.index(b"\x21\xf9", first_img + 2)
+        doctored = (payload[:first_img] + plain + comment
+                    + payload[first_img:second] + app + payload[second:])
+        frames, delays = decode_gif_frames(doctored)
+        assert delays == base_delays
+        assert len(frames) == len(base_frames)
+        for a, b in zip(frames, base_frames):
+            assert np.array_equal(a, b)
+
     def test_gif87a_header_accepted(self):
         pal = self._pal()
         fr = np.zeros((3, 3), dtype=np.uint8)

@@ -296,12 +296,16 @@ BENCH_WINDOW_LOG: dict[int, list[str]] = {
 # r11 extras: the stalest tier is the 29 names last timed in the r8 full
 # run (everything outside the r9 AND r10 windows); ties broken
 # cheapest-first by the r10 full-registry min-of-3 times
-# (BENCH_LOCAL_FULL.json), prefix sized so the projected window sum stays
-# ≤ ~150 s: core 66.6 + new-r11 ~1.5 (three fixture/window queries) +
-# noisy re-bench 17.1 + extras 62.7 ≈ 147.9 s. The remaining 4 (heaviest:
-# training_funnel, selector_chunk_triplets, fuzzy_decontamination,
-# curation_funnel, 30.9 s) rotate in r12 — at staleness 4 there, the
-# BENCH_MAX_STALE bound forces them before r13.
+# (BENCH_LOCAL_FULL.json), prefix sized so the projected window min-sum
+# stays ≤ ~125 s — the r11 lesson: a 148 s window blew the 720 s budget
+# (passes_min degraded to 2 and every 2-sample spread measured cold-vs-
+# warm JIT, not noise; the ~4.5× cold+warm+warm multiple plus the noisy
+# lane's warm/extra passes is the real constraint, so r10's ~108 s
+# window was near the ceiling, not conservative). Projected: core 66.6 +
+# new-r11 ~1.5 + noisy re-bench 17.6 + extras 39.7 ≈ 125 s. The
+# remaining 9 stale names (~55 s, incl. the heavy funnels/ANN variants)
+# hit staleness 4 in r12, where the BENCH_MAX_STALE test FORCES them
+# into the window — r12 should budget its extras around them.
 BENCH_WINDOW_EXTRA = [
     "exact_dedup_verified",
     "pack_bin_stats",
@@ -323,11 +327,6 @@ BENCH_WINDOW_EXTRA = [
     "doremi_domain_weights",
     "temporal_selector_triplets",
     "curriculum_order",
-    "ann_ivf_float_topk",
-    "cluster_aware_splits",
-    "minhash_dedup_keep",
-    "simhash_dedup_keep",
-    "ann_ivfpq_topk",
 ]
 
 # Noise-watch lane (r10 verdict "what's wrong" #1 / next-round #4): names

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "video_frame_decode_audit",
     "compressed_audio_audit",
     "cdc_apply_changes",
+    "image_phash_neardup",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -365,7 +366,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "cdc_apply_changes",
+    "r11": "image_phash_neardup",
 }
 
 

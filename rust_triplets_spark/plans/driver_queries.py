@@ -3346,6 +3346,48 @@ def compressed_audio_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_full_audit(media, batch_rows=3)
 
 
+from rust_triplets_spark.operators.phash import (  # noqa: E402
+    image_phash_pairs,
+    image_phash_pairs_sql,
+)
+
+_PHASH_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "image_phash_sample.parquet",
+)
+
+
+@_register(
+    "image_phash_neardup",
+    image_phash_pairs_sql(
+        f"SELECT media_id, CAST(exp_phash AS BIGINT) AS phash "
+        f"FROM read_parquet('{_PHASH_FIXTURE}')",
+        max_dist=12,
+    ),
+)
+def image_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection (new r11): the perceptual-hash
+    pipeline every image-corpus curation pass runs — decode (vendored
+    codecs) → integer luma grid → 32×32 DCT → 63-bit median-threshold
+    pHash → 4-band Hamming bucketing → pairs within distance 12
+    (operators/phash.py). Completes the multimodal dedup story: text had
+    MinHash/SimHash/SemDedup, images only had decode audits. The fixture
+    plants three near-dup families (JPEG q90/q35 re-encodes of a PNG, a
+    brightness-shifted BMP↔PNG pair, a noise image ↔ its q95 JPEG) among
+    singletons — planted pairs land at Hamming 0-4, the closest
+    cross-family pair at 16, so the radius-12 ball separates cleanly.
+    Both sides' hash VALUES ride in the output (a bit-permutation bug
+    would preserve distances but not values), so codec, hash kernel, and
+    the band join are all pinned by one oracle row set. Window note: in
+    _CHECK_NEXT (the r8 rotation consumed r11's slots); first driver row
+    r12, exact-value-checked by scripts/check_correctness.py meanwhile."""
+    media = spark.read.parquet(_PHASH_FIXTURE).select(
+        "media_id", "fmt", "payload"
+    )
+    return image_phash_pairs(media, max_dist=12, batch_rows=4)
+
+
 from rust_triplets_spark.operators.zorder import (  # noqa: E402
     cdc_apply_changes,
     cdc_apply_changes_sql,
@@ -4950,6 +4992,7 @@ _CHECK_FIRST = [
 _CHECK_NEXT = [
     "compressed_audio_audit",
     "cdc_apply_changes",
+    "image_phash_neardup",
 ]
 
 

@@ -634,6 +634,80 @@ def gen_video_mjpeg() -> None:
         print(f"  {mid:3d} {fmt:18s} {len(payload):6d} B  lum_buckets={lbs}")
 
 
+def gen_image_phash() -> None:
+    """fixtures/image_phash_sample.parquet: planted near-duplicate image
+    families (same picture re-encoded at different JPEG qualities /
+    formats / small brightness shifts) plus distinct singletons, with the
+    expected 63-bit perceptual hash per image. The oracle recomputes
+    band-bucketed Hamming pairs in SQL from the pinned hashes; the Spark
+    side must reproduce the hashes from PIXELS (decode → luma grid → DCT
+    → median threshold) and the same pairs — so codec, hash kernel, and
+    pairing logic sit under one driver row."""
+    from rust_triplets_spark.operators.gif import encode_gif
+    from rust_triplets_spark.operators.phash import phash63
+
+    def make(k, h=48, w=64):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((xx * (3 + k)) // 2 + (yy * (5 + 2 * k)) // 3) % 256
+        img = np.stack(
+            [base, (base + 40 * k) % 256, 255 - base], 2
+        ).astype(np.uint8)
+        img[10 + k:20 + k, 15:40] = (20 * k) % 256
+        return img
+
+    rng = np.random.default_rng(23)
+    a, b, c, d, e = (make(k) for k in range(5))
+    noise = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+
+    rows = [
+        # family 1: PNG original + two JPEG re-encodes
+        (1, "fam1_png", encode_png(a)),
+        (2, "fam1_jpeg_q90", encode_jpeg(a, 90)),
+        (3, "fam1_jpeg_q35", encode_jpeg(a, 35)),
+        # family 2: BMP original + brightness-shifted PNG
+        (4, "fam2_bmp", _encode_bmp(b)),
+        (5, "fam2_png_bright", encode_png(
+            np.clip(b.astype(np.int32) + 12, 0, 255).astype(np.uint8))),
+        # family 3: noise PNG + high-quality JPEG of the same noise
+        (6, "fam3_png_noise", encode_png(noise)),
+        (7, "fam3_jpeg_q95", encode_jpeg(noise, 95)),
+        # singletons (no partner within the Hamming radius)
+        (8, "single_gif", encode_gif(
+            [(c[..., 0] // 16).astype(np.uint8)],
+            np.stack([np.arange(0, 256, 16)] * 3, 1).astype(np.uint8))),
+        (9, "single_ppm", encode_ppm(d)),
+        (10, "single_png", encode_png(e)),
+    ]
+    hashes = [phash63(decode_image_builtin(p)) for _, _, p in rows]
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "exp_phash": pa.array(hashes, pa.int64()),
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "image_phash_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    for (mid, fmt, payload), h in zip(rows, hashes):
+        print(f"  {mid:3d} {fmt:16s} {len(payload):6d} B  phash={h:016x}")
+    fams = [(1, 2), (1, 3), (2, 3), (4, 5), (6, 7)]
+    print("  planted-pair hamming:",
+          {p: ham(hashes[p[0] - 1], hashes[p[1] - 1]) for p in fams})
+    cross = min(
+        ham(hashes[i], hashes[j])
+        for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if (rows[i][0], rows[j][0]) not in fams
+    )
+    print(f"  min cross-family hamming: {cross} (must exceed max_dist)")
+
+
 if __name__ == "__main__":
     main()
     gen_audio()
@@ -641,3 +715,4 @@ if __name__ == "__main__":
     gen_gif()
     gen_video_mjpeg()
     gen_audio_compressed()
+    gen_image_phash()

@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "compressed_audio_audit",
     "cdc_apply_changes",
     "image_phash_neardup",
+    "audio_fp_neardup",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -366,7 +367,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "image_phash_neardup",
+    "r11": "audio_fp_neardup",
 }
 
 

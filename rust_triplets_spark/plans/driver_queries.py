@@ -3388,6 +3388,46 @@ def image_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_pairs(media, max_dist=12, batch_rows=4)
 
 
+from rust_triplets_spark.operators.audiofp import (  # noqa: E402
+    audio_fp_pairs,
+    audio_fp_pairs_sql,
+)
+
+_AUDIO_FP_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "audio_fp_sample.parquet",
+)
+
+
+@_register(
+    "audio_fp_neardup",
+    audio_fp_pairs_sql(
+        f"SELECT media_id, exp_subfps AS subfps "
+        f"FROM read_parquet('{_AUDIO_FP_FIXTURE}')",
+    ),
+)
+def audio_fp_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection (new r11) — completes the
+    modality dedup triple (text: MinHash/SimHash/SemDedup; image:
+    pHash; audio: this). Haitsma-Kalker-shaped fingerprint
+    (operators/audiofp.py): decode (vendored codec, all WAV formats) →
+    32 Hann frames → 17 log-band energies → per-frame 16-bit spectral-
+    slope subfingerprints → 8-bit half-key candidate join → 512-bit BER
+    verify at 25%. The fixture plants three families (PCM↔µ-law↔ADPCM,
+    PCM↔8-bit, PCM↔volume-change — the last at BER 0: slope bits are
+    amplitude-invariant) among per-codec singletons; worst planted BER
+    96, best impostor 167. Pairs carry both sides' positional digests
+    (Σ (ord+1)²·subfp) so fingerprint VALUES and order are pinned, not
+    only distances. Window note: in _CHECK_NEXT (r8 rotation consumed
+    r11's slots); first driver row r12, exact-value-checked by
+    scripts/check_correctness.py meanwhile."""
+    media = spark.read.parquet(_AUDIO_FP_FIXTURE).select(
+        "media_id", "fmt", "payload"
+    )
+    return audio_fp_pairs(media, batch_rows=4)
+
+
 from rust_triplets_spark.operators.zorder import (  # noqa: E402
     cdc_apply_changes,
     cdc_apply_changes_sql,
@@ -4993,6 +5033,7 @@ _CHECK_NEXT = [
     "compressed_audio_audit",
     "cdc_apply_changes",
     "image_phash_neardup",
+    "audio_fp_neardup",
 ]
 
 

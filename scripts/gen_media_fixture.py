@@ -708,6 +708,86 @@ def gen_image_phash() -> None:
     print(f"  min cross-family hamming: {cross} (must exceed max_dist)")
 
 
+def gen_audio_fp() -> None:
+    """fixtures/audio_fp_sample.parquet: planted audio near-dup families
+    (the same clip re-encoded through G.711/ADPCM/8-bit/volume-change)
+    among distinct singletons, with the expected 32-subfingerprint list
+    per clip. The oracle recomputes half-key candidates + 512-bit BER in
+    SQL from the pinned lists; Spark must reproduce the fingerprints from
+    the PAYLOAD (decode → FFT band energies → slope bits) and the same
+    verified pairs."""
+    from rust_triplets_spark.operators.audio import (
+        alaw_compress,
+        decode_wav,
+        encode_g711_wav,
+        encode_ima_adpcm_wav,
+        encode_wav,
+        ulaw_compress,
+    )
+    from rust_triplets_spark.operators.audiofp import audio_subfps
+
+    t = np.arange(8000)
+
+    def speechish(seed):
+        r = np.random.default_rng(seed)
+        x = sum(
+            r.integers(2000, 6000)
+            * np.sin(2 * np.pi * r.uniform(300, 1800) * t / 8000
+                     + r.uniform(0, 6))
+            for _ in range(5)
+        )
+        x += r.normal(0, 500, 8000)
+        return np.round(np.clip(x, -30000, 30000)).astype(np.int64)
+
+    c = [speechish(k) for k in range(6)]
+    rows = [
+        # family 1: PCM original + mu-law + IMA ADPCM re-encodes
+        (1, "fp1_pcm16", encode_wav(c[0].astype(np.int32), 8000, 16)),
+        (2, "fp1_ulaw", encode_g711_wav(ulaw_compress(c[0]), 8000, "ulaw")),
+        (3, "fp1_adpcm", encode_ima_adpcm_wav(c[0], 8000)),
+        # family 2: PCM original + 8-bit depth reduction
+        (4, "fp2_pcm16", encode_wav(c[1].astype(np.int32), 8000, 16)),
+        (5, "fp2_pcm8", encode_wav(
+            (c[1] >> 8).astype(np.int32), 8000, 8)),
+        # family 3: PCM original + volume change (slope bits are
+        # amplitude-invariant: expected BER 0)
+        (6, "fp3_pcm16", encode_wav(c[2].astype(np.int32), 8000, 16)),
+        (7, "fp3_gain", encode_wav(
+            np.round(c[2] * 0.7).astype(np.int32), 8000, 16)),
+        # singletons, one per decode path
+        (8, "single_pcm16", encode_wav(c[3].astype(np.int32), 8000, 16)),
+        (9, "single_alaw", encode_g711_wav(
+            alaw_compress(c[4]), 8000, "alaw")),
+        (10, "single_adpcm", encode_ima_adpcm_wav(c[5], 8000)),
+    ]
+    fps = [audio_subfps(*decode_wav(p)) for _, _, p in rows]
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "exp_subfps": pa.array(fps, pa.list_(pa.int64())),
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "audio_fp_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+
+    def ber(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    fams = [(1, 2), (1, 3), (2, 3), (4, 5), (6, 7)]
+    print("  planted-pair BER:",
+          {p: ber(fps[p[0] - 1], fps[p[1] - 1]) for p in fams})
+    cross = min(
+        ber(fps[i], fps[j])
+        for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if (rows[i][0], rows[j][0]) not in fams
+    )
+    print(f"  min cross-family BER: {cross} (must exceed max_ber=160)")
+
+
 if __name__ == "__main__":
     main()
     gen_audio()
@@ -716,3 +796,4 @@ if __name__ == "__main__":
     gen_video_mjpeg()
     gen_audio_compressed()
     gen_image_phash()
+    gen_audio_fp()

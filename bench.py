@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "cdc_apply_changes",
     "image_phash_neardup",
     "audio_fp_neardup",
+    "video_phash_neardup",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -367,7 +368,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "audio_fp_neardup",
+    "r11": "video_phash_neardup",
 }
 
 

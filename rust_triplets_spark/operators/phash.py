@@ -222,3 +222,178 @@ FROM banded l JOIN banded r ON l.band = r.band AND l.val = r.val
 WHERE l.media_id < r.media_id
   AND bit_count(xor(l.phash, r.phash)) <= {max_dist}
 """
+
+
+# ---------------------------------------------------------------------------
+# video near-dedup: perceptual hashes of the PLANNED frame picks. Composes
+# three operators this module sits next to — the MP4 container walk +
+# time-uniform frame planner (operators/video), the vendored JPEG decode
+# (operators/jpeg), and phash63 above — into the clip-level dedup a video
+# corpus curation pass runs: two clips are near-duplicates when their
+# time-aligned sampled frames hash within a small Hamming ball. Alignment
+# by pick_ord (the planner is uniform in TIME, so re-encodes of the same
+# footage sample the same instants); requiring >= min_frames close pairs
+# keeps a single coincidental frame from pairing unrelated clips.
+# ---------------------------------------------------------------------------
+
+
+_DIGEST_P = 1_000_000_007  # digest modulus (see video_phash_pairs)
+
+
+def video_frame_phash(
+    media: DataFrame, n_picks: int = 4, batch_rows: int = 64
+) -> DataFrame:
+    """Per planned pick: ``(media_id, pick_ord, phash)`` — the MJPEG
+    seek-slice-decode loop (video.video_frame_decode_audit) with pHash as
+    the per-frame summary instead of luminance. Blobs stay in the Arrow
+    stage; ≤ ``n_picks`` (id, ord, int64) rows per clip come out."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from rust_triplets_spark.operators.jpeg import decode_jpeg
+    from rust_triplets_spark.operators.video import (
+        MJPEG_FOURCCS,
+        parse_mp4,
+        plan_frame_picks,
+        sample_byte_range,
+        video_track,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pick_ord", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo:lo + batch_rows]
+                out = {k: [] for k in ("media_id", "pick_ord", "phash")}
+                for mid, payload in zip(sub["media_id"], sub["payload"]):
+                    blob = bytes(payload)
+                    vt = video_track(parse_mp4(blob))
+                    if vt is None:
+                        continue
+                    if vt.fourcc not in MJPEG_FOURCCS:
+                        raise ValueError(
+                            f"video: frame decode requested for codec "
+                            f"{vt.fourcc!r} — only MJPEG samples are "
+                            f"self-contained JPEGs; bitstream decode for "
+                            f"other codecs is out of scope"
+                        )
+                    for ord_, _t, n, _d, _k in plan_frame_picks(
+                        vt.stts, vt.sync_samples, n_picks
+                    ):
+                        off, ln = sample_byte_range(vt, n)
+                        out["media_id"].append(int(mid))
+                        out["pick_ord"].append(ord_)
+                        out["phash"].append(
+                            phash63(decode_jpeg(blob[off:off + ln]))
+                        )
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+                )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+def video_phash_pairs(
+    media: DataFrame,
+    *,
+    n_picks: int = 4,
+    max_dist: int = 12,
+    min_frames: int = 3,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Clip-level near-duplicate pairs: per-pick pHashes join on
+    ``pick_ord``, a frame pair counts as close at Hamming ≤ ``max_dist``,
+    and a clip pair survives with ≥ ``min_frames`` close frames. Emits
+    ``(a, b, n_close, hamming_sum, fp_sum_a, fp_sum_b)`` with the
+    positional digests ``Σ (ord+1)²·(phash mod 1e9+7)`` pinning hash
+    values + order without overflowing BIGINT.
+    Scale shape: the join key is (pick_ord) per candidate band — here the
+    time-aligned equi-join is on pick_ord alone, which is clip-count ×
+    n_picks rows; for corpus-scale runs band the per-frame hashes first
+    (image_phash_pairs' 4-band split applies verbatim). Deliberately NOT
+    banded at fixture scale so every aligned frame pair is scored."""
+    from rust_triplets_spark.functions.caching import cache_scoped
+
+    fp = cache_scoped(
+        video_frame_phash(media, n_picks, batch_rows), "phash.video"
+    )
+    # digest on the mod-prime grid: raw phash (~2^62) times (ord+1)²
+    # overflows BIGINT in both engines; Σ (phash mod p)·(ord+1)² stays
+    # ≤ ~6e10 and still pins values + order for the oracle compare
+    digests = fp.groupBy("media_id").agg(
+        F.sum(
+            (F.col("phash") % F.lit(_DIGEST_P))
+            * (F.col("pick_ord") + 1) * (F.col("pick_ord") + 1)
+        ).cast("long").alias("fp_sum")
+    )
+    left = fp.select(
+        F.col("media_id").alias("a"), "pick_ord",
+        F.col("phash").alias("__ha"),
+    )
+    right = fp.select(
+        F.col("media_id").alias("b"), "pick_ord",
+        F.col("phash").alias("__hb"),
+    )
+    frame_pairs = (
+        left.join(right, "pick_ord")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "__d",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("long"),
+        )
+    )
+    return (
+        frame_pairs.groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("__d") <= max_dist, 1).otherwise(0))
+            .cast("long").alias("n_close"),
+            F.sum("__d").cast("long").alias("hamming_sum"),
+        )
+        .where(F.col("n_close") >= min_frames)
+        .join(digests.select(F.col("media_id").alias("a"),
+                             F.col("fp_sum").alias("fp_sum_a")), "a")
+        .join(digests.select(F.col("media_id").alias("b"),
+                             F.col("fp_sum").alias("fp_sum_b")), "b")
+        .select("a", "b", "n_close", "hamming_sum", "fp_sum_a", "fp_sum_b")
+    )
+
+
+def video_phash_pairs_sql(
+    frame_hashes_sql: str, *, max_dist: int = 12, min_frames: int = 3
+) -> str:
+    """DuckDB twin over a pinned ``(media_id, pick_ord, phash)``
+    relation — identical alignment join, close-frame count, digests."""
+    return f"""
+WITH fh AS MATERIALIZED ({frame_hashes_sql}),
+digest AS MATERIALIZED (
+  SELECT media_id,
+         sum((phash % 1000000007) * (pick_ord + 1) * (pick_ord + 1))
+           AS fp_sum
+  FROM fh GROUP BY media_id),
+fp2 AS (
+  SELECT l.media_id AS a, r.media_id AS b,
+         bit_count(xor(l.phash, r.phash)) AS d
+  FROM fh l JOIN fh r
+    ON l.pick_ord = r.pick_ord AND l.media_id < r.media_id),
+agg AS (
+  SELECT a, b,
+         CAST(sum(CASE WHEN d <= {max_dist} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_close,
+         CAST(sum(d) AS BIGINT) AS hamming_sum
+  FROM fp2 GROUP BY a, b)
+SELECT agg.a, agg.b, agg.n_close, agg.hamming_sum,
+       CAST(da.fp_sum AS BIGINT) AS fp_sum_a,
+       CAST(db.fp_sum AS BIGINT) AS fp_sum_b
+FROM agg
+JOIN digest da ON da.media_id = agg.a
+JOIN digest db ON db.media_id = agg.b
+WHERE agg.n_close >= {min_frames}
+"""

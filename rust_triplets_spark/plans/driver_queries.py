@@ -3388,6 +3388,50 @@ def image_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_pairs(media, max_dist=12, batch_rows=4)
 
 
+from rust_triplets_spark.operators.phash import (  # noqa: E402
+    video_phash_pairs,
+    video_phash_pairs_sql,
+)
+
+_VIDEO_PHASH_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "video_phash_sample.parquet",
+)
+
+
+@_register(
+    "video_phash_neardup",
+    video_phash_pairs_sql(
+        f"""SELECT media_id,
+       unnest(exp_pick_ord) AS pick_ord,
+       unnest(exp_phash) AS phash
+FROM read_parquet('{_VIDEO_PHASH_FIXTURE}')""",
+        max_dist=12, min_frames=3,
+    ),
+)
+def video_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection (new r11) — finishes the modality
+    dedup quartet by COMPOSING three r11 pieces: the MP4 container walk +
+    time-uniform frame planner, the vendored JPEG decode of the planned
+    picks, and the perceptual hash (operators/phash.video_phash_pairs).
+    Two clips pair when ≥3 of their 4 time-aligned sampled frames hash
+    within Hamming 12 — the fixture plants a q90↔q45 re-encode family
+    and a brightness-shift family (per-pick distances ≤6), distinct
+    clips sit at ≥20, and two clips share ONE coincidental frame at
+    exactly distance 12 that the min_frames vote must filter (the
+    false-positive path is exercised, not just asserted). Positional
+    digests pin the per-pick hash values. Audio-only clips contribute
+    nothing. Window note: in _CHECK_NEXT; first driver row r12,
+    exact-value-checked by scripts/check_correctness.py meanwhile."""
+    media = spark.read.parquet(_VIDEO_PHASH_FIXTURE).select(
+        "media_id", "payload"
+    )
+    return video_phash_pairs(
+        media, n_picks=4, max_dist=12, min_frames=3, batch_rows=3
+    )
+
+
 from rust_triplets_spark.operators.audiofp import (  # noqa: E402
     audio_fp_pairs,
     audio_fp_pairs_sql,
@@ -5034,6 +5078,7 @@ _CHECK_NEXT = [
     "cdc_apply_changes",
     "image_phash_neardup",
     "audio_fp_neardup",
+    "video_phash_neardup",
 ]
 
 

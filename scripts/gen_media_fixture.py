@@ -788,6 +788,124 @@ def gen_audio_fp() -> None:
     print(f"  min cross-family BER: {cross} (must exceed max_ber=160)")
 
 
+def gen_video_phash() -> None:
+    """fixtures/video_phash_sample.parquet: MJPEG clips whose planted
+    near-dup pairs are the SAME footage re-encoded (different JPEG
+    quality / small brightness shift) plus distinct clips and an
+    audio-only row, with the expected per-pick perceptual hashes. The
+    oracle recomputes the time-aligned pairing in SQL from the pinned
+    (pick_ord, phash) rows; Spark must reproduce the hashes from the
+    PAYLOAD (container walk → slice → JPEG decode → pHash)."""
+    from rust_triplets_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rust_triplets_spark.operators.phash import phash63
+    from rust_triplets_spark.operators.video import (
+        encode_mp4,
+        parse_mp4,
+        plan_frame_picks,
+        sample_byte_range,
+        video_track,
+    )
+
+    def footage(seed, n=8, h=32, w=48):
+        r = np.random.default_rng(seed)
+        frames = []
+        for k in range(n):
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = np.clip(
+                (xx * int(r.integers(3, 8))) // 2
+                + (yy * int(r.integers(2, 6))) + 18 * k, 0, 255
+            )
+            img = np.stack(
+                [base, np.clip(base + 35, 0, 255),
+                 np.clip(base - 25, 0, 255)], 2
+            ).astype(np.uint8)
+            y0, x0 = int(r.integers(4, h - 12)), int(r.integers(4, w - 16))
+            img[y0:y0 + 8, x0:x0 + 12] = int(r.integers(0, 256))
+            frames.append(img)
+        return frames
+
+    def clip(frames, quality, *, shift=0, tid=1):
+        fr = [
+            np.clip(f.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+            for f in frames
+        ]
+        data = [encode_jpeg(f, quality) for f in fr]
+        return encode_mp4(movie_timescale=600, tracks=[{
+            "track_id": tid, "handler": "vide", "fourcc": "jpeg",
+            "width": fr[0].shape[1], "height": fr[0].shape[0],
+            "timescale": 600, "stts": [(len(fr), 75)],
+            "sync_samples": None, "sample_data": data,
+        }])
+
+    def aud():
+        return encode_mp4(movie_timescale=600, tracks=[{
+            "track_id": 1, "handler": "soun", "fourcc": "mp4a",
+            "width": 0, "height": 0, "timescale": 16000,
+            "stts": [(50, 160)], "sync_samples": None,
+        }])
+
+    f1, f2, f3, f4 = footage(1), footage(2), footage(3), footage(4)
+    rows = [
+        (1, "vfam1_q90", clip(f1, 90)),
+        (2, "vfam1_q45", clip(f1, 45)),          # re-encode of 1
+        (3, "vfam2_q85", clip(f2, 85)),
+        (4, "vfam2_bright", clip(f2, 85, shift=10)),  # brightness of 3
+        (5, "vsingle_a", clip(f3, 90)),
+        (6, "vsingle_b", clip(f4, 88)),
+        (7, "vaudio_only", aud()),
+    ]
+    n_picks = 4
+    ords, hashes = [], []
+    for _, _, payload in rows:
+        vt = video_track(parse_mp4(payload))
+        po, ph = [], []
+        if vt is not None:
+            for ord_, _t, n, _d, _k in plan_frame_picks(
+                vt.stts, vt.sync_samples, n_picks
+            ):
+                off, ln = sample_byte_range(vt, n)
+                po.append(ord_)
+                ph.append(phash63(decode_jpeg(payload[off:off + ln])))
+        ords.append(po)
+        hashes.append(ph)
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "exp_pick_ord": pa.array(ords, pa.list_(pa.int64())),
+        "exp_phash": pa.array(hashes, pa.list_(pa.int64())),
+    })
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "video_phash_sample.parquet",
+    )
+    pq.write_table(table, out, compression="zstd")
+    print(f"wrote {out}: {table.num_rows} rows")
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    for (mid, fmt, payload), ph in zip(rows, hashes):
+        print(f"  {mid:3d} {fmt:14s} {len(payload):6d} B  picks={len(ph)}")
+    for a, b in ((0, 1), (2, 3)):
+        ds = [ham(x, y) for x, y in zip(hashes[a], hashes[b])]
+        print(f"  planted {rows[a][0]}-{rows[b][0]} per-pick hamming: {ds}")
+    # cross pairs: report the close-frame count at max_dist=12 — the
+    # fixture deliberately contains coincidental SINGLE-frame matches
+    # (clips 1/2 vs 5 share one pick at exactly distance 12) that the
+    # min_frames>=3 vote must filter
+    for i in range(6):
+        for j in range(i + 1, 6):
+            if (i, j) in ((0, 1), (2, 3)):
+                continue
+            nc = sum(
+                1 for x, y in zip(hashes[i], hashes[j]) if ham(x, y) <= 12
+            )
+            if nc:
+                print(f"  cross {rows[i][0]}-{rows[j][0]}: n_close={nc} "
+                      f"(filtered by min_frames)")
+
+
 if __name__ == "__main__":
     main()
     gen_audio()
@@ -797,3 +915,4 @@ if __name__ == "__main__":
     gen_audio_compressed()
     gen_image_phash()
     gen_audio_fp()
+    gen_video_phash()

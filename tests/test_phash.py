@@ -105,3 +105,63 @@ class TestSpark:
         assert all(h <= 12 for h in pairs.values())
         flat = {x for p in pairs for x in p}
         assert flat.isdisjoint({8, 9, 10})  # singletons never pair
+
+
+class TestVideoPhash:
+    """video_phash_pairs (r11): the composed clip-level dedup — frame
+    plan → slice → JPEG decode → pHash → aligned-frame vote."""
+
+    VFIXTURE = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "video_phash_sample.parquet",
+    )
+
+    def test_frame_hashes_match_fixture_pins(self, spark):
+        from rust_triplets_spark.operators.phash import video_frame_phash
+
+        media = spark.read.parquet(self.VFIXTURE)
+        got = {}
+        for r in video_frame_phash(
+            media.select("media_id", "payload"), n_picks=4, batch_rows=2
+        ).collect():
+            got.setdefault(r["media_id"], {})[r["pick_ord"]] = r["phash"]
+        for r in media.collect():
+            exp = dict(zip(r["exp_pick_ord"], r["exp_phash"]))
+            assert got.get(r["media_id"], {}) == exp, r["media_id"]
+
+    def test_pairs_and_min_frames_vote(self, spark):
+        from rust_triplets_spark.operators.phash import video_phash_pairs
+
+        media = spark.read.parquet(self.VFIXTURE).select(
+            "media_id", "payload"
+        )
+        rows = {
+            (r["a"], r["b"]): r.asDict()
+            for r in video_phash_pairs(
+                media, n_picks=4, max_dist=12, min_frames=3, batch_rows=2
+            ).collect()
+        }
+        # the two planted families pair with all 4 frames close...
+        assert set(rows) == {(1, 2), (3, 4)}
+        assert rows[(1, 2)]["n_close"] == 4
+        assert rows[(3, 4)]["n_close"] == 4
+        # ...and the coincidental single-frame matches (clips 1/2 vs 5
+        # share one pick at exactly distance 12) are filtered by the
+        # vote — drop min_frames to 1 and they appear, proving the
+        # false-positive path is live, not vacuous
+        loose = {
+            (r["a"], r["b"])
+            for r in video_phash_pairs(
+                media, n_picks=4, max_dist=12, min_frames=1, batch_rows=2
+            ).collect()
+        }
+        assert {(1, 5), (2, 5)} <= loose
+
+    def test_audio_only_contributes_nothing(self, spark):
+        from rust_triplets_spark.operators.phash import video_frame_phash
+
+        media = spark.read.parquet(self.VFIXTURE)
+        only_audio = media.where("media_id = 7").select(
+            "media_id", "payload"
+        )
+        assert video_frame_phash(only_audio).count() == 0

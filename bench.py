@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "image_phash_neardup",
     "audio_fp_neardup",
     "video_phash_neardup",
+    "wordpiece_vocab",
+    "wordpiece_fertility",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -368,7 +370,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "video_phash_neardup",
+    "r11": "wordpiece_fertility",
 }
 
 

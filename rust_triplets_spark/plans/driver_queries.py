@@ -3602,6 +3602,46 @@ def unigram_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(docs, "text", "source")
 
 
+from rust_triplets_spark.operators.wordpiece import (  # noqa: E402
+    wordpiece_fertility,
+    wordpiece_fertility_sql,
+    wordpiece_vocab,
+    wordpiece_vocab_sql,
+)
+
+
+@_register("wordpiece_vocab", wordpiece_vocab_sql("documents", "t.text"))
+def wordpiece_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (operators/wordpiece.py; Schuster &
+    Nakajima 2012 — the BERT tokenizer family), completing the subword
+    trainer trio next to BPE and unigram-LM: BPE's merge loop scored by
+    the likelihood ratio count(l,r)/(count(l)*count(r)) over
+    ``##``-prefixed continuation symbols. Winner order is exact across
+    engines because the score is ONE IEEE double division on exact
+    BIGINT operands (overflow loudly guarded). The oracle unrolls the
+    loop — per-round symbol-count + pair-count CTEs joined for the
+    score, the fold stripping ``##`` on fusion — and the merge table
+    matches bit-for-bit. Window note: in _CHECK_NEXT; first driver row
+    r12, exact-value-checked by scripts/check_correctness.py meanwhile."""
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_vocab(docs, "text", n_merges=12)
+
+
+@_register(
+    "wordpiece_fertility",
+    wordpiece_fertility_sql("documents", "t.source", "t.text"),
+)
+def wordpiece_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility (tokens/word) under the corpus-trained
+    WordPiece merges — the training-time segmentation replayed on the
+    DISTINCT (source, word) table (bpe_fertility's shape with the
+    ``##``-aware fold); the deploy-side MaxMatch path is the
+    pytest-pinned wordpiece_encode_udf. Window note: in _CHECK_NEXT;
+    first driver row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_fertility(docs, "source", "text", n_merges=12)
+
+
 from rust_triplets_spark.operators.lines import (  # noqa: E402
     language_segments,
     language_segments_sql,
@@ -5079,6 +5119,8 @@ _CHECK_NEXT = [
     "image_phash_neardup",
     "audio_fp_neardup",
     "video_phash_neardup",
+    "wordpiece_vocab",
+    "wordpiece_fertility",
 ]
 
 

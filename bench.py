@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "video_phash_neardup",
     "wordpiece_vocab",
     "wordpiece_fertility",
+    "exif_metadata_audit",
+    "exif_gps_scrub",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -370,7 +372,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "wordpiece_fertility",
+    "r11": "exif_gps_scrub",
 }
 
 

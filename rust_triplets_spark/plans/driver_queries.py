@@ -3052,6 +3052,71 @@ def media_decode_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_audit(media, batch_rows=4)
 
 
+_EXIF_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "exif_sample.parquet",
+)
+
+
+@_register(
+    "exif_metadata_audit",
+    f"""
+SELECT media_id,
+       CAST(exp_has_exif AS BIGINT) AS has_exif,
+       CAST(exp_orientation AS BIGINT) AS orientation,
+       CAST(exp_pixel_x AS BIGINT) AS pixel_x,
+       CAST(exp_pixel_y AS BIGINT) AS pixel_y,
+       CAST(exp_has_gps AS BIGINT) AS has_gps,
+       CAST(exp_lat_microdeg AS BIGINT) AS lat_microdeg,
+       CAST(exp_lon_microdeg AS BIGINT) AS lon_microdeg
+FROM read_parquet('{_EXIF_FIXTURE}')
+""",
+)
+def exif_metadata_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF/TIFF metadata extraction over binary image columns
+    (operators/exif.py — vendored TIFF 6.0 + Exif 2.32 walk, both byte
+    orders): orientation, pixel geometry, and GPS coordinates as
+    EXACT-integer microdegrees (common-denominator floor math, no
+    float). The fixture's APP1 blocks are hand-packed by an independent
+    layout engine in scripts/gen_exif_fixture.py, so parse expectations
+    are not self-confirming; wild-data shapes covered (zero-denominator
+    seconds, missing lon ref, big-endian). Blobs never leave the Arrow
+    stage. Window note: in _CHECK_NEXT; first driver row r12."""
+    from rust_triplets_spark.operators.exif import exif_metadata_audit
+
+    media = spark.read.parquet(_EXIF_FIXTURE).select("media_id", "payload")
+    return exif_metadata_audit(media, batch_rows=4)
+
+
+@_register(
+    "exif_gps_scrub",
+    f"""
+SELECT media_id,
+       CAST(exp_had_gps AS BIGINT) AS had_gps,
+       CAST(exp_had_maker_note AS BIGINT) AS had_maker_note,
+       CAST(exp_dropped_tags AS BIGINT) AS dropped_tags,
+       CAST(exp_bytes_before AS BIGINT) AS bytes_before,
+       CAST(exp_bytes_after AS BIGINT) AS bytes_after,
+       CAST(exp_gps_after AS BIGINT) AS gps_after,
+       CAST(exp_orientation_after AS BIGINT) AS orientation_after
+FROM read_parquet('{_EXIF_FIXTURE}')
+""",
+)
+def exif_gps_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-PII scrub audit — the multimodal counterpart of pii_scrub:
+    allowlist re-emit of the EXIF APP1 (orientation/timestamps/dims/
+    make+model kept; GPS IFD, maker notes, user comments and everything
+    else DROPPED), with the output RE-PARSED inside the same kernel so
+    gps_after is a measured fact, not an assumption. Byte sizes pin
+    the canonical writer's layout. Window note: in _CHECK_NEXT; first
+    driver row r12."""
+    from rust_triplets_spark.operators.exif import exif_scrub_audit
+
+    media = spark.read.parquet(_EXIF_FIXTURE).select("media_id", "payload")
+    return exif_scrub_audit(media, batch_rows=4)
+
+
 _AUDIO_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "fixtures",
@@ -5121,6 +5186,8 @@ _CHECK_NEXT = [
     "video_phash_neardup",
     "wordpiece_vocab",
     "wordpiece_fertility",
+    "exif_metadata_audit",
+    "exif_gps_scrub",
 ]
 
 

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "wordpiece_fertility",
     "exif_metadata_audit",
     "exif_gps_scrub",
+    "countmin_heavy_hitters",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -372,7 +373,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "exif_gps_scrub",
+    "r11": "countmin_heavy_hitters",
 }
 
 

@@ -382,3 +382,122 @@ FROM (
   FROM ti_scored
 ) WHERE rk <= {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data stream
+# summary: the count-min sketch and its applications") — the
+# fixed-memory frequency summary next to KMV (distinct counts) and Bloom
+# (membership, operators/bloom.py). depth×width int64 cells answer
+# "how often did token t occur?" with one-sided error: est >= true
+# always, est <= true + 2N/width with probability 1 - 2^-depth.
+#
+# Scale shape at 100 TB: the sketch build is ONE partial-aggregable
+# groupBy over (row, bucket) — depth*width cells TOTAL regardless of
+# corpus size (4×64 here; even 8×65536 is <4 MB), always broadcastable;
+# the estimate pass joins the vocabulary-scale candidate frame against
+# the broadcast cells and takes a min over depth values per token. The
+# heavy-hitter cut is an exact integer comparison (count*DEN >= NUM*N);
+# no float anywhere, so both engines match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+CM_SEED = 7_000_003
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def countmin_heavy_hitters(
+    df: DataFrame, text_col: str,
+    depth: int = CM_DEPTH, width: int = CM_WIDTH,
+    phi_num: int = 1, phi_den: int = 150, seed: int = CM_SEED,
+) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch, with the exact counts kept
+    alongside as the audit: ``(token, true_cnt, cm_est, overcount)``
+    for every token whose ESTIMATE crosses the phi-fraction threshold
+    ``cm_est * phi_den >= phi_num * N`` (N = total token count).
+    ``overcount = cm_est - true_cnt >= 0`` is the sketch's one-sided
+    error, measured — the fixture-scale width forces real collisions so
+    the property is exercised, not vacuous. Row r's hash is the shared
+    31-bit string hash under ``seed + r``; bucket = hash % width."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"countmin: bad depth={depth}/width={width}")
+    if phi_num < 1 or phi_den < 1:
+        raise ValueError(f"countmin: bad phi {phi_num}/{phi_den}")
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+    )
+    buckets = F.array(*[
+        (hash31_str_col(F.col("token"), seed + r) % width).cast("long")
+        for r in range(depth)
+    ])
+    tb = counts.select(
+        "token", "true_cnt",
+        F.posexplode(buckets).alias("row", "bucket"),
+    )
+    cells = tb.groupBy("row", "bucket").agg(
+        F.sum("true_cnt").cast("long").alias("cell")
+    )
+    total = counts.agg(F.sum("true_cnt").cast("long").alias("n_total"))
+    est = (
+        tb.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.first("true_cnt").alias("true_cnt"),
+            F.min("cell").cast("long").alias("cm_est"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("cm_est") * phi_den >= phi_num * F.col("n_total"))
+        .select(
+            "token",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("cm_est").desc(), F.col("token").asc())
+    )
+
+
+def countmin_heavy_hitters_sql(
+    table: str, text_sql: str,
+    depth: int = CM_DEPTH, width: int = CM_WIDTH,
+    phi_num: int = 1, phi_den: int = 150, seed: int = CM_SEED,
+) -> str:
+    """DuckDB twin of :func:`countmin_heavy_hitters` — same hash grid,
+    same cells, same exact-integer threshold."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"countmin: bad depth={depth}/width={width}")
+    if phi_num < 1 or phi_den < 1:
+        raise ValueError(f"countmin: bad phi {phi_num}/{phi_den}")
+    toks = tokens_sql(text_sql)
+    rows = ", ".join(
+        f"({r}, {hash31_str_sql('token', seed + r)} % {width})"
+        for r in range(depth)
+    )
+    return f"""
+WITH cm_counts AS MATERIALIZED (
+  SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM {table} t, UNNEST({toks}) AS u(tok)
+  GROUP BY 1
+), cm_tb AS MATERIALIZED (
+  SELECT token, true_cnt, b.rb[1] AS rw, CAST(b.rb[2] AS BIGINT) AS bucket
+  FROM cm_counts, UNNEST([{rows}]) AS b(rb)
+), cm_cells AS (
+  SELECT rw, bucket, CAST(sum(true_cnt) AS BIGINT) AS cell
+  FROM cm_tb GROUP BY 1, 2
+), cm_total AS (
+  SELECT CAST(sum(true_cnt) AS BIGINT) AS n_total FROM cm_counts
+), cm_est AS (
+  SELECT t.token, any_value(t.true_cnt) AS true_cnt,
+         CAST(min(c.cell) AS BIGINT) AS cm_est
+  FROM cm_tb t JOIN cm_cells c ON t.rw = c.rw AND t.bucket = c.bucket
+  GROUP BY t.token
+)
+SELECT token, true_cnt, cm_est, cm_est - true_cnt AS overcount
+FROM cm_est CROSS JOIN cm_total
+WHERE cm_est * {phi_den} >= {phi_num} * n_total
+ORDER BY cm_est DESC, token ASC
+"""

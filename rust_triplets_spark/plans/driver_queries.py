@@ -3707,6 +3707,29 @@ def wordpiece_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_fertility(docs, "source", "text", n_merges=12)
 
 
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    countmin_heavy_hitters,
+    countmin_heavy_hitters_sql,
+)
+
+
+@_register(
+    "countmin_heavy_hitters",
+    countmin_heavy_hitters_sql("documents", "t.text"),
+)
+def countmin_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/sketches.py; Cormode &
+    Muthukrishnan 2005) — the fixed-memory frequency summary next to
+    KMV and Bloom: depth×width int64 cells (broadcast-sized by
+    construction, 4×64 here), tokens crossing the exact-integer
+    phi-fraction threshold reported with their measured one-sided
+    overcount (est >= true always; the fixture-scale width forces real
+    collisions so the property is exercised). Window note: in
+    _CHECK_NEXT; first driver row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return countmin_heavy_hitters(docs, "text")
+
+
 from rust_triplets_spark.operators.lines import (  # noqa: E402
     language_segments,
     language_segments_sql,
@@ -5188,6 +5211,7 @@ _CHECK_NEXT = [
     "wordpiece_fertility",
     "exif_metadata_audit",
     "exif_gps_scrub",
+    "countmin_heavy_hitters",
 ]
 
 

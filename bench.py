@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "exif_metadata_audit",
     "exif_gps_scrub",
     "countmin_heavy_hitters",
+    "pagerank_centrality",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -373,7 +374,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "countmin_heavy_hitters",
+    "r11": "pagerank_centrality",
 }
 
 

@@ -3730,6 +3730,37 @@ def countmin_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_heavy_hitters(docs, "text")
 
 
+from rust_triplets_spark.operators.pagerank import (  # noqa: E402
+    TRADE_EDGES_SQL,
+    pagerank_quantized,
+    pagerank_quantized_sql,
+    trade_graph_edges,
+)
+
+
+@_register(
+    "pagerank_centrality",
+    pagerank_quantized_sql(TRADE_EDGES_SQL),
+)
+def pagerank_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank centrality with integer-exact iterations
+    (operators/pagerank.py) — the crawl-frontier domain-ranking shape
+    (Common Crawl's per-host centrality) run on the nation-level trade
+    graph derived from the star-schema tables (dims broadcast). Rank
+    mass lives on the 1e9 integer grid with floor-division damping, so
+    the 5 unrolled power-iteration rounds match the CTE-chained oracle
+    bit-for-bit — the LM_QSCALE quantization precedent applied to graph
+    iteration. Per round: one src equi-join + one partial-agg groupBy;
+    lineage barrier per round (the CC-loop pattern). Window note: in
+    _CHECK_NEXT; first driver row r12."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return pagerank_quantized(trade_graph_edges(c, s, o, li, n))
+
+
 from rust_triplets_spark.operators.lines import (  # noqa: E402
     language_segments,
     language_segments_sql,
@@ -5212,6 +5243,7 @@ _CHECK_NEXT = [
     "exif_metadata_audit",
     "exif_gps_scrub",
     "countmin_heavy_hitters",
+    "pagerank_centrality",
 ]
 
 

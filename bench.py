@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "exif_gps_scrub",
     "countmin_heavy_hitters",
     "pagerank_centrality",
+    "hll_distinct_tokens",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -374,7 +375,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "pagerank_centrality",
+    "r11": "hll_distinct_tokens",
 }
 
 

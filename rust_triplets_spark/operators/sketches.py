@@ -501,3 +501,159 @@ FROM cm_est CROSS JOIN cm_total
 WHERE cm_est * {phi_den} >= {phi_num} * n_total
 ORDER BY cm_est DESC, token ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm") — completes the sketch
+# quartet: Bloom (membership), KMV + HLL (distinct), Count-Min
+# (frequency). m = 2^p registers each hold the max leading-zero rank
+# seen in their hash-suffix stream; registers merge by element-wise max
+# (partial aggregation IS the merge, like Count-Min's cells).
+#
+# Integer-exact estimator: the harmonic mean's Σ 2^-r is computed as the
+# exact integer S = Σ 2^(K - r) (K = 24 = the max rank the 31-bit hash
+# can produce at p = 8; empty registers contribute 2^K), and the
+# estimate is one integer division (ALPHA_Q * m² * 2^K) div (10^6 * S) —
+# numerator ≤ 7.2e5 * 6.6e4 * 1.7e7 ≈ 8e17 < 2^63, no float anywhere.
+# The standard small-range correction applies (Flajolet §4: raw <= 5m/2
+# with empty registers -> linear counting m*ln(m/V)); its single ln is
+# integer-quantized on the 1e-6 grid (the tfidf score_q precedent — one
+# round(ln*Q) per group, both engines compute the same double from the
+# same exact integer ratio). The exact distinct count is kept alongside
+# as the measured-error audit column.
+#
+# Scale shape at 100 TB: one explode + one partial-aggregable
+# groupBy(group, bucket) max — the register table is ≤ m rows per group
+# regardless of corpus size; the estimate is a per-group fold over ≤ m
+# rows. Nothing collects.
+# ---------------------------------------------------------------------------
+
+HLL_SEED = 9_000_011
+HLL_P = 8                      # 2^8 = 256 registers: ~6.5% rel. error
+HLL_K = 31 - HLL_P             # suffix bit width; max rank = K + 1
+HLL_ALPHA_Q = 718273           # alpha_256 = 0.7213/(1 + 1.079/256), 1e-6 grid
+
+
+def hll_distinct_tokens(
+    df: DataFrame, group_col: str, text_col: str,
+    p: int = HLL_P, seed: int = HLL_SEED,
+) -> DataFrame:
+    """Per-group HLL distinct-token estimate with the exact count kept
+    alongside: ``(group, n_filled, s_sum, est_distinct, true_distinct)``
+    — ``est_distinct`` on the integer grid (raw HLL estimator),
+    ``s_sum`` the exact harmonic-sum numerator (the mergeable summary
+    statistic). p is fixed to 8 by the 31-bit hash budget (suffix must
+    keep >= 20 bits of rank headroom); other p values are rejected
+    loudly rather than silently degrading."""
+    if p != 8:
+        raise ValueError(f"hll: only p=8 is supported (31-bit hash), got {p}")
+    m = 1 << p
+    kmax = 31 - p + 1  # rank when the whole suffix is zero
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    hashed = toks.select(
+        "group",
+        "token",
+        hash31_str_col(F.col("token"), seed).alias("h"),
+    )
+    buck = hashed.select(
+        "group",
+        "token",
+        (F.col("h") % m).cast("long").alias("bucket"),
+        F.expr(f"h div {m}").cast("long").alias("suffix"),
+    )
+    rho = F.when(F.col("suffix") == 0, F.lit(kmax)).otherwise(
+        F.lit(kmax) - F.length(F.conv(F.col("suffix"), 10, 2))
+    ).cast("long")
+    regs = (
+        buck.select("group", "bucket", rho.alias("rho"))
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").cast("long").alias("r"))
+    )
+    per_group = regs.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_filled"),
+        F.sum(F.expr(f"shiftleft(1L, {kmax} - r)")).cast("long").alias("s_fill"),
+    )
+    truth = toks.groupBy("group").agg(
+        F.countDistinct("token").cast("long").alias("true_distinct")
+    )
+    s_sum = (
+        F.col("s_fill")
+        + (F.lit(m) - F.col("n_filled")) * F.lit(1 << kmax)
+    ).cast("long")
+    raw = F.expr(
+        f"{HLL_ALPHA_Q} * {m * m}L * {1 << kmax}L div (1000000L * s_sum)"
+    ).cast("long")
+    v = (F.lit(m) - F.col("n_filled")).cast("long")
+    lin = F.expr(
+        f"{m}L * cast(round(ln({m} / cast({m} - n_filled as double))"
+        f" * 1000000) as bigint) div 1000000L"
+    ).cast("long")
+    est = F.when((v > 0) & (raw <= (5 * m) // 2), lin).otherwise(raw)
+    return (
+        per_group.withColumn("s_sum", s_sum)
+        .join(truth, "group")
+        .select(
+            "group",
+            "n_filled",
+            "s_sum",
+            est.alias("est_distinct"),
+            "true_distinct",
+        )
+        .orderBy("group")
+    )
+
+
+def hll_distinct_tokens_sql(
+    table: str, group_sql: str, text_sql: str,
+    p: int = HLL_P, seed: int = HLL_SEED,
+) -> str:
+    """DuckDB twin of :func:`hll_distinct_tokens` — same hash grid, same
+    integer harmonic sum, same single integer division."""
+    if p != 8:
+        raise ValueError(f"hll: only p=8 is supported (31-bit hash), got {p}")
+    m = 1 << p
+    kmax = 31 - p + 1
+    toks = tokens_sql(text_sql)
+    h = hash31_str_sql("token", seed)
+    return f"""
+WITH hll_toks AS MATERIALIZED (
+  SELECT {group_sql} AS grp, u.tok AS token
+  FROM {table} t, UNNEST({toks}) AS u(tok)
+), hll_buck AS (
+  SELECT grp, {h} % {m} AS bucket, {h} // {m} AS suffix
+  FROM hll_toks
+), hll_regs AS (
+  SELECT grp, bucket,
+         CAST(max(CASE WHEN suffix = 0 THEN {kmax}
+                       ELSE {kmax} - length(printf('%b', suffix)) END)
+              AS BIGINT) AS r
+  FROM hll_buck GROUP BY 1, 2
+), hll_pg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_filled,
+         CAST(sum(CAST(1 AS BIGINT) << ({kmax} - r)) AS BIGINT) AS s_fill
+  FROM hll_regs GROUP BY grp
+), hll_truth AS (
+  SELECT grp, CAST(count(DISTINCT token) AS BIGINT) AS true_distinct
+  FROM hll_toks GROUP BY grp
+)
+SELECT grp AS "group", n_filled, s_sum,
+       CASE WHEN {m} - n_filled > 0 AND raw <= {(5 * m) // 2}
+            THEN {m} * CAST(round(ln({m} / CAST({m} - n_filled AS DOUBLE))
+                                  * 1000000) AS BIGINT) // 1000000
+            ELSE raw END AS est_distinct,
+       true_distinct
+FROM (
+  SELECT p.grp, p.n_filled,
+         CAST(p.s_fill + ({m} - p.n_filled) * {1 << kmax} AS BIGINT) AS s_sum,
+         CAST({HLL_ALPHA_Q * m * m * (1 << kmax)}
+              // (1000000 * (p.s_fill + ({m} - p.n_filled) * {1 << kmax}))
+              AS BIGINT) AS raw,
+         t.true_distinct
+  FROM hll_pg p JOIN hll_truth t ON p.grp = t.grp
+)
+ORDER BY "group"
+"""

@@ -3730,6 +3730,30 @@ def countmin_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_heavy_hitters(docs, "text")
 
 
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    hll_distinct_tokens,
+    hll_distinct_tokens_sql,
+)
+
+
+@_register(
+    "hll_distinct_tokens",
+    hll_distinct_tokens_sql("documents", "t.source", "t.text"),
+)
+def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source (operators/
+    sketches.py; Flajolet 2007) — completes the sketch quartet (Bloom
+    membership, KMV+HLL distinct, Count-Min frequency): 256 max-merged
+    registers per group, the harmonic sum as an exact integer, ONE
+    integer division for the raw estimate and the standard small-range
+    linear-counting correction with its single ln quantized on the 1e-6
+    grid (the tfidf score_q precedent). Exact distinct kept alongside
+    as the measured-error audit. Window note: in _CHECK_NEXT; first
+    driver row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct_tokens(docs, "source", "text")
+
+
 from rust_triplets_spark.operators.pagerank import (  # noqa: E402
     TRADE_EDGES_SQL,
     pagerank_quantized,
@@ -5244,6 +5268,7 @@ _CHECK_NEXT = [
     "exif_gps_scrub",
     "countmin_heavy_hitters",
     "pagerank_centrality",
+    "hll_distinct_tokens",
 ]
 
 

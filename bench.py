@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "countmin_heavy_hitters",
     "pagerank_centrality",
     "hll_distinct_tokens",
+    "source_drift_psi",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -375,7 +376,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "hll_distinct_tokens",
+    "r11": "source_drift_psi",
 }
 
 

@@ -3754,6 +3754,31 @@ def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_tokens(docs, "source", "text")
 
 
+from rust_triplets_spark.operators.drift import (  # noqa: E402
+    source_drift_psi,
+    source_drift_psi_sql,
+)
+
+
+@_register(
+    "source_drift_psi",
+    source_drift_psi_sql("documents", "t.source", "t.n_chars"),
+)
+def source_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators/drift.py) —
+    the production-ML drift watchdog a continuously-ingesting pipeline
+    runs per source against the corpus baseline (PSI > 0.1 investigate,
+    > 0.25 act). Fixed integer bin grid (no quantile collect), +1
+    smoothing on the dense slice×bin lattice, probabilities on the 1e-6
+    floor grid, ONE quantized ln per cell (tfidf score_q precedent),
+    PSI as an order-independent integer sum in pico units. One
+    partial-agg groupBy + broadcast joins; streaming-compatible (bin
+    counts are additive). Window note: in _CHECK_NEXT; first driver
+    row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return source_drift_psi(docs, "source", "n_chars")
+
+
 from rust_triplets_spark.operators.pagerank import (  # noqa: E402
     TRADE_EDGES_SQL,
     pagerank_quantized,
@@ -5269,6 +5294,7 @@ _CHECK_NEXT = [
     "countmin_heavy_hitters",
     "pagerank_centrality",
     "hll_distinct_tokens",
+    "source_drift_psi",
 ]
 
 

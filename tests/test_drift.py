@@ -80,9 +80,11 @@ def test_identical_distribution_is_near_zero(spark):
     # the 40-row baseline), well under the 0.1 "investigate" threshold
     assert abs(got["a"]) < 50_000_000_000  # < 0.05 in pico units
     assert got["a"] == got["b"]
+    # the majority slice defines the pooled baseline; the small shifted
+    # slice is the one that must light up
     mixed = {
-        "match": [10, 70, 130, 200] * 10,
-        "drift": [480, 490, 500, 510] * 10,
+        "match": [10, 70, 130, 200] * 25,
+        "drift": [480, 490, 500, 510] * 2,
     }
     got2 = {
         r["slice"]: r["psi_pico"]

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "pagerank_centrality",
     "hll_distinct_tokens",
     "source_drift_psi",
+    "quantile_sketch",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -376,7 +377,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "source_drift_psi",
+    "r11": "quantile_sketch",
 }
 
 

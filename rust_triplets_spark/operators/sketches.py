@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rust_triplets_spark.functions.hashing import M31, hash31_str_col, hash31_str_sql
+from rust_triplets_spark.functions.hashing import (
+    M31,
+    hash31_col,
+    hash31_sql,
+    hash31_str_col,
+    hash31_str_sql,
+)
 from rust_triplets_spark.functions.text import tokens_col, tokens_sql
 
 KMV_SEED = 3_000_017
@@ -655,5 +661,144 @@ FROM (
          t.true_distinct
   FROM hll_pg p JOIN hll_truth t ON p.grp = t.grp
 )
+ORDER BY "group"
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch — the quantile member of the sketch family
+# (membership: Bloom; distinct: KMV/HLL; frequency: Count-Min). GK/KLL
+# summaries are deterministic only in insertion order, so they can never
+# hash-match across engines; the bottom-k-by-hash sample CAN: the k rows
+# with the smallest (hash31(id), id) per group are an order-independent,
+# MERGEABLE uniform sample (union's bottom-k = bottom-k of concatenated
+# sketches — the KMV argument verbatim), and exact type-1 quantiles of
+# the sample approximate the group quantiles with the standard
+# order-statistic error O(1/sqrt(k)). The exact median is kept alongside
+# as the measured-error audit (the Count-Min/HLL pattern).
+#
+# Scale shape: selection is a per-group rank window over (hash, id) —
+# the same audit-grade exact-rank trade documented at
+# quality.group_quantiles (at few-giant-group full scale the k smallest
+# fold into a per-group TakeOrdered partial aggregate; this declarative
+# form keeps the oracle property). The sketch itself is k rows per
+# group, fixed memory by construction.
+# ---------------------------------------------------------------------------
+
+QSK_SEED = 11_000_081
+QSK_K = 64
+QSK_FRACTIONS = ((1, 4), (1, 2), (3, 4), (9, 10))
+
+
+def quantile_sketch_bottomk(
+    df: DataFrame, group_col: str, value_col: str, id_col: str,
+    k: int = QSK_K, seed: int = QSK_SEED,
+) -> DataFrame:
+    """Per-group quantiles from the bottom-k-by-hash sample, with the
+    exact median as the measured-error audit: ``(group, n_total,
+    k_used, q_25, q_50, q_75, q_90, q_50_exact, err_50)``. The sample
+    is uniform because hash31(id) is uniform on the id population and
+    independent of the value column; ties in the value rank need no
+    tiebreak beyond id (a tie-run carries one value)."""
+    if k < 4:
+        raise ValueError(f"qsketch: k must be >= 4, got {k}")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("id"),
+        hash31_col(F.col(id_col), seed).alias("h"),
+    )
+    w_h = Window.partitionBy("grp").orderBy(F.col("h").asc(), F.col("id").asc())
+    samp = rows.withColumn("__rn", F.row_number().over(w_h)).where(
+        F.col("__rn") <= k
+    )
+    w_v = Window.partitionBy("grp").orderBy(F.col("v").asc(), F.col("id").asc())
+    w_g = Window.partitionBy("grp")
+    samp = samp.select(
+        "grp", "v",
+        F.row_number().over(w_v).alias("vr"),
+        F.count("*").over(w_g).alias("k_used"),
+    )
+    aggs = [F.count("*").cast("long").alias("k_used")]
+    for p, q in QSK_FRACTIONS:
+        pct = round(100 * p / q)
+        idx = F.expr(f"(k_used * {p} + {q - 1}) div {q}")
+        aggs.append(
+            F.max(F.when(F.col("vr") == idx, F.col("v")))
+            .cast("long").alias(f"q_{pct}")
+        )
+    sk = samp.groupBy("grp").agg(*aggs)
+    exact = rows.select(
+        "grp", "v",
+        F.row_number().over(w_v).alias("vr"),
+        F.count("*").over(w_g).alias("n"),
+    ).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.max(
+            F.when(F.col("vr") == F.expr("(n + 1) div 2"), F.col("v"))
+        ).cast("long").alias("q_50_exact"),
+    )
+    return (
+        sk.join(exact, "grp")
+        .select(
+            F.col("grp").alias("group"),
+            "n_total",
+            "k_used",
+            "q_25", "q_50", "q_75", "q_90",
+            "q_50_exact",
+            (F.col("q_50") - F.col("q_50_exact")).alias("err_50"),
+        )
+        .orderBy("group")
+    )
+
+
+def quantile_sketch_bottomk_sql(
+    table: str, group_sql: str, value_sql: str, id_sql: str,
+    k: int = QSK_K, seed: int = QSK_SEED,
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch_bottomk` — same hash rank,
+    same exact-integer quantile picks."""
+    if k < 4:
+        raise ValueError(f"qsketch: k must be >= 4, got {k}")
+    h = hash31_sql(id_sql, seed)
+    qcols = []
+    for p, q in QSK_FRACTIONS:
+        pct = round(100 * p / q)
+        qcols.append(
+            f"CAST(max(CASE WHEN vr = (k_used * {p} + {q - 1}) // {q} "
+            f"THEN v END) AS BIGINT) AS q_{pct}"
+        )
+    return f"""
+WITH qsk_rows AS MATERIALIZED (
+  SELECT {group_sql} AS grp, CAST({value_sql} AS BIGINT) AS v,
+         {id_sql} AS id, {h} AS h
+  FROM {table} t WHERE {value_sql} IS NOT NULL
+), qsk_samp AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, id) AS vr,
+         count(*) OVER (PARTITION BY grp) AS k_used
+  FROM (
+    SELECT grp, v, id,
+           row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rn
+    FROM qsk_rows
+  ) WHERE rn <= {k}
+), qsk_sk AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS k_used, {', '.join(qcols)}
+  FROM qsk_samp GROUP BY grp
+), qsk_exact AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(max(CASE WHEN vr = (n + 1) // 2 THEN v END) AS BIGINT)
+           AS q_50_exact
+  FROM (
+    SELECT grp, v,
+           row_number() OVER (PARTITION BY grp ORDER BY v, id) AS vr,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM qsk_rows
+  ) GROUP BY grp
+)
+SELECT s.grp AS "group", e.n_total, s.k_used,
+       s.q_25, s.q_50, s.q_75, s.q_90,
+       e.q_50_exact, s.q_50 - e.q_50_exact AS err_50
+FROM qsk_sk s JOIN qsk_exact e ON s.grp = e.grp
 ORDER BY "group"
 """

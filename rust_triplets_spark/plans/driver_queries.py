@@ -3754,6 +3754,32 @@ def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_tokens(docs, "source", "text")
 
 
+from rust_triplets_spark.operators.sketches import (  # noqa: E402
+    quantile_sketch_bottomk,
+    quantile_sketch_bottomk_sql,
+)
+
+
+@_register(
+    "quantile_sketch",
+    quantile_sketch_bottomk_sql(
+        "documents", "t.source", "t.n_chars", "t.doc_id", k=16
+    ),
+)
+def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch (operators/sketches.py) — the quantile
+    member of the sketch family: the k smallest (hash31(id), id) rows
+    per group form an order-independent MERGEABLE uniform sample
+    (GK/KLL are insertion-order-dependent and can never hash-match
+    across engines; this can), exact type-1 quantile picks run on the
+    sample, and the exact median rides alongside as the measured-error
+    audit. k=16 of the 25-row fixture groups — a real subsample at the
+    driver's sf, not a pass-through. Window note: in _CHECK_NEXT; first
+    driver row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_sketch_bottomk(docs, "source", "n_chars", "doc_id", k=16)
+
+
 from rust_triplets_spark.operators.drift import (  # noqa: E402
     source_drift_psi,
     source_drift_psi_sql,
@@ -5295,6 +5321,7 @@ _CHECK_NEXT = [
     "pagerank_centrality",
     "hll_distinct_tokens",
     "source_drift_psi",
+    "quantile_sketch",
 ]
 
 

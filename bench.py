@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "hll_distinct_tokens",
     "source_drift_psi",
     "quantile_sketch",
+    "id3_metadata_audit",
+    "id3_pii_scrub",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -377,7 +379,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "quantile_sketch",
+    "r11": "id3_pii_scrub",
 }
 
 

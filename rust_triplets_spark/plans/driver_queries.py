@@ -3117,6 +3117,69 @@ def exif_gps_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exif_scrub_audit(media, batch_rows=4)
 
 
+_ID3_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "id3_sample.parquet",
+)
+
+
+@_register(
+    "id3_metadata_audit",
+    f"""
+SELECT media_id,
+       CAST(exp_has_id3 AS BIGINT) AS has_id3,
+       CAST(exp_version AS BIGINT) AS version,
+       CAST(exp_n_frames AS BIGINT) AS n_frames,
+       CAST(exp_title_len AS BIGINT) AS title_len,
+       CAST(exp_has_comm AS BIGINT) AS has_comm,
+       CAST(exp_has_ufid AS BIGINT) AS has_ufid,
+       CAST(exp_has_priv AS BIGINT) AS has_priv,
+       CAST(exp_has_apic AS BIGINT) AS has_apic
+FROM read_parquet('{_ID3_FIXTURE}')
+""",
+)
+def id3_metadata_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction over binary audio columns (operators/id3.py
+    — vendored id3.org v2.3/v2.4 parser: both frame-size conventions,
+    syncsafe sizes, all three text encodings, padding): frame census,
+    catalog fields and PII-frame presence (COMM/UFID/PRIV/APIC). The
+    fixture tags are hand-packed by an independent layout in
+    scripts/gen_id3_fixture.py. Blobs never leave the Arrow stage.
+    Window note: in _CHECK_NEXT; first driver row r12."""
+    from rust_triplets_spark.operators.id3 import id3_metadata_audit
+
+    media = spark.read.parquet(_ID3_FIXTURE).select("media_id", "payload")
+    return id3_metadata_audit(media, batch_rows=4)
+
+
+@_register(
+    "id3_pii_scrub",
+    f"""
+SELECT media_id,
+       CAST(exp_dropped_frames AS BIGINT) AS dropped_frames,
+       CAST(exp_bytes_before AS BIGINT) AS bytes_before,
+       CAST(exp_bytes_after AS BIGINT) AS bytes_after,
+       CAST(exp_frames_after AS BIGINT) AS frames_after,
+       CAST(exp_pii_after AS BIGINT) AS pii_after,
+       CAST(exp_title_kept AS BIGINT) AS title_kept
+FROM read_parquet('{_ID3_FIXTURE}')
+""",
+)
+def id3_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-PII scrub audit — the ID3 twin of exif_gps_scrub: allowlist
+    re-emit of a canonical v2.4 tag (title/artist/album/track/year
+    kept, UTF-8 re-encoded; comments, unique-file-ids, private blobs,
+    embedded pictures and binary objects DROPPED; a PII-only tag is
+    removed entirely), audio bytes untouched, and the output RE-PARSED
+    in-kernel so pii_after is measured. Window note: in _CHECK_NEXT;
+    first driver row r12."""
+    from rust_triplets_spark.operators.id3 import id3_scrub_audit
+
+    media = spark.read.parquet(_ID3_FIXTURE).select("media_id", "payload")
+    return id3_scrub_audit(media, batch_rows=4)
+
+
 _AUDIO_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "fixtures",
@@ -5322,6 +5385,8 @@ _CHECK_NEXT = [
     "hll_distinct_tokens",
     "source_drift_psi",
     "quantile_sketch",
+    "id3_metadata_audit",
+    "id3_pii_scrub",
 ]
 
 

@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "quantile_sketch",
     "id3_metadata_audit",
     "id3_pii_scrub",
+    "span_corruption",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -379,7 +380,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "id3_pii_scrub",
+    "r11": "span_corruption",
 }
 
 

@@ -3843,6 +3843,29 @@ def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_bottomk(docs, "source", "n_chars", "doc_id", k=16)
 
 
+from rust_triplets_spark.operators.corruption import (  # noqa: E402
+    span_corruption_samples,
+    span_corruption_samples_sql,
+)
+
+
+@_register(
+    "span_corruption",
+    span_corruption_samples_sql("documents", "t.doc_id", "t.text"),
+)
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/corruption.py; Raffel 2020
+    §3.1.4 / the UL2 R-denoiser) — the step that turns the cleaned
+    corpus into actual seq2seq training rows: hash-deterministic block
+    masking (~17%), numbered <extra_id_K> sentinels, target closed with
+    the final sentinel. ONE row-local fold per document (zero shuffles,
+    text never explodes); the oracle folds the same logic with a
+    delimited state string (the bpe.py list_reduce precedent). Window
+    note: in _CHECK_NEXT; first driver row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return span_corruption_samples(docs, "doc_id", "text")
+
+
 from rust_triplets_spark.operators.drift import (  # noqa: E402
     source_drift_psi,
     source_drift_psi_sql,
@@ -5387,6 +5410,7 @@ _CHECK_NEXT = [
     "quantile_sketch",
     "id3_metadata_audit",
     "id3_pii_scrub",
+    "span_corruption",
 ]
 
 

@@ -322,6 +322,18 @@ BENCH_WINDOW_LOG: dict[int, list[str]] = {
 # hit staleness 4 in r12, where the BENCH_MAX_STALE test FORCES them
 # into the window — r12 should budget its extras around them.
 BENCH_WINDOW_EXTRA = [
+    # RESIZED mid-r11 when the extension session added 12 more
+    # new-this-round queries (~33 s at sf0.1): the r11 window had grown
+    # to 76 names / ~156 s projected — past BOTH the <=70 structural cap
+    # and the ~125 s budget ceiling the r11 lesson records. All 20
+    # original extras sit in the same staleness-3 tier as the 9 names
+    # left outside, so per the documented cheapest-first tie-break the
+    # 10 cheapest stay (the test's minimum refresh rate) and the 10 most
+    # expensive (ann_hard_negatives, repeated_spans, ann_ivf_float_cells,
+    # corpus_clean_funnel, ccnet_quality_buckets, simcse_triplets,
+    # selector_triplets, doremi_domain_weights, temporal_selector_triplets,
+    # curriculum_order) join the r12 staleness-4 forced tier — r12 must
+    # budget its window around those 19 + the 17 _CHECK_NEXT names.
     "exact_dedup_verified",
     "pack_bin_stats",
     "source_vocab_overlap",
@@ -331,17 +343,7 @@ BENCH_WINDOW_EXTRA = [
     "contamination_fraction",
     "line_boilerplate_dedup",
     "ann_ivf_topk",
-    "ann_hard_negatives",
     "embedding_neardup_pairs",
-    "repeated_spans",
-    "ann_ivf_float_cells",
-    "corpus_clean_funnel",
-    "ccnet_quality_buckets",
-    "simcse_triplets",
-    "selector_triplets",
-    "doremi_domain_weights",
-    "temporal_selector_triplets",
-    "curriculum_order",
 ]
 
 # Noise-watch lane (r10 verdict "what's wrong" #1 / next-round #4): names

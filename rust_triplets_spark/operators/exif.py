@@ -190,6 +190,8 @@ def _find_tiff(payload: bytes) -> bytes | None:
 
 
 def _parse_tiff(data: bytes) -> dict:
+    if len(data) < 8:
+        raise ValueError(f"exif: TIFF header truncated ({len(data)} bytes)")
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -265,6 +267,8 @@ def _collect_keepable(data: bytes) -> tuple[list[_Entry], list[_Entry], int]:
     entries, kept Exif-IFD entries, dropped entry count). GPS and
     everything not allowlisted drops; pointer tags never count as
     droppable payload themselves."""
+    if len(data) < 8:
+        raise ValueError(f"exif: TIFF header truncated ({len(data)} bytes)")
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":

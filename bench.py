@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "id3_metadata_audit",
     "id3_pii_scrub",
     "span_corruption",
+    "blocklist_filter",
 ]
 
 # The driver-run bench window (see module doc, "Window mode"). Composition
@@ -382,7 +383,7 @@ _SERIES_ENDS = {
     "r8": "source_datasheet",
     "r9": "unicode_script_mix",
     "r10": "audio_pitch_audit",
-    "r11": "span_corruption",
+    "r11": "blocklist_filter",
 }
 
 

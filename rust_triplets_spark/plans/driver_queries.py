@@ -3843,6 +3843,30 @@ def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_bottomk(docs, "source", "n_chars", "doc_id", k=16)
 
 
+from rust_triplets_spark.operators.blocklist import (  # noqa: E402
+    blocklist_hits,
+    blocklist_hits_sql,
+)
+
+
+@_register(
+    "blocklist_filter",
+    blocklist_hits_sql("documents", "t.doc_id", "t.text"),
+)
+def blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist phrase gate (operators/blocklist.py) — the C4/Dolma
+    banned-content filter shape: word-boundary multi-word phrase counts
+    per category (space-padded normalized text, literal splits — no
+    substring false positives), non-overlapping counts, per-category
+    thresholded flag. Pure row-local column expressions, identical
+    counting in both engines; a real 10k-phrase deployment moves to an
+    Aho-Corasick pandas-UDF kernel, this declarative form is the
+    oracle-checkable gate. Window note: in _CHECK_NEXT; first driver
+    row r12."""
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_hits(docs, "doc_id", "text")
+
+
 from rust_triplets_spark.operators.corruption import (  # noqa: E402
     span_corruption_samples,
     span_corruption_samples_sql,
@@ -5411,6 +5435,7 @@ _CHECK_NEXT = [
     "id3_metadata_audit",
     "id3_pii_scrub",
     "span_corruption",
+    "blocklist_filter",
 ]
 
 

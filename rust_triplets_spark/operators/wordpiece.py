@@ -36,6 +36,15 @@ aggregate, two broadcast-sized equi-joins, a LIMIT-1 TakeOrdered
 collect of a single row. ``localCheckpoint`` per round truncates the
 fold-chain lineage (the 4^N Catalyst blowup guard, see bpe.py).
 
+Why there is no ``wordpiece_train_batched``: BPE's frequency-gap batch
+proof (bpe.py) bounds a CREATED pair's count by the gap sentinel — but
+WordPiece ranks by ``c/(cl*cr)``, and a pair minted by a merge has the
+fresh (small) merged-symbol count in its DENOMINATOR, so a created pair
+can outrank every fetched candidate no matter how large the frequency
+gap. Sequential exactness therefore requires re-scoring every round;
+at a 30k-piece production vocabulary the honest scale lever is coarser
+(shard-and-merge approximate training), not silent batch acceptance.
+
 Caveat (standard WordPiece): raw words containing literal ``#`` can
 collide with the continuation prefix. Both engines encode identically,
 so the twins stay exact; real deployments pre-normalize. Words here

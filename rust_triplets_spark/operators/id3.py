@@ -16,6 +16,11 @@ Vendored parser of the PUBLIC id3.org specs, in the exif.py style:
 - Text frames (T***): an encoding byte (0 latin-1, 1 UTF-16+BOM,
   3 UTF-8) then the string; COMM adds a 3-byte language + short
   description before the body.
+- Unsynchronisation (header flag 0x80) is reversed before frame
+  walking: v2.3 stuffs the whole tag body (§5), v2.4 stuffs per frame
+  (per-frame fmt bit 0x02, or all frames when the header flag is set,
+  §6.1), with the data-length indicator (fmt 0x01) skipped. Compressed
+  or encrypted frames raise loudly — never a silent misparse.
 
 Scrubbing is by ALLOWLIST (the exif.py posture): the scrubber re-emits
 a canonical v2.4 tag containing only the kept frames (TIT2/TPE1/TALB/
@@ -83,10 +88,17 @@ def parse_id3(payload: bytes) -> dict | None:
         raise ValueError(f"id3: unsupported v2.{ver_major}")
     if flags & 0x40:
         raise ValueError("id3: extended header not supported")
+    unsync = bool(flags & 0x80)
     size = _unsyncsafe(payload[6:10])
     if 10 + size > len(payload):
         raise ValueError(f"id3: declared size {size} beyond payload")
     tag = payload[10 : 10 + size]
+    if unsync and ver_major == 3:
+        # v2.3 §5: unsynchronisation (0xFF 0x00 -> 0xFF 0x00 0x00 stuffing
+        # reversal) is applied over the WHOLE tag body as the last write
+        # step, so reversing it first recovers the original framing —
+        # frame sizes then read correctly as plain u32.
+        tag = tag.replace(b"\xff\x00", b"\xff")
     frames = []
     pos = 0
     while pos + 10 <= len(tag):
@@ -101,7 +113,30 @@ def parse_id3(payload: bytes) -> dict | None:
             (fsize,) = struct.unpack_from(">I", tag, pos + 4)
         if pos + 10 + fsize > len(tag):
             raise ValueError(f"id3: frame {fid!r} size {fsize} beyond tag")
-        frames.append((fid.decode("ascii"), tag[pos + 10 : pos + 10 + fsize]))
+        fmt = tag[pos + 9]
+        body = tag[pos + 10 : pos + 10 + fsize]
+        if ver_major == 4:
+            # v2.4 format flags %0h00kcnp: compression (0x08) / encryption
+            # (0x04) would need zlib/keys — loud, never silent misparse.
+            if fmt & 0x0C:
+                raise ValueError(
+                    f"id3: compressed/encrypted frame {fid!r} not supported"
+                )
+            if fmt & 0x01:  # data-length indicator prefixes the body
+                if len(body) < 4:
+                    raise ValueError(f"id3: frame {fid!r} DLI truncated")
+                body = body[4:]
+            # v2.4 §4: the stored frame size counts the data AS WRITTEN
+            # (post-unsync), so walk with it then reverse the stuffing.
+            # The tag-wide unsync flag means every frame is unsync'd even
+            # when a writer omitted the per-frame bit (§6.1).
+            if fmt & 0x02 or unsync:
+                body = body.replace(b"\xff\x00", b"\xff")
+        elif fmt & 0xC0:  # v2.3 format flags %ijk00000: i=compr, j=encr
+            raise ValueError(
+                f"id3: compressed/encrypted frame {fid!r} not supported"
+            )
+        frames.append((fid.decode("ascii"), body))
         pos += 10 + fsize
     out: dict = {
         "version": ver_major,

@@ -140,8 +140,25 @@ def microdeg(d, m, s_num, s_den, ref) -> int:
 def main() -> None:
     rows = []
 
+    def canonical_tiff_size(kept0, keptx) -> int:
+        """HAND-DERIVED size of the scrubber's canonical little-endian
+        re-emit, computed from the case's own entry tuples with this
+        script's independent ``_pack_value`` (never from scrub output):
+        8-byte header + each IFD's ``2 + 12·n + 4`` + the out-of-line
+        data area (raw values > 4 bytes, each even-padded)."""
+        n0 = len(kept0) + (1 if keptx else 0)
+        size = 8 + (2 + 12 * n0 + 4)
+        if keptx:
+            size += 2 + 12 * len(keptx) + 4
+        for _tag, ftype, value in list(kept0) + list(keptx):
+            raw, _count = _pack_value("<", ftype, value)
+            if len(raw) > 4:
+                size += len(raw) + (len(raw) % 2)
+        return size
+
     def add(media_id, tiff, *, orientation, pixel_x, pixel_y, has_gps,
-            lat, lon, had_maker, dropped):
+            lat, lon, had_maker, dropped, kept0, keptx,
+            orientation_after):
         payload = wrap_jpeg(tiff)
         # generator-side sanity: the module parser must agree with the
         # hand layout BEFORE anything is committed
@@ -154,9 +171,22 @@ def main() -> None:
             assert meta["has_gps"] == bool(has_gps)
             assert meta["lat_microdeg"] == lat
             assert meta["lon_microdeg"] == lon
+        # scrub-side expectations are hand-derived too (kept0/keptx are
+        # the case's allowlist survivors, chosen by the author): the
+        # canonical APP1 is 4 marker/length + 6 "Exif\0\0" bytes + the
+        # re-emitted TIFF, or removed entirely when nothing survives.
+        if tiff is None:
+            exp_after = len(payload)
+        else:
+            exp_after = len(payload) - (4 + 6 + len(tiff))
+            if kept0 or keptx:
+                exp_after += 4 + 6 + canonical_tiff_size(kept0, keptx)
         scrubbed, ndrop = scrub_exif(payload)
         after = parse_exif(scrubbed)
         assert ndrop == dropped, (media_id, ndrop, dropped)
+        assert len(scrubbed) == exp_after, (media_id, len(scrubbed), exp_after)
+        got_orient = after["orientation"] if after else None
+        assert got_orient == orientation_after, (media_id, got_orient)
         assert after is None or not after["has_gps"]
         rows.append({
             "media_id": media_id,
@@ -172,11 +202,9 @@ def main() -> None:
             "exp_had_maker_note": 1 if had_maker else 0,
             "exp_dropped_tags": dropped,
             "exp_bytes_before": len(payload),
-            "exp_bytes_after": len(scrubbed),
+            "exp_bytes_after": exp_after,
             "exp_gps_after": 0,
-            "exp_orientation_after": (
-                after["orientation"] if after else None
-            ),
+            "exp_orientation_after": orientation_after,
         })
 
     # 1: little-endian, full kit — GPS N/W (San-Francisco-ish), maker
@@ -209,7 +237,11 @@ def main() -> None:
     add(1, t1, orientation=6, pixel_x=8, pixel_y=8, has_gps=1,
         lat=microdeg(37, 46, 2974, 100, "N"),
         lon=microdeg(122, 25, 986, 100, "W"),
-        had_maker=True, dropped=1 + 2 + 4)
+        had_maker=True, dropped=1 + 2 + 4, orientation_after=6,
+        kept0=[(0x010F, ASCII, "ACME"), (0x0110, ASCII, "X100"),
+               (0x0112, SHORT, 6), (0x0132, ASCII, "2024:05:01 10:00:00")],
+        keptx=[(0x9003, ASCII, "2024:05:01 09:59:58"),
+               (0xA002, LONG, 8), (0xA003, LONG, 8)])
 
     # 2: big-endian, GPS S/E with millisecond-grade second denominators
     lat2 = [(33, 1), (52, 1), (11123, 1000)]
@@ -230,7 +262,9 @@ def main() -> None:
     add(2, t2, orientation=1, pixel_x=None, pixel_y=None, has_gps=1,
         lat=microdeg(33, 52, 11123, 1000, "S"),
         lon=microdeg(151, 12, 40042, 1000, "E"),
-        had_maker=False, dropped=4)
+        had_maker=False, dropped=4, orientation_after=1,
+        kept0=[(0x0112, SHORT, 1), (0x0132, ASCII, "2023:11:20 21:05:10")],
+        keptx=[])
 
     # 3: EXIF, no GPS — everything allowlisted survives, nothing drops
     t3 = build_tiff(
@@ -242,11 +276,15 @@ def main() -> None:
         exif_ifd=[(0xA002, LONG, 8), (0xA003, LONG, 8)],
     )
     add(3, t3, orientation=3, pixel_x=8, pixel_y=8, has_gps=0,
-        lat=None, lon=None, had_maker=False, dropped=0)
+        lat=None, lon=None, had_maker=False, dropped=0,
+        orientation_after=3,
+        kept0=[(0x0112, SHORT, 3), (0x0132, ASCII, "2022:01:02 03:04:05")],
+        keptx=[(0xA002, LONG, 8), (0xA003, LONG, 8)])
 
     # 4: plain JPEG, no EXIF at all
     add(4, None, orientation=None, pixel_x=None, pixel_y=None,
-        has_gps=0, lat=None, lon=None, had_maker=False, dropped=0)
+        has_gps=0, lat=None, lon=None, had_maker=False, dropped=0,
+        orientation_after=None, kept0=[], keptx=[])
 
     # 5: wild-data GPS — zero-denominator seconds (contributes 0) and a
     # missing longitude ref (lon stays unknown while has_gps is true)
@@ -262,7 +300,8 @@ def main() -> None:
     )
     add(5, t5, orientation=1, pixel_x=None, pixel_y=None, has_gps=1,
         lat=microdeg(51, 30, 0, 0, "N"), lon=None,
-        had_maker=False, dropped=3)
+        had_maker=False, dropped=3, orientation_after=1,
+        kept0=[(0x0112, SHORT, 1)], keptx=[])
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -49,7 +49,15 @@ def main() -> None:
     rows = []
 
     def add(media_id, payload, *, has_id3, version, n_frames, title_len,
-            has_comm, has_ufid, has_priv, has_apic, title_kept):
+            has_comm, has_ufid, has_priv, has_apic, title_kept,
+            dropped, kept_texts, tag_bytes):
+        """``dropped`` / ``kept_texts`` / ``tag_bytes`` are HAND-DERIVED
+        per case (not read back from the scrubber): the canonical v2.4
+        re-emit is 10 header bytes + per kept frame 10 header bytes + 1
+        encoding byte + the UTF-8 text, so the expected scrubbed size is
+        computable from the kept strings alone. The generator then
+        asserts the scrubber AGREES — a scrubber regression fails here
+        instead of silently re-pinning its own bug."""
         meta = parse_id3(payload)
         if not has_id3:
             assert meta is None
@@ -57,8 +65,16 @@ def main() -> None:
             assert meta["version"] == version and meta["n_frames"] == n_frames
             tl = len(meta["title"]) if meta["title"] is not None else None
             assert tl == title_len, (media_id, tl, title_len)
-        scrubbed, dropped = scrub_id3(payload)
+        exp_after = len(payload) - tag_bytes
+        if kept_texts:
+            exp_after += 10 + sum(11 + len(t.encode("utf-8"))
+                                  for t in kept_texts)
+        scrubbed, got_dropped = scrub_id3(payload)
+        assert got_dropped == dropped, (media_id, got_dropped, dropped)
+        assert len(scrubbed) == exp_after, (media_id, len(scrubbed), exp_after)
         after = parse_id3(scrubbed)
+        got_frames_after = after["n_frames"] if after else 0
+        assert got_frames_after == len(kept_texts), media_id
         assert after is None or not (
             after["has_comm"] or after["has_ufid"] or after["has_priv"]
             or after["has_geob"] or after["has_apic"]
@@ -76,8 +92,8 @@ def main() -> None:
             "exp_has_apic": None if not has_id3 else int(has_apic),
             "exp_dropped_frames": dropped,
             "exp_bytes_before": len(payload),
-            "exp_bytes_after": len(scrubbed),
-            "exp_frames_after": after["n_frames"] if after else 0,
+            "exp_bytes_after": exp_after,
+            "exp_frames_after": len(kept_texts),
             "exp_pii_after": 0,
             "exp_title_kept": 1 if title_kept else 0,
         })
@@ -94,10 +110,12 @@ def main() -> None:
         frame(3, "PRIV", b"com.example/app\x00SECRET"),
         frame(3, "APIC", b"\x00image/jpeg\x00\x03\x00\xff\xd8\xff\xdb fake"),
     ]
-    add(1, tag(3, f1, padding=16) + AUDIO,
+    t1 = tag(3, f1, padding=16)
+    add(1, t1 + AUDIO,
         has_id3=True, version=3, n_frames=8, title_len=11,
         has_comm=True, has_ufid=True, has_priv=True, has_apic=True,
-        title_kept=True)
+        title_kept=True, dropped=4, tag_bytes=len(t1),
+        kept_texts=["Night Drive", "Ann \u00dcla", "Roads", "1999"])
 
     # 2: v2.4 syncsafe frame sizes — UTF-8 title, TDRC, GEOB + COMM drop
     f2 = [
@@ -106,26 +124,29 @@ def main() -> None:
         frame(4, "GEOB", b"\x00application/octet-stream\x00f\x00d\x00BLOB"),
         frame(4, "COMM", b"\x03eng\x00note to self"),
     ]
-    add(2, tag(4, f2) + AUDIO,
+    t2 = tag(4, f2)
+    add(2, t2 + AUDIO,
         has_id3=True, version=4, n_frames=4, title_len=9,
         has_comm=True, has_ufid=False, has_priv=False, has_apic=False,
-        title_kept=True)
+        title_kept=True, dropped=2, tag_bytes=len(t2),
+        kept_texts=["Stra\u00dfe 42", "2004-11"])
 
     # 3: PII-only tag — scrub must remove the tag entirely
     f3 = [
         frame(4, "COMM", b"\x03eng\x00private"),
         frame(4, "PRIV", b"x/y\x00data"),
     ]
-    add(3, tag(4, f3) + AUDIO,
+    t3 = tag(4, f3)
+    add(3, t3 + AUDIO,
         has_id3=True, version=4, n_frames=2, title_len=None,
         has_comm=True, has_ufid=False, has_priv=True, has_apic=False,
-        title_kept=False)
+        title_kept=False, dropped=2, tag_bytes=len(t3), kept_texts=[])
 
     # 4: tagless payload — pass-through
     add(4, AUDIO,
         has_id3=False, version=None, n_frames=None, title_len=None,
         has_comm=None, has_ufid=None, has_priv=None, has_apic=None,
-        title_kept=False)
+        title_kept=False, dropped=0, tag_bytes=0, kept_texts=[])
 
     # 5: v2.4 UTF-16BE text (encoding 2) + UFID — catalog-only keep
     f5 = [
@@ -133,10 +154,12 @@ def main() -> None:
         frame(4, "TRCK", b"\x037/12"),
         frame(4, "UFID", b"db\x00\xaa\xbb"),
     ]
-    add(5, tag(4, f5) + AUDIO,
+    t5 = tag(4, f5)
+    add(5, t5 + AUDIO,
         has_id3=True, version=4, n_frames=3, title_len=4,
         has_comm=False, has_ufid=True, has_priv=False, has_apic=False,
-        title_kept=True)
+        title_kept=True, dropped=1, tag_bytes=len(t5),
+        kept_texts=["K\u00fchl", "7/12"])
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

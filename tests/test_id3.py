@@ -102,6 +102,64 @@ def test_scrub_writer_byte_level():
     assert out == exp
 
 
+def _stuff(raw):
+    """Writer-side unsynchronisation: insert 0x00 after every 0xFF (the
+    spec permits stuffing every 0xFF; readers must reverse any
+    0xFF 0x00 pair)."""
+    return raw.replace(b"\xff", b"\xff\x00")
+
+
+def test_v23_whole_tag_unsync():
+    """v2.3 unsync stuffs the ENTIRE tag body after framing — frame
+    sizes and 0xFF-bearing bodies only parse after de-unsync."""
+    raw = (_frame(3, "TIT2", b"\x00Caf\xff")
+           + _frame(3, "PRIV", b"o\x00\xff\xe0\xff\xff"))
+    stuffed = _stuff(raw)
+    assert stuffed != raw  # the trap is real
+    payload = b"ID3\x03\x00\x80" + _ss(len(stuffed)) + stuffed + AUDIO
+    m = parse_id3(payload)
+    assert m["n_frames"] == 2
+    assert m["title"] == "Caf\xff" and m["has_priv"]
+    # scrub of an unsync'd tag re-emits canonically and drops the PII
+    out, dropped = scrub_id3(payload)
+    assert dropped == 1 and out.endswith(AUDIO)
+    after = parse_id3(out)
+    assert after["title"] == "Caf\xff" and not after["has_priv"]
+
+
+def test_v24_per_frame_unsync_and_dli():
+    """v2.4 unsyncs per frame: stored size counts the stuffed bytes;
+    a data-length indicator (fmt 0x01) prefixes the body with the
+    original size and must be skipped."""
+    raw = b"\x00Jazz\xff\xfe"
+    stored = _stuff(raw)
+    f_unsync = b"TIT2" + _ss(len(stored)) + b"\x00\x02" + stored
+    with_dli = _ss(len(raw)) + stored
+    f_dli = b"TALB" + _ss(len(with_dli)) + b"\x00\x03" + with_dli
+    payload = _tag(4, [f_unsync, f_dli]) + AUDIO
+    m = parse_id3(payload)
+    assert m["title"] == "Jazz\xff\xfe" and m["album"] == "Jazz\xff\xfe"
+
+
+def test_v24_tag_level_unsync_flag_applies_to_all_frames():
+    """§6.1: the header unsync flag asserts every frame is unsync'd,
+    even when a writer omitted the per-frame bit."""
+    raw = b"\x00Hot\xff"
+    stored = _stuff(raw)
+    frame = b"TIT2" + _ss(len(stored)) + b"\x00\x00" + stored
+    payload = b"ID3\x04\x00\x80" + _ss(len(frame)) + frame + AUDIO
+    assert parse_id3(payload)["title"] == "Hot\xff"
+
+
+def test_compressed_and_encrypted_frames_are_loud():
+    body = b"\x00x"
+    for ver, fmt in ((4, 0x08), (4, 0x04), (3, 0x80), (3, 0x40)):
+        size = _ss(len(body)) if ver == 4 else struct.pack(">I", len(body))
+        frame = b"TIT2" + size + bytes([0, fmt]) + body
+        with pytest.raises(ValueError, match="compressed/encrypted"):
+            parse_id3(_tag(ver, [frame]))
+
+
 def test_malformed_is_loud():
     with pytest.raises(ValueError, match="unsupported"):
         parse_id3(b"ID3\x02\x00\x00" + _ss(0))

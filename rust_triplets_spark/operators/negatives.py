@@ -77,12 +77,17 @@ NULL_DATE = "§null§"
 
 # auto-salting policy (salt_buckets="auto", the default): the rank pass
 # buckets on hash31(source) — constant per source — so ONE dominant
-# (split, source) pool runs its whole window in one task. The auto path
-# measures the largest pool with a column-pruned count and fans it out when
-# it exceeds this single-task comfort bound (rows per window task; the rank
-# payload is a few small columns, so 4M rows ≈ low hundreds of MB sorted).
-AUTO_SALT_TASK_ROWS = 4_000_000
-AUTO_SALT_MAX_BUCKETS = 256
+# (split, source) pool runs its whole window in one task. Salting fans a
+# pool out over sub-buckets of the next order component with row-for-row
+# identical output (pytest-pinned), so "auto" is a STATIC fan-out (r12):
+# every pool splits over up to AUTO_SALT_BUCKETS window tasks, and the
+# decision costs zero jobs. (Through r11 "auto" instead probed the largest
+# pool with a groupBy-count at every plan build — a full extra pass over
+# the pool lineage per query construction, guide §1.2.) 64 buckets ×
+# ~4M comfortable rows per window task ≈ 256M rows per source before a
+# single task exceeds the comfort bound — past that, callers pass an
+# explicit count.
+AUTO_SALT_BUCKETS = 64
 
 STRATEGIES = ("wrong_article", "wrong_publication_date", "qa_mismatch")
 
@@ -93,27 +98,6 @@ def _fold(col, is_string: bool):
 
 def _fold_sql(sql: str, is_string: bool) -> str:
     return strfold_sql(sql) if is_string else f"CAST({sql} AS BIGINT)"
-
-
-def _resolve_auto_salt(base: DataFrame) -> int | None:
-    """Decide the rank fan-out from the largest (split, source) pool.
-
-    Returns ``None`` (no salting — plan identical to the historical
-    default) while every pool fits one comfortable window task, else
-    enough buckets to bring the dominant pool back under
-    ``AUTO_SALT_TASK_ROWS`` rows per task (capped — past a few hundred
-    tasks per pool the counts frame grows for no win). Output is
-    salt-invariant either way; this only picks parallelism."""
-    top_row = (
-        base.groupBy("split", "source")
-        .count()
-        .agg(F.max("count").alias("top"))
-        .first()
-    )
-    top = (top_row["top"] if top_row else None) or 0
-    if top <= AUTO_SALT_TASK_ROWS:
-        return None
-    return min(AUTO_SALT_MAX_BUCKETS, -(-top // AUTO_SALT_TASK_ROWS))
 
 
 def negative_pick(
@@ -139,13 +123,11 @@ def negative_pick(
     row-for-row IDENTICAL (pytest-pinned:
     tests/test_sampling.py::test_negative_pick_salted_equals_unsalted).
 
-    ``"auto"`` (the default) measures the largest (split, source) pool with
-    one column-pruned count and salts only when it exceeds
-    ``AUTO_SALT_TASK_ROWS`` — small corpora keep the unsalted plan (and its
-    driver-hash) bit-for-bit, dominant sources at scale fan out with no
-    caller opt-in. The probe is a Spark action at plan-build time (a
-    3-column scan + partial agg); pass an int or ``None`` to skip it when
-    the caller already knows the skew shape."""
+    ``"auto"`` (the default) applies the static ``AUTO_SALT_BUCKETS``
+    fan-out: zero plan-build jobs, identical rows to the unsalted plan
+    (pytest-pinned), and a dominant source at scale still fans out with no
+    caller opt-in. Pass an int to size the fan-out explicitly, or ``None``
+    for the plain unsalted rank."""
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "wrong_publication_date" and not date_col:
@@ -173,7 +155,18 @@ def negative_pick(
     ).withColumn("__oh", hash31_col(F.col("__idf"), seed + POOL_SEED_OFF))
 
     if salt_buckets == "auto":
-        salt_buckets = _resolve_auto_salt(base)
+        # r12: static fan-out instead of the counting probe. The probe was
+        # a full groupBy-count job over the pool lineage at EVERY plan
+        # build (guide §1.2 — an extra pass computing something thrown
+        # away): on derived pools (triplet assemblies aggregate the
+        # sections frame first) it re-ran the whole upstream pipeline
+        # before the real query even started. Salted output is row-for-row
+        # identical at ANY bucket count (pytest-pinned), so a fixed salt
+        # keeps the skew guarantee — a dominant source fans out over up to
+        # AUTO_SALT_BUCKETS window tasks — while the decision costs zero
+        # jobs. The price is the counts frame growing to (splits × sources
+        # × salt) rows, broadcast-sized for any real source cardinality.
+        salt_buckets = AUTO_SALT_BUCKETS
     elif isinstance(salt_buckets, str):
         raise ValueError(f"salt_buckets must be an int, None, or 'auto', got {salt_buckets!r}")
 

@@ -26,7 +26,15 @@ def get_spark(app_name: str = "rust_triplets_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # 16g, NOT "most of the box": G1 grows toward the ceiling before
+        # collecting, so a 90g ceiling on a 128 GiB box let the old gen
+        # balloon and every allocation-heavy query paid multi-second mixed
+        # collections (guide §5 — measured r12: fuzzy_decontamination min-of-3
+        # at sf0.1 was 46.8 s @90g / 26.9 s @48g / 12.2 s @24g / ~10-12 s
+        # @8-16g; flat below 24g). sf0.1 needs well under 4g; sf1 campaigns
+        # can raise via SPARK_GRAFT_DRIVER_MEM. On a real cluster executor
+        # memory is sized separately per §5 — this default is local-mode only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

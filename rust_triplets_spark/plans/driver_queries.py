@@ -99,12 +99,33 @@ def _parquet_rows(path: str) -> int | None:
     return None if n < 0 else n
 
 
+# high-cardinality key per driver table: the fan-out repartition in _t
+# hashes on it instead of round-robin (round-robin pays a LOCAL SORT of
+# every row — spark.sql.execution.sortBeforeRepartition, needed so retried
+# tasks reproduce their row assignment — guide §2.5; a deterministic hash
+# key needs no such sort and is retry-safe by construction). Measured at
+# sf0.1: scan+repartition 0.31 s round-robin vs 0.23 s hash; a following
+# explode+groupBy pipeline 0.80 s vs 0.58 s. Keys need only enough distinct
+# values to spread over the core count, not uniqueness.
+_T_HASH_KEY = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = True) -> DataFrame:
     """Read a driver table. The synthetic sf* files are single-row-group
     parquet, so Spark's file splitting yields ONE scan partition no matter
     the core count; ``spark.rust_triplets.scanPartitions`` (set by bench.py)
-    opts into a round-robin repartition so per-row compute parallelizes on
-    local[N]. Gated two ways: on the footer row count — dimension tables
+    opts into a repartition so per-row compute parallelizes on local[N] —
+    hash on the table key (see ``_T_HASH_KEY``) when known, round-robin
+    otherwise. Gated two ways: on the footer row count — dimension tables
     (region, nation, …) stay un-shuffled, a 6-row exchange buys nothing —
     and on ``heavy``: straight scan→filter→agg queries (one partial-agg
     pass, no per-row heavy compute) pass ``heavy=False`` because inserting
@@ -117,7 +138,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = True) -> DataF
     if heavy and n > 0:
         rows = _parquet_rows(path)
         if rows is None or rows >= 8 * n:
-            df = df.repartition(n)
+            key = _T_HASH_KEY.get(name)
+            df = df.repartition(n, F.col(key)) if key else df.repartition(n)
     return df
 
 

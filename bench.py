@@ -242,7 +242,7 @@ _R1_R3_CORE_END = "selector_text_samples"
 # this build round (bumped when a new round's window is composed; the
 # PREVIOUS round's realized window must be appended to BENCH_WINDOW_LOG in
 # the same commit — the test pins both).
-BENCH_CURRENT_ROUND = 11
+BENCH_CURRENT_ROUND = 12
 BENCH_MAX_STALE = 4
 
 # realized driver-window composition per round (window mode began r9; every
@@ -307,44 +307,68 @@ BENCH_WINDOW_LOG: dict[int, list[str]] = {
         "language_segments", "compaction_plan", "cdc_upsert_latest",
         "video_byte_ranges", "audio_pitch_audit",
     ],
+    11: [
+        # r11 realized window = r1_r3 core + the resized r11 extras + the
+        # noise-watch lane + the 19 new r11 queries (BENCH_r11.json:
+        # window_size 67, passes 2)
+        "q1_pricing_summary", "sliding_window_chunks", "epoch_shuffle",
+        "weighted_source_interleave", "qa_mismatch_negatives",
+        "wrong_article_negatives", "wrong_date_negatives",
+        "temporal_asof_join", "triplet_assembly", "pairs_from_triplets",
+        "exact_dedup", "minhash_lsh_pairs", "simhash_signatures",
+        "ngram_jaccard_pairs", "cosine_topk", "lang_id", "doc_fingerprint",
+        "denoise_gates", "tumbling_window_counts", "sessionization",
+        "bm25_topk", "kvp_decoration", "text_samples", "rollup_revenue",
+        "window_topn_orders", "sentence_split", "round_robin_interleave",
+        "sliding_window_counts", "ann_bucketed_topk", "simhash_band_pairs",
+        "temporal_offset_triplets", "denoise_gate3_waves",
+        "derived_text_recipes", "folder_date_parsing", "corpus_clean",
+        "selector_text_samples", "ann_ivf_topk", "embedding_neardup_pairs",
+        "exact_dedup_verified", "pack_bin_stats", "repetition_signals",
+        "line_boilerplate_dedup", "split_leakage_check",
+        "source_vocab_overlap", "dup_ngram_spans",
+        "contamination_fraction", "ingest_funnel_trace",
+        "text_granularity_funnel", "video_frame_decode_audit",
+        "compressed_audio_audit", "cdc_apply_changes",
+        "image_phash_neardup", "audio_fp_neardup", "video_phash_neardup",
+        "wordpiece_vocab", "wordpiece_fertility", "exif_metadata_audit",
+        "exif_gps_scrub", "countmin_heavy_hitters", "pagerank_centrality",
+        "hll_distinct_tokens", "source_drift_psi", "quantile_sketch",
+        "id3_metadata_audit", "id3_pii_scrub", "span_corruption",
+        "blocklist_filter",
+    ],
 }
 
-# r11 extras: the stalest tier is the 29 names last timed in the r8 full
-# run (everything outside the r9 AND r10 windows); ties broken
-# cheapest-first by the r10 full-registry min-of-3 times
-# (BENCH_LOCAL_FULL.json), prefix sized so the projected window min-sum
-# stays ≤ ~125 s — the r11 lesson: a 148 s window blew the 720 s budget
-# (passes_min degraded to 2 and every 2-sample spread measured cold-vs-
-# warm JIT, not noise; the ~4.5× cold+warm+warm multiple plus the noisy
-# lane's warm/extra passes is the real constraint, so r10's ~108 s
-# window was near the ceiling, not conservative). Projected: core 66.6 +
-# new-r11 ~1.5 + noisy re-bench 17.6 + extras 39.7 ≈ 125 s. The
-# remaining 9 stale names (~55 s, incl. the heavy funnels/ANN variants)
-# hit staleness 4 in r12, where the BENCH_MAX_STALE test FORCES them
-# into the window — r12 should budget its extras around them.
+# r12 extras (optimization round — no new registry names; _LAST_ROUND_END
+# is the last registry entry, so "new this round" is empty): the stalest
+# tier is the 19 names last timed in the r8 full run (outside the r9, r10
+# AND r11 windows — staleness 4 this round, the BENCH_MAX_STALE bound).
+# Taking all 19 (~81 s by the r11 full-registry min-of-3) on top of the
+# 63.3 s core + 18.5 s noisy lane would project ~163 s — past the ~125 s
+# ceiling the r11 lesson records (a blown window degrades every name to
+# cold-vs-warm single-pass spreads). Per the documented cheapest-first
+# tie-break the 10 cheapest of the tier rotate in (the test's minimum
+# refresh rate), PLUS selector_chunk_triplets — also tier-4, and the one
+# stale name whose plan this optimization round rewrote (negative_pick
+# auto-salt now static): plan-changed queries enter the window. Projected
+# window: 63.3 core + 18.5 noisy + 34.2 extras ≈ 116 s. The 8 heaviest
+# tier-4 names left outside (training_funnel, simhash_dedup_keep,
+# minhash_dedup_keep, fuzzy_decontamination, curation_funnel,
+# cluster_aware_splits, ann_ivfpq_topk, ann_ivf_float_topk — ~47 s) sit at
+# exactly the 4-round bound now and are FORCED into the r13 window; r13
+# must budget around them plus the 22 r9-stale names reaching the bound.
 BENCH_WINDOW_EXTRA = [
-    # RESIZED mid-r11 when the extension session added 12 more
-    # new-this-round queries (~33 s at sf0.1): the r11 window had grown
-    # to 76 names / ~156 s projected — past BOTH the <=70 structural cap
-    # and the ~125 s budget ceiling the r11 lesson records. All 20
-    # original extras sit in the same staleness-3 tier as the 9 names
-    # left outside, so per the documented cheapest-first tie-break the
-    # 10 cheapest stay (the test's minimum refresh rate) and the 10 most
-    # expensive (ann_hard_negatives, repeated_spans, ann_ivf_float_cells,
-    # corpus_clean_funnel, ccnet_quality_buckets, simcse_triplets,
-    # selector_triplets, doremi_domain_weights, temporal_selector_triplets,
-    # curriculum_order) join the r12 staleness-4 forced tier — r12 must
-    # budget its window around those 19 + the 17 _CHECK_NEXT names.
-    "exact_dedup_verified",
-    "pack_bin_stats",
-    "source_vocab_overlap",
-    "split_leakage_check",
-    "repetition_signals",
-    "dup_ngram_spans",
-    "contamination_fraction",
-    "line_boilerplate_dedup",
-    "ann_ivf_topk",
-    "embedding_neardup_pairs",
+    "ann_hard_negatives",
+    "repeated_spans",
+    "ann_ivf_float_cells",
+    "ccnet_quality_buckets",
+    "corpus_clean_funnel",
+    "selector_triplets",
+    "doremi_domain_weights",
+    "simcse_triplets",
+    "curriculum_order",
+    "temporal_selector_triplets",
+    "selector_chunk_triplets",
 ]
 
 # Noise-watch lane (r10 verdict "what's wrong" #1 / next-round #4): names
@@ -371,8 +395,10 @@ BENCH_NOISY_EXTRA_PASSES = 2
 # any two rounds (same methodology version) compare on their common series
 # without reconstructing old lists from git history.
 # last registry entry of the PREVIOUS round: everything after it is
-# new-this-round and always enters the bench window.
-_LAST_ROUND_END = "audio_pitch_audit"
+# new-this-round and always enters the bench window. r12 is an
+# optimization round — the registry is frozen at r11's end, so this is
+# the final registry entry and the new-this-round slice is empty.
+_LAST_ROUND_END = "blocklist_filter"
 
 _SERIES_ENDS = {
     "r1_r3": "selector_text_samples",

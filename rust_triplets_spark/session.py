@@ -24,6 +24,12 @@ def get_spark(app_name: str = "rust_triplets_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: allow shuffled-hash join where its size conditions
+        # hold — skips the per-partition sorts a sort-merge pays. Join
+        # *results* are identical; the risk profile (build side must fit a
+        # partition) is covered by AQE skew handling + the operators' own
+        # bounded build sides (broadcast stats frames, banded buckets).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g, NOT "most of the box": G1 grows toward the ceiling before

@@ -314,8 +314,13 @@ def test_semdedup_in_cell_join_is_equi_join(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
-    assert "BroadcastHashJoin [cell" in plan or "SortMergeJoin [cell" in plan
-    assert "SortMergeJoin [id" in plan or "BroadcastHashJoin [id" in plan
+    # any hash-partitioned or broadcast equi-join strategy preserves the
+    # invariant (never corpus²); with preferSortMergeJoin=false the planner
+    # legitimately picks ShuffledHashJoin for the dominated-id join.
+    assert any(f"{j} [cell" in plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert any(f"{j} [id" in plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
 
 
 def test_round5_cluster_frames_no_cartesian(spark):

@@ -24,12 +24,15 @@ def get_spark(app_name: str = "rust_triplets_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # guide §3.1/§9: allow shuffled-hash join where its size conditions
-        # hold — skips the per-partition sorts a sort-merge pays. Join
-        # *results* are identical; the risk profile (build side must fit a
-        # partition) is covered by AQE skew handling + the operators' own
-        # bounded build sides (broadcast stats frames, banded buckets).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its DEFAULT (true). r12 flipped it to
+        # false on guide §3.1's general advice but shipped it unmeasured on
+        # the heavy dedup/decontam tier; r13 measured it (guide §1): at
+        # sf0.1/local[32] fuzzy_decontamination min-of-3 is 9.1 s with SMJ
+        # vs 15.7 s with SHJ allowed (and far noisier: 41/116/16 s passes),
+        # because the banded self-joins build per-partition hash tables of
+        # the exploded signature frame — a build side that SMJ instead
+        # streams with a spillable sort. SHJ also cannot spill its build
+        # side, the exact 100 TB OOM profile the r12 advice flagged.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g, NOT "most of the box": G1 grows toward the ceiling before
